@@ -1,0 +1,80 @@
+"""Plan-shape assertions (SURVEY.md §5.4): the optimizations the reference
+hand-codes must actually fire in Catalyst — filters pushed into scans,
+broadcast joins where the reference replicates, no cartesian products,
+whole-stage codegen on the hot paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark import registry
+from twitter_social_triangle_mapreduce_spark.operators import graph
+from twitter_social_triangle_mapreduce_spark.sources.io import edges_from_events
+
+from conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_no_cartesian_anywhere(spark):
+    for name, fn in registry.all_queries().items():
+        plan = plan_of(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerates to BNLJ"
+
+
+def test_triangle_replicated_is_broadcast_only(spark):
+    """The replicated strategy must mirror the reference's zero-shuffle
+    map-only design: both joins broadcast-hash, no sort-merge join."""
+    plan = plan_of(registry.q_triangle_replicated(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the probe side must never shuffle: no hash-partitioned exchange
+    # (the only exchanges are broadcasts + the final 1-row agg)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """The id-cutoff on the src endpoint (a direct parquet column upstream)
+    must reach the scan as a pushed filter — the reference hand-codes this
+    as filter-before-shuffle (SocialTriangle_RS.java:49)."""
+    e = edges_from_events(spark, SF_SMOKE)
+    plan = plan_of(graph.filter_edges(e, 150, strict=True))
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark):
+    """The edges derivation must read only (user_id, event_id) from the
+    6-column events parquet."""
+    plan = plan_of(edges_from_events(spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "user_id" in read_schema and "event_id" in read_schema
+    assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_wholestage_codegen_on_hot_path(spark):
+    """AQE finalizes the physical plan at execution; the executed plan must
+    run inside WholeStageCodegen spans (SURVEY.md §4 'what Spark supplies
+    free' — asserted, not assumed)."""
+    df = registry.q_social_triangle_rs(spark, SF_SMOKE)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '* ' marks nodes inside a WholeStageCodegen span in formatted mode
+    assert "* HashAggregate" in plan and "* Filter" in plan
+
+
+def test_partial_aggregation_fires(spark):
+    """Degree counting must partial-aggregate map-side (the reference's
+    in-task combining, SURVEY.md §2.4 A4)."""
+    e = edges_from_events(spark, SF_SMOKE)
+    plan = plan_of(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan

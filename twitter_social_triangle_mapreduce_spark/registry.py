@@ -1,0 +1,172 @@
+"""Query registry: every engine capability as a named query.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL oracle string (DuckDB dialect-compatible) over the same
+parquet tables. Column names/aliases are kept IDENTICAL between the two —
+the correctness harness sorts columns by name and hash-compares values.
+
+Graph queries derive the canonical ``edges`` relation from ``events`` with
+the same SQL text in both engines (``sources.io.EDGES_FROM_EVENTS_SQL``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import graph
+from .plans.parity import APPROX_MAX, REPLICATED_MAX, TRIANGLE_RS_MAX
+from .sources.io import EDGES_FROM_EVENTS_SQL, edges_from_events
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_EDGES_CTE = f"WITH edges AS ({EDGES_FROM_EVENTS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# Graph core — the four reference programs + the Job-1 intermediate
+# ---------------------------------------------------------------------------
+
+def q_exact_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactCardinality's global counter (``ExactCardinality.java:78,105-109``)."""
+    return graph.path2_cardinality_total(edges_from_events(spark, sf_dir))
+
+
+def q_exact_cardinality_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactCardinality's per-node output table (``ExactCardinality.java:79-81``)."""
+    return graph.path2_cardinality_per_node(edges_from_events(spark, sf_dir))
+
+
+def q_approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ApproxCardinality = exact on the id-filtered subgraph
+    (``ApproxCardinality.java:24,46`` — strict <, both endpoints)."""
+    return graph.path2_cardinality_total(
+        edges_from_events(spark, sf_dir), max_id=APPROX_MAX, strict=True
+    )
+
+
+def q_approx_cardinality_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.path2_cardinality_per_node(
+        edges_from_events(spark, sf_dir), max_id=APPROX_MAX, strict=True
+    )
+
+
+def q_social_triangle_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SocialTriangle_RS: repartition-join triangle count, strict < cutoff
+    both sides (``SocialTriangle_RS.java:32,49,143,242``)."""
+    return graph.triangle_count(
+        edges_from_events(spark, sf_dir), max_id=TRIANGLE_RS_MAX, strategy="shuffle"
+    )
+
+
+def q_triangle_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplicatedJoinDriver: broadcast-join triangle count, <= cutoff on the
+    cache side only, closing edge existence-checked
+    (``ReplicatedJoinDriver.java:31,63,103,152``)."""
+    return graph.triangle_count(
+        edges_from_events(spark, sf_dir), max_id=REPLICATED_MAX, strategy="broadcast"
+    )
+
+
+def q_path2_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SocialTriangle_RS Job 1's intermediate relation: directed length-2
+    paths (x,y,z), X≠Z, strict < cutoff (``SocialTriangle_RS.java:92-103``)."""
+    return graph.path2(
+        edges_from_events(spark, sf_dir), max_id=TRIANGLE_RS_MAX, strict=True
+    )
+
+
+GRAPH_QUERIES: dict[str, QueryFn] = {
+    "exact_cardinality": q_exact_cardinality,
+    "exact_cardinality_per_node": q_exact_cardinality_per_node,
+    "approx_cardinality": q_approx_cardinality,
+    "approx_cardinality_per_node": q_approx_cardinality_per_node,
+    "social_triangle_rs": q_social_triangle_rs,
+    "triangle_replicated": q_triangle_replicated,
+    "path2_enum": q_path2_enum,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "exact_cardinality": f"""
+        {_EDGES_CTE},
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM edges GROUP BY src),
+        ins  AS (SELECT dst AS node, COUNT(*) AS m FROM edges GROUP BY dst)
+        SELECT CAST(COALESCE(SUM(m * n), 0) AS BIGINT) AS total_paths
+        FROM ins INNER JOIN outs USING (node)
+    """,
+    "exact_cardinality_per_node": f"""
+        {_EDGES_CTE},
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM edges GROUP BY src),
+        ins  AS (SELECT dst AS node, COUNT(*) AS m FROM edges GROUP BY dst)
+        SELECT COALESCE(ins.node, outs.node) AS node,
+               CAST(COALESCE(m, 0) AS BIGINT) AS m,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n,
+               CAST(COALESCE(m, 0) * COALESCE(n, 0) AS BIGINT) AS paths
+        FROM ins FULL OUTER JOIN outs ON ins.node = outs.node
+    """,
+    "approx_cardinality": f"""
+        {_EDGES_CTE},
+        f AS (SELECT * FROM edges
+              WHERE src < {APPROX_MAX} AND dst < {APPROX_MAX}),
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM f GROUP BY src),
+        ins  AS (SELECT dst AS node, COUNT(*) AS m FROM f GROUP BY dst)
+        SELECT CAST(COALESCE(SUM(m * n), 0) AS BIGINT) AS total_paths
+        FROM ins INNER JOIN outs USING (node)
+    """,
+    "approx_cardinality_per_node": f"""
+        {_EDGES_CTE},
+        f AS (SELECT * FROM edges
+              WHERE src < {APPROX_MAX} AND dst < {APPROX_MAX}),
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM f GROUP BY src),
+        ins  AS (SELECT dst AS node, COUNT(*) AS m FROM f GROUP BY dst)
+        SELECT COALESCE(ins.node, outs.node) AS node,
+               CAST(COALESCE(m, 0) AS BIGINT) AS m,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n,
+               CAST(COALESCE(m, 0) * COALESCE(n, 0) AS BIGINT) AS paths
+        FROM ins FULL OUTER JOIN outs ON ins.node = outs.node
+    """,
+    # COUNT over joins (never EXISTS) to replicate multiplicity semantics;
+    # // is DuckDB integer floor-division, matching F.floor(count/3)
+    "social_triangle_rs": f"""
+        {_EDGES_CTE},
+        f AS (SELECT * FROM edges
+              WHERE src < {TRIANGLE_RS_MAX} AND dst < {TRIANGLE_RS_MAX})
+        SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles
+        FROM f e1
+        JOIN f e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+        JOIN f e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    """,
+    # probe side unfiltered; hops 2-3 filtered <=; closing edge DISTINCT
+    # (the reference's boolean `contains`, ReplicatedJoinDriver.java:103)
+    "triangle_replicated": f"""
+        {_EDGES_CTE},
+        f AS (SELECT * FROM edges
+              WHERE src <= {REPLICATED_MAX} AND dst <= {REPLICATED_MAX}),
+        fd AS (SELECT DISTINCT src, dst FROM f)
+        SELECT CAST(COUNT(*) // 3 AS BIGINT) AS triangles
+        FROM edges e1
+        JOIN f  e2 ON e1.dst = e2.src
+        JOIN fd e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    """,
+    "path2_enum": f"""
+        {_EDGES_CTE},
+        f AS (SELECT * FROM edges
+              WHERE src < {TRIANGLE_RS_MAX} AND dst < {TRIANGLE_RS_MAX})
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM f e1
+        JOIN f e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+    """,
+}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(GRAPH_QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(GRAPH_ORACLES)
+    return out

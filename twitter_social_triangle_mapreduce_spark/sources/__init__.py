@@ -1,0 +1,7 @@
+from .io import (  # noqa: F401
+    EDGES_FROM_EVENTS_SQL,
+    edges_from_events,
+    load_table,
+    read_edges_csv,
+    write_tsv,
+)

@@ -1,0 +1,93 @@
+"""Sources and sinks.
+
+The reference's sole input is ``edges.csv`` — one ``followerId,followeeId``
+line per directed follow edge ("X follows Y"; reference
+``ExactCardinality.java:35-40``, ``ReplicatedJoinDriver.java:54,58-60``).
+Operator S1/S2 of SURVEY.md §2.1: text-line scan + positional CSV split with
+int cast. Here that is a schema'd CSV read — the schema reaches the scan, so
+Catalyst prunes columns and pushes filters into it.
+
+For the driver's oracle harness the graph queries derive ``edges``
+deterministically from the ``events`` table (FIXTURES.md §1), with the SAME
+SQL text in Spark and DuckDB so both engines see an identical multi-digraph
+(duplicates + self-loops preserved, as reference semantics require).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+#: DuckDB/Spark-portable derivation of the canonical edge list from `events`.
+#: Keep this text in sync between queries() and oracle_sql() — both engines
+#: must compute the identical graph.
+EDGES_FROM_EVENTS_SQL = (
+    "SELECT user_id AS src, "
+    "(user_id * 37 + event_id * 11 + 7) % 200 AS dst FROM events"
+)
+
+#: Canonical edge schema (SURVEY.md §1.3): LongType — the reference implies
+#: ids ≥ 7.8M (`ApproxCardinality.java:24`) and Twitter-scale ids overflow
+#: int32.
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), nullable=False),
+        StructField("dst", LongType(), nullable=False),
+    ]
+)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan, vectorized).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as BIGINT
+    nanoseconds and is converted here to a session-timezone-free
+    TimestampNTZ (integer-exact: the generator writes whole microseconds).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.floor(F.col("ts") / 1000).cast("long")
+            ).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical directed multigraph, derived from ``events``.
+
+    Matches ``EDGES_FROM_EVENTS_SQL`` exactly: one edge per event row, so
+    duplicates and self-loops occur naturally (reference semantics §2.7.3-4).
+    All arithmetic is BIGINT and stays JVM-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias("dst"),
+    )
+
+
+def read_edges_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format ``edges.csv`` (S1+S2 of SURVEY.md §2.1).
+
+    Explicit schema → no inference pass, filters/pruning push into the scan.
+    Malformed rows fail loudly (mode FAILFAST), matching the reference's
+    crash-not-skip behavior on bad input (§2.7.6 — `Integer.parseInt` throws).
+    """
+    return spark.read.schema(EDGE_SCHEMA).option("mode", "FAILFAST").csv(path)
+
+
+def write_tsv(df: DataFrame, path: str) -> None:
+    """S5 text sink: tab-separated lines, mirroring the reference's
+    ``mapreduce.output.textoutputformat.separator=\\t``
+    (``SocialTriangle_RS.java:202``)."""
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
