@@ -20,11 +20,20 @@ def plan_of(df) -> str:
     )
 
 
+# brute-force ANN scoring IS a broadcast cross product by design: the tiny
+# query set broadcasts and each corpus partition streams against it — the
+# correct plan for exact top-k (the LSH variant is the equi-join scale path)
+BNLJ_BY_DESIGN = {"ann_topk_bruteforce"}
+
+
 def test_no_cartesian_anywhere(spark):
     for name, fn in registry.all_queries().items():
         plan = plan_of(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
-        assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerates to BNLJ"
+        if name not in BNLJ_BY_DESIGN:
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), f"{name} degenerates to BNLJ"
 
 
 def test_triangle_replicated_is_broadcast_only(spark):

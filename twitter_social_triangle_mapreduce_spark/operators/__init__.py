@@ -1,1 +1,1 @@
-from . import graph  # noqa: F401
+from . import dedup, graph, multimodal, relational, similarity, text  # noqa: F401

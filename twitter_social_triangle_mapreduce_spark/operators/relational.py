@@ -1,0 +1,137 @@
+"""Relational / events-pipeline operators: JSON extraction, windowed
+sessionization, TPC-H-style aggregation and top-k joins — the operator
+classes the reference lacks entirely (SURVEY.md §2.5: windows, sorts,
+limits, set ops) exercised as first-class queries.
+
+Float-sum portability: monetary sums are computed in DECIMAL (exact,
+order-insensitive) and cast to DOUBLE only at output; epoch arithmetic is
+integer seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: session gap threshold (seconds) for sessionization
+SESSION_GAP_S = 1800
+
+
+def events_json_kpi(events: DataFrame) -> DataFrame:
+    """Per event_type KPIs with a JSON-extracted metric: count, exact
+    DECIMAL sum of ``value``, and the sum of the JSON ``props.k`` field.
+    ``get_json_object`` stays JVM-side (S2-style late schema projection)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """(user_id, session_id, n_events, sess_start_s) — gap-based
+    sessionization: a new session starts when the inter-event gap exceeds
+    ``gap_s`` seconds. Classic two-window formulation (lag → boundary flag
+    → running sum), partitioned by user — one shuffle on user_id, then
+    both windows reuse that partitioning. Ordering is (ts, event_id) so
+    ties are deterministic."""
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_flag = events.select(
+        "user_id", "ts", "event_id", ep.alias("ep")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.col("ep") - F.lag("ep").over(w) > gap_s, 1
+        ).otherwise(F.when(F.lag("ep").over(w).isNull(), 1).otherwise(0)),
+    )
+    with_sess = with_flag.withColumn(
+        "session_id", F.sum("new_sess").over(w)
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("sess_start_s"),
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: grouped exact-decimal sums over the
+    fact table with a pushed-down date predicate. The scan should show the
+    filter in PushedFilters and read only the 6 referenced columns."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_customers(
+    customer: DataFrame, orders: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k customers by exact order-total spend. The customer dimension
+    broadcasts; orders aggregate per custkey first (shuffle on the fact
+    key), then join — aggregate-before-join keeps the join input small."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        spend.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            spend.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("spent").cast("double").alias("total_spent"),
+            "n_orders",
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def revenue_by_region(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue rolled up the customer→nation→region dimension chain —
+    a star-join: the fact side shuffles once (agg on o_custkey), every
+    dimension broadcasts."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spent")
+    )
+    return (
+        spend.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            spend.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum("spent").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over the ``embeddings`` table (``embedding:
+array<float>``): brute-force cosine top-k as the correctness baseline and
+an LSH-bucketed variant as the scale path.
+
+Numeric portability: element products are computed in double after an
+explicit per-element cast, folded strictly left-to-right
+(``F.aggregate`` in Spark, ``list_sum(list_transform(...))`` in DuckDB —
+both sequential folds over the array), and results are emitted as
+``floor(1eN · x)`` integers. Cosine values of random vectors are far from
+integer boundaries, so the floor is engine-stable.
+
+Scale design: queries are the broadcast side of the cross join (Q × N
+never shuffles N); the per-pair dot product stays in whole-stage codegen
+(no Python). The LSH variant buckets candidates by random-hyperplane sign
+bits so each query only scores its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: signed 16-bit random-hyperplane signature for LSH bucketing: hyperplane
+#: coefficients are ±1 derived from md5(bit || '#' || dim) parity —
+#: deterministic and engine-portable.
+LSH_BITS = 8
+
+
+def _dot(a: str, b: str):
+    """Left-to-right double fold of the element-wise product."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, norm_e6) — L2 norms as floor(1e6·‖v‖)."""
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return embeddings.select(
+        "vec_id",
+        F.floor(1000000 * F.sqrt(sq)).cast("long").alias("norm_e6"),
+    )
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — exact cosine top-k: the first
+    ``n_queries`` vectors (vec_id < n_queries) against the full corpus
+    (self excluded), ranked by (cosine desc, nid asc).
+
+    The query side carries an explicit broadcast hint: the corpus never
+    shuffles — scan → broadcast-join → window per query partition. At
+    cluster scale this is the standard exact-scoring baseline."""
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("ce")
+    )
+    dot = _dot("qe", "ce")
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
+        )
+    )
+
+
+def lsh_signature(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+    """(vec_id, sig) — random-hyperplane signature: bit b is set iff
+    Σ_d coeff(b,d)·v[d] > 0 with coeff(b,d) = ±1 from the parity of the
+    first hex nibble of md5(b||'#'||d). Deterministic, portable, and
+    computed without shuffles (per-row expression)."""
+    dims = embeddings.select(F.size("embedding").alias("n")).first()["n"]
+    bit_exprs = []
+    for b in range(bits):
+        terms = " + ".join(
+            (
+                f"(CASE WHEN instr('0123456789abcdef',"
+                f" substr(md5('{b}#{d}'), 1, 1)) % 2 = 0"
+                f" THEN 1.0 ELSE -1.0 END)"
+                f" * CAST(embedding[{d}] AS DOUBLE)"
+            )
+            for d in range(dims)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return embeddings.select(
+        "vec_id", F.expr(" + ".join(bit_exprs)).cast("long").alias("sig")
+    )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3, bits: int = LSH_BITS
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — approximate top-k: candidates restricted
+    to the query's LSH bucket (same hyperplane signature), then exact
+    cosine rank within the bucket. The bucket join replaces the full cross
+    product — the 100 TB path where brute force is infeasible."""
+    sigs = lsh_signature(embeddings, bits)
+    emb = embeddings.join(sigs, "vec_id")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ce"),
+        F.col("sig").alias("csig"),
+    )
+    dot = _dot("qe", "ce")
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qsig") == F.col("csig")) & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
+        )
+    )

@@ -161,12 +161,18 @@ GRAPH_ORACLES: dict[str, str] = {
 
 
 def all_queries() -> dict[str, QueryFn]:
+    from .registry_ext import EXT_QUERIES
+
     out: dict[str, QueryFn] = {}
     out.update(GRAPH_QUERIES)
+    out.update(EXT_QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
+    from .registry_ext import ext_oracles
+
     out: dict[str, str] = {}
     out.update(GRAPH_ORACLES)
+    out.update(ext_oracles())
     return out

@@ -1,0 +1,431 @@
+"""Extension-query registry: dedup, similarity search, text analysis,
+events/relational, multimodal — each Spark callable paired with a DuckDB
+oracle that reproduces values bit-exactly (md5 hashing, integer
+``floor(1eN·r)`` ratios, DECIMAL money sums; see the operator modules for
+the portability contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, multimodal, relational, similarity, text
+from .operators.dedup import BAND_SIZE, NUM_HASHES
+from .operators.similarity import LSH_BITS
+from .sources.io import load_table
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+_SHINGLES = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM words WHERE len(ws) >= 3),
+shingles AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM idx)
+"""
+
+_BANDS = f"""
+WITH {_SHINGLES},
+hidx AS (SELECT doc_id, sh, unnest(range(0, {NUM_HASHES})) AS hi FROM shingles),
+sig AS (SELECT doc_id, hi, min(md5(sh || '#' || hi)) AS mh
+        FROM hidx GROUP BY doc_id, hi),
+bands AS (SELECT doc_id, hi // {BAND_SIZE} AS band,
+                 string_agg(mh, '|' ORDER BY hi) AS bh
+          FROM sig GROUP BY doc_id, hi // {BAND_SIZE})
+"""
+
+_SQ_SUM = (
+    "list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_DOT = (
+    "list_sum(list_transform(range(1, len(qe) + 1),"
+    " i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+)
+
+
+def _lsh_sig_sql(dims: int, bits: int = LSH_BITS, col: str = "embedding") -> str:
+    """Same ±1 hyperplane expression the Spark side generates
+    (similarity.lsh_signature) with DuckDB's 1-based array indexing; term
+    order matches exactly so the double sums agree bit-for-bit."""
+    bit_exprs = []
+    for b in range(bits):
+        terms = " + ".join(
+            (
+                f"(CASE WHEN strpos('0123456789abcdef',"
+                f" substr(md5('{b}#{d}'), 1, 1)) % 2 = 0"
+                f" THEN 1.0 ELSE -1.0 END)"
+                f" * CAST({col}[{d + 1}] AS DOUBLE)"
+            )
+            for d in range(dims)
+        )
+        bit_exprs.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bit_exprs)
+
+
+# Spark callables ------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_bands(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_topk(load_table(spark, sf_dir, "documents"))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_lsh_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_signature(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_json_kpi(load_table(spark, sf_dir, "events"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.revenue_by_region(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_media_features(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+EXT_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_bands": q_minhash_bands,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_topk": q_token_topk,
+    "embedding_norms": q_embedding_norms,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "lsh_signature": q_lsh_signature,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "events_json_kpi": q_events_json_kpi,
+    "sessionize": q_sessionize,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "revenue_by_region": q_revenue_by_region,
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
+}
+
+
+_STOPW = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+EXT_ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "minhash_bands": f"""
+        {_BANDS}
+        SELECT doc_id, band, bh FROM bands
+    """,
+    "dedup_minhash_pairs": f"""
+        {_BANDS}
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                     AND a.doc_id < b.doc_id
+    """,
+    "simhash": f"""
+        WITH toks AS ({_TOKS}),
+        h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM toks),
+        bits AS (SELECT doc_id, h4, unnest(range(0, 16)) AS bit FROM h),
+        bv AS (SELECT doc_id, bit,
+                      ((strpos('0123456789abcdef',
+                               substr(h4, 1 + bit // 4, 1)) - 1)
+                       >> CAST(bit % 4 AS INT)) % 2 AS b
+               FROM bits),
+        per_bit AS (SELECT doc_id, bit, SUM(b * 2 - 1) AS s
+                    FROM bv GROUP BY doc_id, bit)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM per_bit GROUP BY doc_id
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES},
+        sdist AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sdist GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+            FROM sdist a
+            JOIN sdist b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
+        )
+        SELECT doc_a, doc_b, common,
+               CAST(FLOOR(1000000 * common / (sa.sz + sb.sz - common))
+                    AS BIGINT) AS jaccard_e6
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    "text_stats": f"""
+        WITH toks AS ({_TOKS})
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_types,
+               CAST(FLOOR(1000000 * COUNT(DISTINCT tok) / COUNT(*))
+                    AS BIGINT) AS ttr_e6,
+               CAST(FLOOR(1000000 * SUM(length(tok)) / COUNT(*))
+                    AS BIGINT) AS mean_tok_len_e6,
+               CAST(FLOOR(1000000 * SUM(CASE WHEN tok IN {_STOPW}
+                                             THEN 1 ELSE 0 END) / COUNT(*))
+                    AS BIGINT) AS stopword_e6
+        FROM toks GROUP BY doc_id
+    """,
+    "lang_id": f"""
+        WITH toks AS ({_TOKS}),
+        s AS (SELECT doc_id,
+                SUM(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS s_de,
+                SUM(CASE WHEN tok IN ('the','a','of') THEN 1 ELSE 0 END) AS s_en,
+                SUM(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS s_es,
+                SUM(CASE WHEN tok IN ('le','la','et') THEN 1 ELSE 0 END) AS s_fr
+              FROM toks GROUP BY doc_id)
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "token_topk": f"""
+        WITH toks AS ({_TOKS})
+        SELECT tok, COUNT(*) AS cnt
+        FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT 100
+    """,
+    "embedding_norms": f"""
+        SELECT vec_id,
+               CAST(FLOOR(1000000 * sqrt({_SQ_SUM.format(col='embedding')}))
+                    AS BIGINT) AS norm_e6
+        FROM embeddings
+    """,
+    "ann_topk_bruteforce": f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        scored AS (
+            SELECT qid, nid,
+                   {_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})) AS sim
+            FROM q JOIN c ON qid <> nid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rank
+            FROM scored
+        )
+        SELECT qid, nid, rank,
+               CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+        FROM ranked WHERE rank <= 3
+    """,
+    # lsh_signature / ann_topk_lsh SQL is generated per-dimension at call
+    # time (needs the embedding width); see oracles_for_dims below.
+    "events_json_kpi": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "sessionize": """
+        WITH e AS (SELECT user_id, event_id, ts,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep
+                   FROM events),
+        f AS (SELECT user_id, event_id, ts, ep,
+                     CASE WHEN lag(ep) OVER w IS NULL THEN 1
+                          WHEN ep - lag(ep) OVER w > 1800 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ep,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM f)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events, MIN(ep) AS sess_start_s
+        FROM s GROUP BY user_id, session_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name,
+               CAST(spent AS DOUBLE) AS total_spent, n_orders
+        FROM spend JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
+    """,
+    "revenue_by_region": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT r_name,
+               CAST(SUM(spent) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_customers
+        FROM spend
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "media_stats": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    # oracle for the STUBBED decode: the fake features are deterministic
+    # functions of the payload, so even the mapInPandas path is checkable
+    "media_features": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                    ELSE 'audio/wav' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+               substr(md5(text), 1, 8) AS digest8
+        FROM documents
+    """,
+}
+
+
+def ext_oracles(dims: int = 64) -> dict[str, str]:
+    """All extension oracles, including the dimension-parameterized LSH
+    SQL (testdata embeddings are FLOAT[64])."""
+    out = dict(EXT_ORACLES)
+    sig = _lsh_sig_sql(dims)
+    out["lsh_signature"] = f"""
+        SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
+    """
+    qsig = _lsh_sig_sql(dims, col="qe")
+    csig = _lsh_sig_sql(dims, col="ce")
+    out["ann_topk_lsh"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+                          CAST({qsig} AS BIGINT) AS qsig
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS nid, embedding AS ce,
+                     CAST({csig} AS BIGINT) AS csig
+              FROM embeddings),
+        scored AS (
+            SELECT qid, nid,
+                   {_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})) AS sim
+            FROM q JOIN c ON qsig = csig AND qid <> nid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rank
+            FROM scored
+        )
+        SELECT qid, nid, rank,
+               CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+        FROM ranked WHERE rank <= 3
+    """
+    return out
