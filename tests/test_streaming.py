@@ -1,0 +1,115 @@
+"""Structured Streaming tests: run each stream with Trigger.AvailableNow
+into a memory sink and compare against the equivalent batch computation —
+streaming results must converge to the batch answer on bounded input."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark import streaming as st
+from twitter_social_triangle_mapreduce_spark.sources.io import (
+    edges_from_events,
+    load_table,
+)
+
+from conftest import SF_SMOKE
+
+
+def run_to_completion(df, mode: str = "append"):
+    name = "sink_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    return name
+
+
+def test_streaming_window_counts_matches_batch(spark):
+    ev = st.read_events_stream(spark, SF_SMOKE)
+    sink = run_to_completion(
+        st.streaming_event_window_counts(ev), mode="append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table(sink).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # append mode emits exactly the windows the final watermark closed:
+    # window_end (start+1h) <= max_ts - 2h watermark
+    from datetime import timedelta
+
+    max_ts = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .collect()[0][0]
+    )
+    cutoff = max_ts - timedelta(hours=2)
+    closed = {
+        k: v
+        for k, v in want.items()
+        if k[0] + timedelta(hours=1) <= cutoff
+    }
+    assert got == closed
+
+
+def test_streaming_path2_matches_batch(spark):
+    ev = st.read_events_stream(spark, SF_SMOKE)
+    static_edges = edges_from_events(spark, SF_SMOKE)
+    sink = run_to_completion(
+        st.streaming_path2_against_static(ev, static_edges), mode="complete"
+    )
+    got = {
+        (r["src"]): r["new_path2"] for r in spark.table(sink).collect()
+    }
+    e1 = edges_from_events(spark, SF_SMOKE)
+    batch = (
+        e1.alias("a")
+        .join(static_edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .where(F.col("a.src") != F.col("b.dst"))
+        .groupBy(F.col("a.src").alias("src"))
+        .agg(F.count(F.lit(1)).alias("new_path2"))
+    )
+    want = {r["src"]: r["new_path2"] for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_stateful_running_counts(spark):
+    ev = st.read_events_stream(spark, SF_SMOKE)
+    sink = run_to_completion(
+        st.streaming_user_running_counts(ev), mode="update"
+    )
+    rows = spark.table(sink).collect()
+    assert rows, "stateful stream emitted nothing"
+    # the final state per user must equal the batch count
+    final = {}
+    for r in rows:  # memory sink appends each update; last wins
+        final[r["user_id"]] = max(
+            final.get(r["user_id"], 0), r["n_events"]
+        )
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert final == want

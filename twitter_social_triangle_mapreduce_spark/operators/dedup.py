@@ -74,26 +74,29 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     minhash_i(doc) = min over shingles of md5(shingle || '#' || i); the
     band signature concatenates its BAND_SIZE minhashes in hash-index
     order. Lexicographic min over hex digests is a valid uniform minhash
-    (md5 is the random permutation)."""
+    (md5 is the random permutation).
+
+    Wide-form computation: all NUM_HASHES minhashes are NUM_HASHES ``min``
+    expressions in ONE groupBy(doc_id) — no hash-index row explosion, one
+    shuffle keyed on doc_id with map-side partial mins, then a stack to
+    (band, bh) rows. At corpus scale this is the difference between
+    shuffling |shingles|·K rows and |docs| rows."""
     sh = shingles(documents)
-    hs = sh.select(
-        "doc_id",
-        "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("hi"),
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+            for i in range(NUM_HASHES)
+        ]
     )
-    sig = hs.groupBy("doc_id", "hi").agg(
-        F.min(
-            F.md5(F.concat(F.col("sh"), F.lit("#"), F.col("hi").cast("string")))
-        ).alias("mh")
+    n_bands = NUM_HASHES // BAND_SIZE
+    stack = ", ".join(
+        f"{b}L, concat_ws('|', "
+        + ", ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ")"
+        for b in range(n_bands)
     )
-    return (
-        sig.groupBy("doc_id", F.expr(f"hi div {BAND_SIZE}").alias("band"))
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(struct(hi, mh))),"
-                " x -> x.mh), '|')"
-            ).alias("bh")
-        )
+    return sig.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack}) AS (band, bh)")
     )
 
 
@@ -124,33 +127,27 @@ def simhash16(documents: DataFrame) -> DataFrame:
     Bit j of the fingerprint is set iff Σ_tokens (±1 by bit j of the
     token's md5) is strictly positive. The 16 bits come from the first 4
     hex chars of the digest (4 bits each); all arithmetic is integer, so
-    the oracle reproduces it exactly."""
+    the oracle reproduces it exactly.
+
+    Wide form: the 16 per-bit ±1 sums are 16 ``sum`` expressions in one
+    groupBy(doc_id) over the token stream — no bit-index row explosion,
+    one shuffle with map-side partial sums."""
     t = tokens(documents).withColumn("h4", F.substring(F.md5("tok"), 1, 4))
-    bits = t.select(
-        "doc_id",
-        "h4",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        # nibble value of hex char (bit div 4), then extract bit (bit % 4)
-        F.expr(
-            "shiftright(instr('0123456789abcdef',"
-            " substr(h4, 1 + (bit div 4), 1)) - 1, bit % 4) % 2"
-        ).alias("b"),
-    )
-    per_bit = bits.groupBy("doc_id", "bit").agg(
-        F.sum(F.col("b") * 2 - 1).alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
-                " ELSE 0 END"
-            )
+
+    def bit_sum(b: int):
+        nibble = (
+            f"instr('0123456789abcdef', substr(h4, {1 + b // 4}, 1)) - 1"
         )
-        .cast("long")
-        .alias("simhash")
+        return F.sum(
+            F.expr(f"(shiftright({nibble}, {b % 4}) % 2) * 2 - 1")
+        ).alias(f"s{b}")
+
+    per_bit = t.groupBy("doc_id").agg(*[bit_sum(b) for b in range(16)])
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return per_bit.select(
+        "doc_id", F.expr(f"CAST({fp} AS BIGINT)").alias("simhash")
     )
 
 

@@ -1,0 +1,129 @@
+"""Structured Streaming variants of the engine's operators.
+
+The reference is batch-only (SURVEY.md §1.3: no streaming anywhere); these
+are the Spark-native streaming re-expressions a production pipeline needs:
+
+- windowed aggregation with a watermark (late-data-tolerant rollups),
+- stream-static join (new edges closing path-2s against the known graph),
+- custom stateful processing via ``applyInPandasWithState`` (running
+  per-user counters — the arbitrary-state escape hatch).
+
+All readers are file streams over the testdata parquet so tests can run
+them with ``Trigger.AvailableNow`` and a memory sink — the same code
+would run against Kafka by swapping the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of the events parquet as the nanos-as-long session reads it
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # ns since epoch (nanosAsLong)
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with an explicit schema
+    (streaming readers must not infer). ``ts`` arrives as ns-since-epoch
+    and is converted exactly as the batch reader does."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # the file source needs a directory; glob-filter to the events table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+            "timestamp"
+        ),
+    )
+
+
+def streaming_event_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark: the
+    streaming rollup shape — late events within the watermark still update
+    their window; state for closed windows is dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_path2_against_static(
+    events: DataFrame, static_edges: DataFrame
+) -> DataFrame:
+    """Incremental path-2 counting: each arriving edge X→Y joins the
+    static known graph's out-edges of Y, counting the new length-2 paths
+    it opens. Stream-static inner joins need no watermark; the static side
+    broadcasts. This is the streaming analog of J1 (SURVEY.md §2.3)."""
+    new_edges = events.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
+            "dst"
+        ),
+        F.col("ts"),
+    )
+    closing = static_edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("far")
+    )
+    return (
+        new_edges.join(
+            F.broadcast(closing), new_edges.dst == F.col("mid"), "inner"
+        )
+        .where(F.col("src") != F.col("far"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("new_path2"))
+    )
+
+
+def streaming_user_running_counts(events: DataFrame) -> DataFrame:
+    """Running per-user event counts via ``applyInPandasWithState`` — the
+    custom stateful-operator surface (arbitrary state the built-in aggs
+    can't express). The closure is self-contained for worker pickling."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long"
+    state_schema = "n long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as _pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
