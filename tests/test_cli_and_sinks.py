@@ -1,0 +1,122 @@
+"""End-to-end CLI parity: the reference's program surface (CSV in, TSV +
+printed scalar out) driven through ``cli.run_program`` on a synthetic
+edges.csv, cross-checked against DuckDB over the same file."""
+
+from __future__ import annotations
+
+import glob
+import random
+
+import duckdb
+import pytest
+
+from twitter_social_triangle_mapreduce_spark.cli import run_program
+from twitter_social_triangle_mapreduce_spark.sources.io import (
+    read_edges_csv,
+    write_tsv,
+)
+
+
+@pytest.fixture(scope="module")
+def edges_csv_dir(tmp_path_factory):
+    """A reference-format edges.csv with duplicates, self-loops, and ids
+    straddling the 40000/50000 cutoffs."""
+    d = tmp_path_factory.mktemp("edges_in")
+    rng = random.Random(7)
+    rows = []
+    for _ in range(4000):
+        rows.append((rng.randrange(60000), rng.randrange(60000)))
+    rows += rows[:200]  # duplicates
+    rows += [(i, i) for i in range(0, 60000, 7919)]  # self-loops
+    rows += [(39999, 40000), (40000, 39999), (40000, 50000), (50000, 40000)]
+    (d / "edges.csv").write_text(
+        "\n".join(f"{a},{b}" for a, b in rows) + "\n"
+    )
+    return str(d)
+
+
+def _duck_triangles(csv_path: str, max_id: int, strict: bool, dedup_closing: bool):
+    con = duckdb.connect()
+    cmp_op = "<" if strict else "<="
+    probe = "edges" if not strict else "f"
+    closing_src = "fd" if dedup_closing else "f"
+    q = f"""
+        WITH edges AS (
+            SELECT column0 AS src, column1 AS dst
+            FROM read_csv('{csv_path}', header=false, columns={{'column0':'BIGINT','column1':'BIGINT'}})
+        ),
+        f AS (SELECT * FROM edges WHERE src {cmp_op} {max_id} AND dst {cmp_op} {max_id}),
+        fd AS (SELECT DISTINCT src, dst FROM f)
+        SELECT COUNT(*) // 3 FROM {probe} e1
+        JOIN f e2 ON e1.dst = e2.src {"AND e1.src <> e2.dst" if strict else ""}
+        JOIN {closing_src} e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    """
+    return con.execute(q).fetchone()[0]
+
+
+def test_cli_social_triangle_rs(spark, edges_csv_dir, tmp_path):
+    got = run_program(
+        spark, "social_triangle_rs", edges_csv_dir, str(tmp_path / "out1")
+    )
+    want = _duck_triangles(
+        f"{edges_csv_dir}/edges.csv", 50000, strict=True, dedup_closing=False
+    )
+    assert got == want
+
+
+def test_cli_triangle_replicated(spark, edges_csv_dir, tmp_path):
+    got = run_program(
+        spark, "triangle_replicated", edges_csv_dir, str(tmp_path / "out2")
+    )
+    want = _duck_triangles(
+        f"{edges_csv_dir}/edges.csv", 40000, strict=False, dedup_closing=True
+    )
+    assert got == want
+
+
+def test_cli_exact_cardinality_writes_tsv(spark, edges_csv_dir, tmp_path):
+    out = str(tmp_path / "out3")
+    got = run_program(spark, "exact_cardinality", edges_csv_dir, out)
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH edges AS (
+            SELECT column0 AS src, column1 AS dst
+            FROM read_csv('{edges_csv_dir}/edges.csv', header=false,
+                          columns={{'column0':'BIGINT','column1':'BIGINT'}})
+        ),
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM edges GROUP BY src),
+        ins AS (SELECT dst AS node, COUNT(*) AS m FROM edges GROUP BY dst)
+        SELECT COALESCE(SUM(m * n), 0) FROM ins JOIN outs USING (node)
+        """
+    ).fetchone()[0]
+    assert got == want
+    # TSV sink: node \t paths lines, reloadable
+    files = glob.glob(f"{out}/part-*")
+    assert files, "no TSV part files written"
+    line = next(
+        ln for f in files for ln in open(f).read().splitlines() if ln
+    )
+    assert len(line.split("\t")) == 2
+
+
+def test_csv_reader_failfast_on_malformed(spark, tmp_path):
+    """Reference semantics §2.7.6: malformed input crashes, it is not
+    silently skipped (Integer.parseInt throws in every mapper)."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "edges.csv").write_text("1,2\nnot-a-number,3\n")
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_edges_csv(spark, str(d / "*.csv")).collect()
+
+
+def test_write_tsv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "node long, paths long")
+    out = str(tmp_path / "tsv")
+    write_tsv(df, out)
+    back = (
+        spark.read.option("sep", "\t")
+        .schema("node long, paths long")
+        .csv(out)
+    )
+    assert sorted(tuple(r) for r in back.collect()) == [(1, 10), (2, 20)]

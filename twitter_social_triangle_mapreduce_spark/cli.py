@@ -1,0 +1,101 @@
+"""Command-line driver mirroring the reference's program surface.
+
+The reference exposes four driver classes launched as
+``hadoop jar <jar> <job.name> <input> [<intermediate>] <output>``
+(reference ``Makefile:8,42-43,90,95``). Here the same four programs run as
+
+    python -m twitter_social_triangle_mapreduce_spark <program> <input-dir> <output-dir>
+
+with ``<input-dir>`` containing ``edges.csv``-format files
+(``followerId,followeeId`` lines) and the scalar answer printed to stdout
+exactly where the reference prints its counter (SURVEY.md §3):
+
+- ``social_triangle_rs``  — triangle count, repartition join, MAX=50000 strict
+- ``triangle_replicated`` — triangle count, broadcast join, MAX=40000 non-strict
+- ``exact_cardinality``   — path-2 count, no filter; per-node table written
+- ``approx_cardinality``  — path-2 count, MAX=7812500 strict; per-node table
+
+``--max-id`` overrides the program's reference constant. Per-node outputs
+are written tab-separated (the reference's ``TextOutputFormat`` with
+``\\t``); triangle programs write no rows (the reference's Job-2 reducer
+emits none — ``SocialTriangle_RS.java`` ``ClosedTriangle`` has no output
+records), only the printed scalar.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from .operators import graph
+from .session import get_spark
+from .sources.io import read_edges_csv, write_tsv
+
+#: the reference programs' hard-coded cutoffs (SURVEY.md §2.7.5)
+REFERENCE_MAX = {
+    "social_triangle_rs": 50000,
+    "triangle_replicated": 40000,
+    "exact_cardinality": None,
+    "approx_cardinality": 7812500,
+}
+
+PROGRAMS = tuple(REFERENCE_MAX)
+
+
+def run_program(
+    spark, program: str, input_dir: str, output_dir: str, max_id=None
+) -> int:
+    """Execute one reference program; returns the scalar answer."""
+    if max_id is None:
+        max_id = REFERENCE_MAX[program]
+    edges = read_edges_csv(spark, f"{input_dir}/*.csv")
+
+    if program == "social_triangle_rs":
+        n = graph.triangle_count(edges, max_id=max_id, strategy="shuffle").collect()[0][0]
+        # reference writes only empty part files for the triangle jobs
+        spark.createDataFrame([], "value string").write.mode("overwrite").text(output_dir)
+        print(f"COUNT:{n}")
+        return n
+    if program == "triangle_replicated":
+        n = graph.triangle_count(edges, max_id=max_id, strategy="broadcast").collect()[0][0]
+        spark.createDataFrame([], "value string").write.mode("overwrite").text(output_dir)
+        print(f"TOTAL COUNT: {n}")
+        return n
+    if program in ("exact_cardinality", "approx_cardinality"):
+        strict = True
+        per_node = graph.path2_cardinality_per_node(
+            edges, max_id=max_id, strict=strict
+        )
+        # the reference writes `node \t m·n` (ExactCardinality.java:79-81)
+        write_tsv(per_node.select("node", "paths"), output_dir)
+        n = per_node.agg(
+            F.coalesce(F.sum("paths"), F.lit(0)).cast("long")
+        ).collect()[0][0]
+        print(f"COUNT:{n}")
+        return n
+    raise ValueError(f"unknown program {program!r}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(
+        prog="twitter_social_triangle_mapreduce_spark",
+        description="PySpark-native equivalents of the reference MapReduce programs",
+    )
+    p.add_argument("program", choices=PROGRAMS)
+    p.add_argument("input_dir", help="directory of followerId,followeeId CSV files")
+    p.add_argument("output_dir", help="result directory (TSV / empty marker)")
+    p.add_argument(
+        "--max-id",
+        type=int,
+        default=None,
+        help="override the program's reference id cutoff",
+    )
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"tstm-{args.program}")
+    spark.sparkContext.setLogLevel("WARN")
+    run_program(spark, args.program, args.input_dir, args.output_dir, args.max_id)
+
+
+if __name__ == "__main__":
+    main()
