@@ -1,0 +1,110 @@
+"""Tests for iterative graph algorithms and the scale tools (salted join,
+bucketed co-located join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import components, skew
+from twitter_social_triangle_mapreduce_spark.sources.io import edges_from_events
+
+from conftest import SF_SMOKE, edges_df
+
+
+def test_connected_components_golden(spark):
+    # two components {1,2,3,4} (via undirected edges) and {10,11}
+    e = edges_df(spark, [(1, 2), (3, 2), (4, 3), (11, 10)])
+    got = {
+        r["v"]: r["component"]
+        for r in components.connected_components(e).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_self_loop_and_dups(spark):
+    e = edges_df(spark, [(5, 5), (7, 8), (7, 8)])
+    got = {
+        r["v"]: r["component"]
+        for r in components.connected_components(e).collect()
+    }
+    assert got == {5: 5, 7: 7, 8: 7}
+
+
+def test_pagerank_against_independent_computation(spark):
+    """Fixed-iteration PageRank vs a plain-Python reimplementation on the
+    collected sf0.001 graph; float sums may differ in association order,
+    so compare with a tight tolerance on the 1e9-scaled values."""
+    edges = edges_from_events(spark, SF_SMOKE)
+    got = {
+        r["v"]: r["rank_e9"] for r in components.pagerank(edges).collect()
+    }
+    rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    verts = sorted({v for e in rows for v in e})
+    n = len(verts)
+    w: dict[tuple[int, int], int] = {}
+    for s, d in rows:
+        w[(s, d)] = w.get((s, d), 0) + 1
+    ow: dict[int, int] = {}
+    for (s, _), c in w.items():
+        ow[s] = ow.get(s, 0) + c
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(components.PR_ITERATIONS):
+        contrib = {v: 0.0 for v in verts}
+        for (s, d), c in w.items():
+            contrib[d] += r[s] * c / ow[s]
+        dangling = sum(r[v] for v in verts if v not in ow)
+        r = {
+            v: (1 - components.PR_DAMPING) / n
+            + components.PR_DAMPING * (contrib[v] + dangling / n)
+            for v in verts
+        }
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v] - int(1e9 * r[v])) <= 50, (v, got[v], 1e9 * r[v])
+    # total rank mass conserved
+    assert abs(sum(got.values()) / 1e9 - 1.0) < 1e-5
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change join semantics — including duplicate rows
+    and a pathologically hot key."""
+    left = edges_df(
+        spark,
+        [(1, i % 7) for i in range(500)]  # hot key src=1
+        + [(2, 3), (2, 3), (5, 9)],
+    ).withColumnRenamed("dst", "payload")
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "src long, tag string"
+    )
+    plain = left.join(right, on=["src"], how="inner")
+    salted = skew.salted_inner_join(left, right, on=["src"], num_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demonstration: two tables bucketed on the join key
+    co-locate, so the sort-merge join needs no exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = edges_from_events(spark, SF_SMOKE)
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        for name, df in (("b_edges", e), ("b_deg", deg)):
+            df.write.mode("overwrite").bucketBy(8, "src").sortBy(
+                "src"
+            ).saveAsTable(name)
+        joined = spark.table("b_edges").join(spark.table("b_deg"), "src")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        # and the result is right
+        assert joined.count() == e.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for name in ("b_edges", "b_deg"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -23,7 +23,9 @@ def plan_of(df) -> str:
 # brute-force ANN scoring IS a broadcast cross product by design: the tiny
 # query set broadcasts and each corpus partition streams against it — the
 # correct plan for exact top-k (the LSH variant is the equi-join scale path)
-BNLJ_BY_DESIGN = {"ann_topk_bruteforce"}
+# pagerank crosses a broadcast 1-row dangling-mass aggregate into each
+# iteration's update — a deliberate scalar broadcast, not a blowup
+BNLJ_BY_DESIGN = {"ann_topk_bruteforce", "pagerank"}
 
 
 def test_no_cartesian_anywhere(spark):

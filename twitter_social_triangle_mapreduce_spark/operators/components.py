@@ -1,0 +1,150 @@
+"""Iterative graph algorithms over the canonical edge list: connected
+components (min-label propagation) and PageRank. These extend the
+reference's graph surface with the classic iterative workloads a
+graph-analytics engine needs.
+
+Both run a FIXED number of synchronous iterations so results are exactly
+reproducible: connected components is pure integer min-propagation (its
+DuckDB oracle unrolls the same iterations and hash-matches bit-for-bit);
+PageRank is float-valued and registered rows-only.
+
+Scale notes: each iteration is one shuffle (join on the edge key + min/sum
+aggregate). At cluster scale, checkpoint every few iterations to truncate
+lineage (``df.localCheckpoint()``) and persist the (static) symmetrized
+edge list once — noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CC_ITERATIONS = 8
+PR_ITERATIONS = 5
+PR_DAMPING = 0.85
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Undirected view: each edge in both directions (distinct pairs)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, iterations: int = CC_ITERATIONS
+) -> DataFrame:
+    """(v, component) — label propagation: every vertex starts labeled with
+    its own id; each round takes the min of its label and its neighbors'
+    labels over the undirected edge set. With a fixed round count the
+    result is deterministic whether or not converged (integers only, so
+    the unrolled SQL oracle matches exactly).
+
+    Per round: one join (labels × edges) + one min-aggregate + one outer
+    join back — all shuffles on the same vertex key, so Catalyst reuses
+    the partitioning. In production, persist ``sym`` and checkpoint labels
+    every ~5 rounds to truncate lineage."""
+    sym = _symmetric(edges)
+    labels = vertices(edges).withColumn("l", F.col("v"))
+    for _ in range(iterations):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.v, "inner")
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("l").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.v == F.col("v2"), "left_outer")
+            .select(
+                "v",
+                F.least(
+                    F.col("l"), F.coalesce(F.col("nl"), F.col("l"))
+                ).alias("l"),
+            )
+        )
+    return labels.select("v", F.col("l").alias("component"))
+
+
+def connected_components_oracle_sql(
+    edges_sql: str, iterations: int = CC_ITERATIONS
+) -> str:
+    """Unrolled DuckDB twin of ``connected_components`` — identical
+    per-round min algebra, integer-exact."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "sym AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges))",
+        "verts AS (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
+        "it0 AS (SELECT v, v AS l FROM verts)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"nm{k} AS (SELECT s.dst AS v2, MIN(i.l) AS nl"
+            f" FROM sym s JOIN it{k} i ON s.src = i.v GROUP BY s.dst)"
+        )
+        parts.append(
+            f"it{k + 1} AS (SELECT i.v, LEAST(i.l, COALESCE(n.nl, i.l)) AS l"
+            f" FROM it{k} i LEFT JOIN nm{k} n ON i.v = n.v2)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT v, l AS component FROM it{iterations}"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """(v, rank_e9) — PageRank with uniform teleport over the directed
+    multigraph (parallel edges count as stronger links, consistent with
+    the engine's multiplicity semantics). Dangling mass is redistributed
+    uniformly each round. Fixed iterations; emitted as floor(1e9·rank)
+    (float-valued → registered rows-only, asserted in tests against an
+    independent local computation)."""
+    ec = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    out_w = ec.groupBy("src").agg(F.sum("w").alias("ow"))
+    verts = vertices(edges)
+    n = verts.count()  # the one driver action: graph order (static)
+    ranks = verts.withColumn("r", F.lit(1.0 / n))
+    links = ec.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    )
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links.src == ranks.v, "inner")
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("c"))
+        )
+        # dangling vertices (no out-edges) leak their mass; redistribute it
+        # uniformly — computed as a 1-row aggregate crossed into the update
+        # (stays lazy: no per-iteration driver action)
+        dangling = (
+            ranks.join(out_w, ranks.v == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            verts.join(contribs, verts.v == F.col("v2"), "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / n
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "v", F.floor(F.lit(1e9) * F.col("r")).cast("long").alias("rank_e9")
+    )

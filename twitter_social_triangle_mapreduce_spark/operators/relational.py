@@ -104,6 +104,129 @@ def top_customers(
     )
 
 
+def order_status_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal rows with NULL group keys —
+    the grouping-sets surface (absent from the reference, free in Spark)."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having ≥1 order (existence, no fanout)."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Left-anti join: customers with no OPEN ('P') orders — the filter on
+    the right side keeps the anti-join discriminating on the testdata
+    (every customer has some order, ~1/3 have no open one)."""
+    return customer.join(
+        orders.where(F.col("o_orderstatus") == "P"),
+        customer.c_custkey == orders.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def user_event_setops(events: DataFrame) -> DataFrame:
+    """Set-operation surface at (user, day) granularity: days on which a
+    user clicked AND purchased but did not error — INTERSECT then EXCEPT
+    (distinct semantics in both engines)."""
+    ud = lambda t: (  # noqa: E731
+        events.where(F.col("event_type") == t).select(
+            "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+        )
+    )
+    return ud("click").intersect(ud("purchase")).exceptAll(
+        ud("error").distinct()
+    )
+
+
+def user_counts(events: DataFrame) -> DataFrame:
+    """Exact + approximate (HLL) distinct-user counts. The HLL value is
+    engine-specific, so this query's oracle covers the exact column only if
+    compared — registered as rows-only; the exact twin is asserted in
+    tests."""
+    return events.agg(
+        F.count_distinct(F.col("user_id")).alias("n_users_exact"),
+        F.approx_count_distinct(F.col("user_id")).alias("n_users_approx"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_val: str,
+) -> DataFrame:
+    """Generic as-of join (an operator Spark lacks natively): for each left
+    row, the ``right_val`` of the latest right row with
+    ``right_time <= left_time`` for the same key; ties on right_time break
+    by larger ``right_val``.
+
+    Union-and-window formulation: tag both sides, sort within key by
+    (time, tag, val), carry the last non-null right value forward. ONE
+    shuffle on the key — no per-row range probe, no skew-prone range join;
+    this is the scalable shape for billions of rows per side.
+    """
+    lt = left.select(
+        F.col(key).alias("k"),
+        F.col(left_time).alias("t"),
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("rv"),
+        "*",
+    )
+    rt = right.select(
+        F.col(key).alias("k"),
+        F.col(right_time).alias("t"),
+        F.lit(0).alias("is_left"),
+        F.col(right_val).cast("long").alias("rv"),
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_left", "rv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("asof_val", F.last("rv", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .drop("k", "t", "is_left", "rv")
+    )
+
+
+def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per event: the customer's latest order key as of the event time
+    (user_id plays the custkey role). Exercises ``asof_join`` end-to-end;
+    events with no prior order yield NULL."""
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ev_s"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("od_s"),
+        "o_orderkey",
+    )
+    out = asof_join(
+        ev, od, key="user_id", left_time="ev_s", right_time="od_s",
+        right_val="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_val").alias("asof_orderkey")
+    )
+
+
 def revenue_by_region(
     orders: DataFrame,
     customer: DataFrame,

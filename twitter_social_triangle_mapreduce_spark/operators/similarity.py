@@ -118,6 +118,54 @@ def lsh_signature(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, bits: int = LSH_BITS, min_sim_e4: int = 0
+) -> DataFrame:
+    """(vec_a, vec_b, sim_e4) — embedding-cosine near-duplicate pairs: the
+    dedup-by-embedding path. Candidates come from LSH bucket collisions
+    (equi-join on the hyperplane signature — never vec×vec), then exact
+    cosine filters by threshold. At 100 TB this is the only tractable
+    shape for all-pairs near-dup detection."""
+    sigs = lsh_signature(embeddings, bits)
+    emb = embeddings.join(sigs, "vec_id")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("siga"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        F.col("sig").alias("sigb"),
+    )
+    dot = _dot("qe", "ce")
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("siga") == F.col("sigb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(10000 * (dot / (qn * cn))).cast("long").alias("sim_e4"),
+        )
+        .where(F.col("sim_e4") >= min_sim_e4)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3, bits: int = LSH_BITS
 ) -> DataFrame:

@@ -9,10 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, multimodal, relational, similarity, text
+from .operators import components, dedup, multimodal, relational, similarity, text
 from .operators.dedup import BAND_SIZE, NUM_HASHES
 from .operators.similarity import LSH_BITS
-from .sources.io import load_table
+from .sources.io import EDGES_FROM_EVENTS_SQL, edges_from_events, load_table
 
 # shared SQL fragments -------------------------------------------------------
 
@@ -147,6 +147,50 @@ def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.connected_components(edges_from_events(spark, sf_dir))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.pagerank(edges_from_events(spark, sf_dir))
+
+
+def q_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_status_rollup(load_table(spark, sf_dir, "orders"))
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_event_setops(load_table(spark, sf_dir, "events"))
+
+
+def q_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.events_last_order_asof(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(load_table(spark, sf_dir, "documents"))
 
@@ -178,6 +222,15 @@ EXT_QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "connected_components": q_connected_components,
+    "pagerank": q_pagerank,  # float-valued iterative: rows-only check
+    "order_status_rollup": q_order_status_rollup,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "user_event_setops": q_user_event_setops,
+    "user_counts": q_user_counts,  # HLL value engine-specific: rows-only
+    "events_last_order_asof": q_events_last_order_asof,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
 }
 
 
@@ -394,13 +447,93 @@ EXT_ORACLES = {
 }
 
 
+EXT_ORACLES["order_status_rollup"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+EXT_ORACLES["customers_with_orders"] = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+EXT_ORACLES["customers_without_orders"] = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+EXT_ORACLES["user_event_setops"] = """
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+"""
+
+# same union-and-window formulation as relational.asof_join, so frame
+# semantics and tie-breaks match exactly
+EXT_ORACLES["events_last_order_asof"] = """
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t
+                FROM events),
+    od AS (SELECT o_custkey AS user_id,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t,
+                  o_orderkey
+           FROM orders),
+    u AS (
+        SELECT user_id AS k, t, 1 AS is_left,
+               CAST(NULL AS BIGINT) AS rv, event_id
+        FROM ev
+        UNION ALL
+        SELECT user_id, t, 0, o_orderkey, NULL FROM od
+    ),
+    w AS (
+        SELECT k, is_left, event_id,
+               last_value(rv IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY t, is_left, rv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_orderkey
+        FROM u
+    )
+    SELECT event_id, k AS user_id, asof_orderkey
+    FROM w WHERE is_left = 1
+"""
+
+
 def ext_oracles(dims: int = 64) -> dict[str, str]:
     """All extension oracles, including the dimension-parameterized LSH
     SQL (testdata embeddings are FLOAT[64])."""
     out = dict(EXT_ORACLES)
+    out["connected_components"] = components.connected_components_oracle_sql(
+        EDGES_FROM_EVENTS_SQL
+    )
     sig = _lsh_sig_sql(dims)
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
+    """
+    siga = _lsh_sig_sql(dims, col="qe")
+    sigb = _lsh_sig_sql(dims, col="ce")
+    out["embedding_near_dup_pairs"] = f"""
+        WITH a AS (SELECT vec_id AS vec_a, embedding AS qe,
+                          CAST({siga} AS BIGINT) AS siga
+                   FROM embeddings),
+        b AS (SELECT vec_id AS vec_b, embedding AS ce,
+                     CAST({sigb} AS BIGINT) AS sigb
+              FROM embeddings)
+        SELECT vec_a, vec_b,
+               CAST(FLOOR(10000 * ({_DOT}
+                    / (sqrt({_SQ_SUM.format(col='qe')})
+                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+                   AS sim_e4
+        FROM a JOIN b ON siga = sigb AND vec_a < vec_b
+        WHERE CAST(FLOOR(10000 * ({_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT) >= 0
     """
     qsig = _lsh_sig_sql(dims, col="qe")
     csig = _lsh_sig_sql(dims, col="ce")
