@@ -28,6 +28,10 @@ NUM_HASHES = 8
 #: rows per LSH band (NUM_HASHES/BAND_SIZE bands)
 BAND_SIZE = 2
 
+#: hex chars per integer minhash: 7 → 28-bit values, so BAND_SIZE of them
+#: pack into one signed BIGINT without overflow
+MINHASH_HEX_CHARS = 7
+
 
 def tokens(documents: DataFrame) -> DataFrame:
     """(doc_id, tok) — whitespace tokenization, one row per occurrence."""
@@ -71,28 +75,47 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
 def minhash_bands(documents: DataFrame) -> DataFrame:
     """(doc_id, band, bh) — the LSH band signatures.
 
-    minhash_i(doc) = min over shingles of md5(shingle || '#' || i); the
-    band signature concatenates its BAND_SIZE minhashes in hash-index
-    order. Lexicographic min over hex digests is a valid uniform minhash
-    (md5 is the random permutation).
+    minhash_i(doc) = min over shingles of the first MINHASH_HEX_CHARS hex
+    chars of md5(shingle || '#' || i) as a BIGINT (md5 is the random
+    permutation; a 28-bit prefix min is an equally valid uniform minhash).
+    The band value packs BAND_SIZE minhashes into one BIGINT
+    (``m_hi * 16^7 + m_lo``) — integer-exact in both engines.
 
     Wide-form computation: all NUM_HASHES minhashes are NUM_HASHES ``min``
     expressions in ONE groupBy(doc_id) — no hash-index row explosion, one
-    shuffle keyed on doc_id with map-side partial mins, then a stack to
-    (band, bh) rows. At corpus scale this is the difference between
-    shuffling |shingles|·K rows and |docs| rows."""
+    shuffle keyed on doc_id with map-side partial mins. Integer minhashes
+    keep the aggregation in HashAggregate (``min(string)`` would fall back
+    to sort-based) and shuffle 8-byte values instead of 32-char digests —
+    at corpus scale this is the difference between shuffling
+    |shingles|·K digests and |docs| longs."""
     sh = shingles(documents)
-    sig = sh.groupBy("doc_id").agg(
+    # one md5 yields 4 independent 28-bit hashes (28 of its 32 hex chars),
+    # so NUM_HASHES minhashes need only NUM_HASHES/4 digests per shingle;
+    # conv(hex, 16, 10) parses each chunk in one JVM call. The DuckDB
+    # oracle reproduces identical values with per-nibble arithmetic
+    # (functions.hashing.hex_prefix_to_long_sql).
+    longed = sh.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"m{i}")
+            F.expr(
+                f"CAST(conv(substr(md5(concat(sh, '#{i // 4}')),"
+                f" {1 + MINHASH_HEX_CHARS * (i % 4)},"
+                f" {MINHASH_HEX_CHARS}), 16, 10) AS BIGINT)"
+            ).alias(f"l{i}")
             for i in range(NUM_HASHES)
-        ]
+        ],
+    )
+    sig = longed.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
     )
     n_bands = NUM_HASHES // BAND_SIZE
+    place = 16 ** MINHASH_HEX_CHARS
     stack = ", ".join(
-        f"{b}L, concat_ws('|', "
-        + ", ".join(f"m{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
-        + ")"
+        f"{b}L, "
+        + " + ".join(
+            f"m{b * BAND_SIZE + j} * {place ** (BAND_SIZE - 1 - j)}"
+            for j in range(BAND_SIZE)
+        )
         for b in range(n_bands)
     )
     return sig.select(

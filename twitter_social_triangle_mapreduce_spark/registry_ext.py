@@ -25,15 +25,47 @@ idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
 shingles AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM idx)
 """
 
-_BANDS = f"""
+def _bands_sql() -> str:
+    """DuckDB twin of dedup.minhash_bands' wide integer-minhash pipeline."""
+    from .functions.hashing import hex_prefix_to_long_sql
+
+    from .operators.dedup import MINHASH_HEX_CHARS
+
+    n = NUM_HASHES
+    hex_cols = ", ".join(
+        f"md5(sh || '#{d}') AS h{d}" for d in range(n // 4)
+    )
+    long_cols = ", ".join(
+        hex_prefix_to_long_sql(
+            f"substr(h{i // 4}, {1 + MINHASH_HEX_CHARS * (i % 4)},"
+            f" {MINHASH_HEX_CHARS})",
+            MINHASH_HEX_CHARS,
+        )
+        + f" AS l{i}"
+        for i in range(n)
+    )
+    min_cols = ", ".join(f"MIN(l{i}) AS m{i}" for i in range(n))
+    n_bands = n // BAND_SIZE
+    place = 16 ** MINHASH_HEX_CHARS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+        + " + ".join(
+            f"m{b * BAND_SIZE + j} * {place ** (BAND_SIZE - 1 - j)}"
+            for j in range(BAND_SIZE)
+        )
+        + " AS bh FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
 WITH {_SHINGLES},
-hidx AS (SELECT doc_id, sh, unnest(range(0, {NUM_HASHES})) AS hi FROM shingles),
-sig AS (SELECT doc_id, hi, min(md5(sh || '#' || hi)) AS mh
-        FROM hidx GROUP BY doc_id, hi),
-bands AS (SELECT doc_id, hi // {BAND_SIZE} AS band,
-                 string_agg(mh, '|' ORDER BY hi) AS bh
-          FROM sig GROUP BY doc_id, hi // {BAND_SIZE})
+hexed AS (SELECT doc_id, {hex_cols} FROM shingles),
+longed AS (SELECT doc_id, {long_cols} FROM hexed),
+sig AS (SELECT doc_id, {min_cols} FROM longed GROUP BY doc_id),
+bands AS ({band_selects})
 """
+
+
+_BANDS = _bands_sql()
 
 _SQ_SUM = (
     "list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
