@@ -92,6 +92,31 @@ def test_streaming_path2_matches_batch(spark):
     assert got == want
 
 
+def test_streaming_triangle_closures_matches_batch(spark):
+    ev = st.read_events_stream(spark, SF_SMOKE)
+    static_edges = edges_from_events(spark, SF_SMOKE)
+    sink = run_to_completion(
+        st.streaming_triangle_closures(ev, static_edges), mode="append"
+    )
+    got = sum(r["closures"] for r in spark.table(sink).collect())
+    e = static_edges
+    batch_total = (
+        edges_from_events(spark, SF_SMOKE)
+        .alias("n")
+        .join(e.alias("h"), F.col("n.dst") == F.col("h.src"))
+        .join(
+            e.alias("c"),
+            (F.col("h.dst") == F.col("c.src"))
+            & (F.col("c.dst") == F.col("n.src")),
+        )
+        .where(F.col("n.src") != F.col("h.dst"))
+        .count()
+    )
+    # append emits watermark-closed windows; all but the tail ~3h close
+    assert 0 < got <= batch_total
+    assert got >= batch_total * 0.8
+
+
 def test_streaming_stateful_running_counts(spark):
     ev = st.read_events_stream(spark, SF_SMOKE)
     sink = run_to_completion(

@@ -86,6 +86,33 @@ def read_edges_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EDGE_SCHEMA).option("mode", "FAILFAST").csv(path)
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every testdata table plus the derived ``edges`` relation as
+    temp views — the SQL-first entry point the reference never had: after
+    this, ``spark.sql("SELECT ... FROM edges e1 JOIN edges e2 ...")`` runs
+    any engine query in plain SQL."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW edges AS {EDGES_FROM_EVENTS_SQL}"
+    )
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (one object per line, gzip) — interchange format
+    for downstream non-Spark consumers."""
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-partitioned parquet sink: readers filtering on the partition
+    columns get partition pruning (directories skipped before any file
+    I/O) — the layout a 100 TB corpus would use for its coarse keys."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_tsv(df: DataFrame, path: str) -> None:
     """S5 text sink: tab-separated lines, mirroring the reference's
     ``mapreduce.output.textoutputformat.separator=\\t``

@@ -2,5 +2,6 @@ from .streams import (  # noqa: F401
     read_events_stream,
     streaming_event_window_counts,
     streaming_path2_against_static,
+    streaming_triangle_closures,
     streaming_user_running_counts,
 )

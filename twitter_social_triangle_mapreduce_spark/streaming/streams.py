@@ -102,6 +102,44 @@ def streaming_path2_against_static(
     )
 
 
+def streaming_triangle_closures(
+    events: DataFrame, static_edges: DataFrame
+) -> DataFrame:
+    """Incremental triangle counting: each arriving edge X→Y counts the
+    triangles it closes against the static known graph (static Y→t and
+    t→X hops, both broadcast). Two chained stream-static broadcast joins —
+    the streaming analog of the replicated join (J3), zero stream-side
+    shuffles before the windowed aggregate."""
+    new_edges = events.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
+            "dst"
+        ),
+        F.col("ts"),
+    )
+    hop = static_edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("far")
+    )
+    closing = static_edges.select(
+        F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
+    )
+    closed = (
+        new_edges.join(F.broadcast(hop), new_edges.dst == F.col("mid"))
+        .join(
+            F.broadcast(closing),
+            (F.col("far") == F.col("c_src"))
+            & (F.col("c_dst") == new_edges.src),
+        )
+        .where(new_edges.src != F.col("far"))
+    )
+    return (
+        closed.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("closures"))
+        .select(F.col("w.start").alias("window_start"), "closures")
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
