@@ -11,11 +11,18 @@ this module is the thin registry adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from twitter_social_triangle_mapreduce_spark import registry
+# the driver may import this file from any cwd; make the package importable
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from twitter_social_triangle_mapreduce_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -44,7 +44,12 @@ PROGRAMS = tuple(REFERENCE_MAX)
 
 
 def run_program(
-    spark, program: str, input_dir: str, output_dir: str, max_id=None
+    spark,
+    program: str,
+    input_dir: str,
+    output_dir: str,
+    max_id=None,
+    intermediate_dir: str | None = None,
 ) -> int:
     """Execute one reference program; returns the scalar answer."""
     if max_id is None:
@@ -52,6 +57,15 @@ def run_program(
     edges = read_edges_csv(spark, f"{input_dir}/*.csv")
 
     if program == "social_triangle_rs":
+        if intermediate_dir is not None:
+            # the reference's Job 1 materializes the X,Y,Z path relation to
+            # HDFS (SocialTriangle_RS.java:98,212-213); optional here —
+            # lineage replaces the file handoff unless a user wants the
+            # intermediate
+            write_tsv(
+                graph.path2(edges, max_id=max_id, strict=True),
+                intermediate_dir,
+            )
         n = graph.triangle_count(edges, max_id=max_id, strategy="shuffle").collect()[0][0]
         # reference writes only empty part files for the triangle jobs
         spark.createDataFrame([], "value string").write.mode("overwrite").text(output_dir)
@@ -91,10 +105,23 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="override the program's reference id cutoff",
     )
+    p.add_argument(
+        "--intermediate",
+        default=None,
+        help="social_triangle_rs only: also write the Job-1 X,Y,Z path "
+        "relation here (the reference's 3-arg form)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
-    run_program(spark, args.program, args.input_dir, args.output_dir, args.max_id)
+    run_program(
+        spark,
+        args.program,
+        args.input_dir,
+        args.output_dir,
+        args.max_id,
+        intermediate_dir=args.intermediate,
+    )
 
 
 if __name__ == "__main__":
