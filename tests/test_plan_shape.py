@@ -24,8 +24,9 @@ def plan_of(df) -> str:
 # query set broadcasts and each corpus partition streams against it — the
 # correct plan for exact top-k (the LSH variant is the equi-join scale path)
 # pagerank crosses a broadcast 1-row dangling-mass aggregate into each
-# iteration's update — a deliberate scalar broadcast, not a blowup
-BNLJ_BY_DESIGN = {"ann_topk_bruteforce", "pagerank"}
+# iteration's update; IVF scores the corpus against a broadcast handful of
+# centroids — deliberate small-side broadcasts, not blowups
+BNLJ_BY_DESIGN = {"ann_topk_bruteforce", "pagerank", "ivf_cells", "ann_topk_ivf"}
 
 
 def test_no_cartesian_anywhere(spark):

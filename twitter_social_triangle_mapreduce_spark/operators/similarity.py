@@ -118,6 +118,94 @@ def lsh_signature(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     )
 
 
+#: number of IVF cells (stand-in "trained" centroids = first IVF_CELLS vecs)
+IVF_CELLS = 4
+
+
+def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantization: assign every vector to its
+    nearest centroid by cosine. Centroids here are the first ``k`` vectors
+    (a deterministic stand-in for k-means training — the operator shape,
+    broadcast-centroids × corpus scoring + per-row argmax, is identical to
+    the trained case). Ties break toward the smaller centroid id."""
+    cents = embeddings.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dot = _dot("embedding", "ce")
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", (dot / cn).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("s").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — IVF-bucketed approximate top-k: each
+    query scores only its own cell's inverted list (nprobe=1), exact
+    cosine rank within the cell. The candidate join is an equi-join on the
+    cell id — the IVF alternative to the LSH bucket join, same 100 TB
+    shape: per-query work proportional to one cell, not the corpus."""
+    cells = ivf_cells(embeddings)
+    emb = embeddings.join(cells, "vec_id")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ce"),
+        F.col("cell").alias("ccell"),
+    )
+    dot = _dot("qe", "ce")
+    qn = F.sqrt(
+        F.expr(
+            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("nid")),
+        )
+        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, bits: int = LSH_BITS, min_sim_e4: int = 0
 ) -> DataFrame:

@@ -223,6 +223,14 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_cells(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(load_table(spark, sf_dir, "documents"))
 
@@ -263,6 +271,8 @@ EXT_QUERIES = {
     "user_counts": q_user_counts,  # HLL value engine-specific: rows-only
     "events_last_order_asof": q_events_last_order_asof,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "ivf_cells": q_ivf_cells,
+    "ann_topk_ivf": q_ann_topk_ivf,
 }
 
 
@@ -534,6 +544,59 @@ EXT_ORACLES["events_last_order_asof"] = """
     )
     SELECT event_id, k AS user_id, asof_orderkey
     FROM w WHERE is_left = 1
+"""
+
+
+#: IVF cell assignment as a pure-SQL CTE chain (centroids = vec_id < IVF_CELLS)
+_IVF_CELLS_CTE = f"""
+cents AS (SELECT vec_id AS cid, embedding AS ce_c FROM embeddings
+          WHERE vec_id < {similarity.IVF_CELLS}),
+cscored AS (
+    SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce_c[i] AS DOUBLE)))
+           / sqrt(list_sum(list_transform(c.ce_c,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+    FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY s DESC, cid ASC) AS rn
+          FROM cscored)
+    WHERE rn = 1
+)
+"""
+
+EXT_ORACLES["ivf_cells"] = f"""
+    WITH {_IVF_CELLS_CTE}
+    SELECT vec_id, cell FROM cells
+"""
+
+EXT_ORACLES["ann_topk_ivf"] = f"""
+    WITH {_IVF_CELLS_CTE},
+    q AS (SELECT e.vec_id AS qid, e.embedding AS qe, cl.cell AS qcell
+          FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id
+          WHERE e.vec_id < 5),
+    c AS (SELECT e.vec_id AS nid, e.embedding AS ce, cl.cell AS ccell
+          FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id),
+    scored AS (
+        SELECT qid, nid,
+               {_DOT}
+               / (sqrt({_SQ_SUM.format(col='qe')})
+                  * sqrt({_SQ_SUM.format(col='ce')})) AS sim
+        FROM q JOIN c ON qcell = ccell AND qid <> nid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, rank,
+           CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+    FROM ranked WHERE rank <= 3
 """
 
 
