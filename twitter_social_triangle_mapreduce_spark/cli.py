@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .operators import graph
 from .session import get_spark
-from .sources.io import read_edges_csv, write_tsv
+from .sources.io import read_edges_csv, register_views, write_tsv
 
 #: the reference programs' hard-coded cutoffs (SURVEY.md §2.7.5)
 REFERENCE_MAX = {
@@ -91,14 +91,30 @@ def run_program(
     raise ValueError(f"unknown program {program!r}")
 
 
+def run_sql(spark, sf_dir: str, query: str, limit: int = 50) -> None:
+    """``sql`` subcommand: register the testdata tables + ``edges`` as
+    views and run one ad-hoc SQL statement — the interactive query surface
+    the reference never had."""
+    register_views(spark, sf_dir)
+    spark.sql(query).show(limit, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="twitter_social_triangle_mapreduce_spark",
         description="PySpark-native equivalents of the reference MapReduce programs",
     )
-    p.add_argument("program", choices=PROGRAMS)
-    p.add_argument("input_dir", help="directory of followerId,followeeId CSV files")
-    p.add_argument("output_dir", help="result directory (TSV / empty marker)")
+    p.add_argument("program", choices=(*PROGRAMS, "sql"))
+    p.add_argument(
+        "input_dir",
+        help="programs: directory of followerId,followeeId CSV files; "
+        "sql: a testdata sf dir to register as views",
+    )
+    p.add_argument(
+        "output_dir",
+        help="programs: result directory (TSV / empty marker); "
+        "sql: the SQL text to run",
+    )
     p.add_argument(
         "--max-id",
         type=int,
@@ -114,6 +130,10 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
+    if args.program == "sql":
+        # input_dir = testdata dir, output_dir = the SQL text
+        run_sql(spark, args.input_dir, args.output_dir)
+        return
     run_program(
         spark,
         args.program,

@@ -126,7 +126,10 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b) — near-duplicate candidates: pairs sharing at least
     one LSH band bucket. The join is keyed on (band, signature) — never a
-    doc×doc cross product."""
+    doc×doc cross product. The self-join recomputes the band pipeline per
+    side here; in a production run over a large corpus, persist() the
+    bands relation first (measured: checkpointing costs more than the
+    recomputation at sf0.1, so the operator stays pure/lazy)."""
     b = minhash_bands(documents)
     a = b.alias("a")
     c = b.alias("b")
@@ -175,16 +178,30 @@ def simhash16(documents: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, min_common: int = 2
+    documents: DataFrame, min_common: int = 2, max_doc_freq: int = 1000
 ) -> DataFrame:
     """(doc_a, doc_b, common, jaccard_e6) — n-gram Jaccard similarity via
     an inverted-index join on distinct shingles (the scalable shape: join
     keyed on shingle, aggregate per pair; never doc×doc).
 
+    ``max_doc_freq`` drops stop-shingles appearing in more than that many
+    documents before the pair join — a df-k shingle alone contributes
+    O(df²) candidate pairs, so without the cap one boilerplate phrase in a
+    web corpus makes the join quadratic. (Standard prefix-filter practice;
+    the cap never binds on the synthetic testdata, so oracle parity is
+    unaffected — the oracle applies the same cap.)
+
     jaccard_e6 = floor(1e6 * |A∩B| / |A∪B|) — integer output, exact in
     both engines."""
-    sh = shingles(documents).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_all = shingles(documents).distinct()
+    sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    hot = (
+        sh_all.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh", "left_anti")
     pairs = (
         sh.alias("a")
         .join(

@@ -315,8 +315,11 @@ EXT_ORACLES = {
     """,
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES},
-        sdist AS (SELECT DISTINCT doc_id, sh FROM shingles),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sdist GROUP BY doc_id),
+        sdist_all AS (SELECT DISTINCT doc_id, sh FROM shingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sdist_all GROUP BY doc_id),
+        hot AS (SELECT sh FROM sdist_all GROUP BY sh HAVING COUNT(*) > 1000),
+        sdist AS (SELECT * FROM sdist_all
+                  WHERE sh NOT IN (SELECT sh FROM hot)),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
             FROM sdist a
