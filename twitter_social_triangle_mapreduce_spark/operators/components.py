@@ -49,10 +49,12 @@ def connected_components(
     the unrolled SQL oracle matches exactly).
 
     Per round: one join (labels × edges) + one min-aggregate + one outer
-    join back — all shuffles on the same vertex key, so Catalyst reuses
-    the partitioning. In production, persist ``sym`` and checkpoint labels
-    every ~5 rounds to truncate lineage."""
-    sym = _symmetric(edges)
+    join back. The label relation is locally checkpointed every round —
+    without lineage truncation each round doubles the plan (labels feeds
+    two operators), giving an exponentially-growing tree (measured: 766
+    exchanges at 8 rounds un-checkpointed vs ~3 per round with); this is
+    the standard iterative-algorithm pattern on Spark."""
+    sym = _symmetric(edges).localCheckpoint(eager=False)
     labels = vertices(edges).withColumn("l", F.col("v"))
     for _ in range(iterations):
         nbr_min = (
@@ -68,6 +70,7 @@ def connected_components(
                     F.col("l"), F.coalesce(F.col("nl"), F.col("l"))
                 ).alias("l"),
             )
+            .localCheckpoint(eager=False)
         )
     return labels.select("v", F.col("l").alias("component"))
 
@@ -110,12 +113,18 @@ def pagerank(
     (float-valued → registered rows-only, asserted in tests against an
     independent local computation)."""
     ec = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    out_w = ec.groupBy("src").agg(F.sum("w").alias("ow"))
-    verts = vertices(edges)
+    out_w = ec.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(
+        eager=False
+    )
+    verts = vertices(edges).localCheckpoint(eager=False)
     n = verts.count()  # the one driver action: graph order (static)
     ranks = verts.withColumn("r", F.lit(1.0 / n))
-    links = ec.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    # loop-invariant transition matrix: checkpointed so each iteration
+    # reuses the materialized relation instead of re-deriving from edges
+    links = (
+        ec.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(iterations):
         contribs = (
@@ -144,6 +153,10 @@ def pagerank(
                     )
                 ).alias("r"),
             )
+            # truncate lineage: ranks feeds both the contrib join and the
+            # dangling aggregate next round — un-checkpointed the plan
+            # doubles per iteration
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "v", F.floor(F.lit(1e9) * F.col("r")).cast("long").alias("rank_e9")
