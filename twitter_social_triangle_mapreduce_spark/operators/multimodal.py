@@ -72,6 +72,89 @@ def media_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_bytes", LongType(), False),
+        StructField("out_digest8", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("frame_digest8", StringType(), False),
+    ]
+)
+
+
+def resize_media(documents: DataFrame, max_bytes: int = 64) -> DataFrame:
+    """Resize/re-encode stub over ``mapInPandas``: a real implementation
+    would decode, scale, and re-encode; the deterministic stand-in
+    truncates the payload to ``max_bytes`` and emits size + digest of the
+    result. Batch shape (one row in → one row out) and bounded memory are
+    the production contract."""
+    m = media_table(documents)
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": out.map(len),
+                    "out_digest8": out.map(
+                        lambda b: hashlib.md5(b).hexdigest()[:8]
+                    ),
+                }
+            )
+
+    return m.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    documents: DataFrame, frame_bytes: int = 32, stride: int = 4
+) -> DataFrame:
+    """Frame-sampling stub: treat the payload as consecutive
+    ``frame_bytes`` chunks (video frames) and emit every ``stride``-th one
+    — the one-to-many ``mapInPandas`` shape (a row fans out to N frame
+    rows inside the Arrow batch, never materializing all frames driver-
+    side). Real video decode would replace the slicing."""
+    m = media_table(documents)
+
+    def frame_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest8": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    fr = b[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_bytes"].append(len(fr))
+                    rows["frame_digest8"].append(
+                        hashlib.md5(fr).hexdigest()[:8]
+                    )
+            yield _pd.DataFrame(rows)
+
+    return m.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
 def decode_media_features(documents: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table via
     ``mapInPandas`` — the real multimodal UDF shape: one pandas batch in,

@@ -241,6 +241,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.resize_media(load_table(spark, sf_dir, "documents"))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_frames(load_table(spark, sf_dir, "documents"))
+
+
 EXT_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_bands": q_minhash_bands,
@@ -262,6 +270,8 @@ EXT_QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,  # float-valued iterative: rows-only check
     "order_status_rollup": q_order_status_rollup,
@@ -491,6 +501,32 @@ EXT_ORACLES = {
     """,
 }
 
+
+# resize stub truncates the (ASCII) payload to 64 bytes
+EXT_ORACLES["media_resize"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT)
+               AS out_bytes,
+           substr(md5(substr(text, 1, 64)), 1, 8) AS out_digest8
+    FROM documents
+"""
+
+# frame sampling: 32-byte chunks, every 4th (ASCII payload → byte==char)
+EXT_ORACLES["media_frames"] = """
+    WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               unnest(range(0, ((octet_length(encode(text)) + 31) // 32)))
+                   AS idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substr(text, 1 + idx * 32, 32)))
+                AS BIGINT) AS frame_bytes,
+           substr(md5(substr(text, 1 + idx * 32, 32)), 1, 8)
+               AS frame_digest8
+    FROM f WHERE idx % 4 = 0
+"""
 
 EXT_ORACLES["order_status_rollup"] = """
     SELECT o_orderstatus, o_orderpriority,
