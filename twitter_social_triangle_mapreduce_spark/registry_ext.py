@@ -160,6 +160,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.streams import sessionize_native
+
+    return sessionize_native(load_table(spark, sf_dir, "events"))
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
@@ -265,6 +271,7 @@ EXT_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "events_json_kpi": q_events_json_kpi,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "revenue_by_region": q_revenue_by_region,
@@ -438,6 +445,23 @@ EXT_ORACLES = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                COUNT(*) AS n_events, MIN(ep) AS sess_start_s
         FROM s GROUP BY user_id, session_id
+    """,
+    # session_window semantics: a session's window is [first_ts,
+    # last_ts + gap); an event exactly gap after the previous starts a NEW
+    # session (end-exclusive) → manual rule `us - lag(us) >= gap_us`
+    "sessionize_native": """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        f AS (SELECT user_id, event_id, us,
+                     CASE WHEN lag(us) OVER w IS NULL THEN 1
+                          WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (SELECT user_id, us,
+                     SUM(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY us, event_id) AS sid
+              FROM f)
+        SELECT user_id, MIN(us) AS sess_start_us, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -48,16 +48,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as BIGINT
-    nanoseconds and is converted here to a session-timezone-free
-    TimestampNTZ (integer-exact: the generator writes whole microseconds).
+    nanoseconds and is truncated here to a session-timezone-free
+    TimestampNTZ. Integer division is essential: ``floor(ts/1000)`` would
+    divide as double, and at ~1.7e18 ns the rounded quotient can land one
+    microsecond high (DuckDB's ns→µs truncation is exact, so the oracle
+    would diverge).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(
-                F.floor(F.col("ts") / 1000).cast("long")
-            ).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -1,7 +1,9 @@
 from .streams import (  # noqa: F401
     read_events_stream,
+    sessionize_native,
     streaming_event_window_counts,
     streaming_path2_against_static,
+    streaming_path2_stream_stream,
     streaming_triangle_closures,
     streaming_user_running_counts,
 )

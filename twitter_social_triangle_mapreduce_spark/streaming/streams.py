@@ -51,9 +51,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return raw.withColumn(
         "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-            "timestamp"
-        ),
+        # integer division — see sources.io.load_table's µs-exactness note
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"),
     )
 
 
@@ -137,6 +136,77 @@ def streaming_triangle_closures(
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("closures"))
         .select(F.col("w.start").alias("window_start"), "closures")
+    )
+
+
+def streaming_path2_stream_stream(
+    left_events: DataFrame,
+    right_events: DataFrame,
+    join_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: length-2 paths where BOTH edges arrive on
+    the stream and fall within ``join_window`` of each other. Each side
+    carries a watermark and the join condition bounds event-time distance,
+    so Spark can expire join state — the canonical stream-stream pattern
+    (state grows with the window, not the stream).
+
+    Pass two separately-constructed readers of the same source for the
+    self-join (Structured Streaming requires distinct source instances).
+    """
+    e1 = left_events.select(
+        F.col("user_id").alias("src1"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
+            "dst1"
+        ),
+        F.col("ts").alias("ts1"),
+    ).withWatermark("ts1", watermark)
+    e2 = right_events.select(
+        F.col("user_id").alias("src2"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
+            "dst2"
+        ),
+        F.col("ts").alias("ts2"),
+    ).withWatermark("ts2", watermark)
+    return e1.join(
+        e2,
+        (F.col("dst1") == F.col("src2"))
+        & (F.col("src1") != F.col("dst2"))
+        & (
+            F.col("ts2")
+            >= F.col("ts1") - F.expr(f"INTERVAL {join_window}")
+        )
+        & (
+            F.col("ts2")
+            <= F.col("ts1") + F.expr(f"INTERVAL {join_window}")
+        ),
+        "inner",
+    ).select(
+        F.col("src1").alias("x"),
+        F.col("dst1").alias("y"),
+        F.col("dst2").alias("z"),
+        "ts1",
+        "ts2",
+    )
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` (works on both
+    batch and streaming inputs): events within ``gap`` of each other merge
+    into one growing window. Batch twin of the manual two-window
+    formulation in ``operators.relational.sessionize`` — the oracle
+    reproduces it with microsecond-exact gap logic."""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), gap).alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+        )
     )
 
 
