@@ -104,6 +104,31 @@ def top_customers(
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Per event_type exact p50/p95 of ``value`` (sort-based percentile
+    with linear interpolation — same definition as SQL PERCENTILE_CONT).
+    Emitted as floor(1e4·p) for engine-exact comparison."""
+    return events.groupBy("event_type").agg(
+        F.floor(10000 * F.expr("percentile(value, 0.5)"))
+        .cast("long")
+        .alias("p50_e4"),
+        F.floor(10000 * F.expr("percentile(value, 0.95)"))
+        .cast("long")
+        .alias("p95_e4"),
+    )
+
+
+def value_histogram(events: DataFrame, bucket_width: float = 50.0) -> DataFrame:
+    """Fixed-width histogram of ``value``: integer bucket = floor(v/width).
+    One aggregation, fully portable arithmetic."""
+    return (
+        events.groupBy(
+            F.floor(F.col("value") / bucket_width).cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def order_status_rollup(orders: DataFrame) -> DataFrame:
     """ROLLUP over (status, priority): subtotal rows with NULL group keys —
     the grouping-sets surface (absent from the reference, free in Spark)."""

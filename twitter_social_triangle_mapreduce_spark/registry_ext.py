@@ -193,6 +193,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.pagerank(edges_from_events(spark, sf_dir))
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.value_percentiles(load_table(spark, sf_dir, "events"))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.value_histogram(load_table(spark, sf_dir, "events"))
+
+
 def q_order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_status_rollup(load_table(spark, sf_dir, "orders"))
 
@@ -272,6 +280,8 @@ EXT_QUERIES = {
     "events_json_kpi": q_events_json_kpi,
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
+    "value_percentiles": q_value_percentiles,
+    "value_histogram": q_value_histogram,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "revenue_by_region": q_revenue_by_region,
@@ -550,6 +560,20 @@ EXT_ORACLES["media_frames"] = """
            substr(md5(substr(text, 1 + idx * 32, 32)), 1, 8)
                AS frame_digest8
     FROM f WHERE idx % 4 = 0
+"""
+
+EXT_ORACLES["value_percentiles"] = """
+    SELECT event_type,
+           CAST(FLOOR(10000 * percentile_cont(0.5) WITHIN GROUP
+                (ORDER BY value)) AS BIGINT) AS p50_e4,
+           CAST(FLOOR(10000 * percentile_cont(0.95) WITHIN GROUP
+                (ORDER BY value)) AS BIGINT) AS p95_e4
+    FROM events GROUP BY event_type
+"""
+
+EXT_ORACLES["value_histogram"] = """
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY CAST(FLOOR(value / 50.0) AS BIGINT)
 """
 
 EXT_ORACLES["order_status_rollup"] = """
