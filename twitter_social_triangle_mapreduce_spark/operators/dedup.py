@@ -18,7 +18,7 @@ control.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: word-level shingle width for MinHash / Jaccard
