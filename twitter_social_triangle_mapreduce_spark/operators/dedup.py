@@ -125,24 +125,32 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:
     """(doc_a, doc_b) — near-duplicate candidates: pairs sharing at least
-    one LSH band bucket. The join is keyed on (band, signature) — never a
-    doc×doc cross product. The self-join recomputes the band pipeline per
-    side here; in a production run over a large corpus, persist() the
-    bands relation first (measured: checkpointing costs more than the
-    recomputation at sf0.1, so the operator stays pure/lazy)."""
+    one LSH band bucket.
+
+    Bucket-local pair generation instead of a band self-join: group by
+    (band, signature), collect the bucket's doc ids, emit id combinations
+    inside the group. One band-pipeline computation and ONE shuffle (the
+    bucket groupBy) versus two computations + a join. Per-bucket memory is
+    O(bucket size), and the pair fan-out is exactly the LSH collision set
+    either way — bucket size is the (num_hashes, band_size) tuning knob."""
     b = minhash_bands(documents)
-    a = b.alias("a")
-    c = b.alias("b")
+    buckets = (
+        b.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(least(x, y) AS doc_a,"
+                    " greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
