@@ -1,0 +1,52 @@
+"""Edge-case robustness: empty inputs must produce well-formed zero
+results (the reference's counters print 0), and the vectorized-UDF
+taxonomy is complete (scalar @pandas_udf alongside mapInPandas and
+applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from twitter_social_triangle_mapreduce_spark.operators import graph
+
+from conftest import edges_df, scalar
+
+
+def empty_edges(spark):
+    return spark.createDataFrame([], "src long, dst long")
+
+
+def test_triangle_counts_on_empty_graph(spark):
+    e = empty_edges(spark)
+    assert scalar(graph.triangle_count_shuffle(e)) == 0
+    assert scalar(graph.triangle_count_broadcast(e)) == 0
+    assert scalar(graph.path2_cardinality_total(e)) == 0
+    assert graph.path2(e).count() == 0
+    assert graph.path2_cardinality_per_node(e).count() == 0
+
+
+def test_filter_excluding_everything(spark):
+    e = edges_df(spark, [(100, 200), (200, 300)])
+    assert scalar(graph.triangle_count_shuffle(e, max_id=5)) == 0
+    assert scalar(graph.path2_cardinality_total(e, max_id=5)) == 0
+
+
+def test_scalar_pandas_udf_matches_jvm_expression(spark):
+    """Arrow-vectorized scalar @pandas_udf — the remaining UDF shape
+    (mapInPandas and applyInPandasWithState are exercised elsewhere).
+    The JVM expression is the production path; the pandas UDF must agree."""
+
+    @pandas_udf("long")
+    def py_token_count(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").map(len).astype("int64")
+
+    df = spark.createDataFrame(
+        [("a b c",), ("x",), ("one two three four",)], "text string"
+    )
+    got = df.select(
+        py_token_count("text").alias("py"),
+        F.size(F.split("text", " ")).alias("jvm"),
+    ).collect()
+    assert all(r["py"] == r["jvm"] for r in got)
