@@ -110,6 +110,32 @@ def test_broadcast_probe_side_unfiltered(spark):
     assert scalar(graph.triangle_count_broadcast(e)) == 2
 
 
+def test_ordered_strategy_matches_shuffle_on_multigraphs(spark):
+    """The degree-ordered wedge strategy must equal the shuffle algebra on
+    EVERY semantics trap — duplicates, self-loops, 2-cycles, and random
+    multigraphs — because it is the 100 TB hub-safe path for the same
+    query."""
+    import random
+
+    cases = [
+        TRI_BASIC,
+        TRI_BOTH_DIRS,
+        TWO_CYCLE,
+        SELF_LOOP,
+        DUP_EDGES,
+        HUB,
+        [(1, 2), (2, 1), (2, 2)],  # 2-cycle closed by self-loop (counter%3!=0)
+        [(1, 2), (2, 3), (3, 1), (2, 2), (1, 1)],
+    ]
+    rng = random.Random(99)
+    cases.append([(rng.randrange(12), rng.randrange(12)) for _ in range(250)])
+    for rows in cases:
+        e = edges_df(spark, rows)
+        assert scalar(graph.triangle_count_ordered(e)) == scalar(
+            graph.triangle_count_shuffle(e)
+        ), rows
+
+
 def test_strategies_agree_on_simple_graphs(spark):
     """Cross-implementation invariant (SURVEY.md §5.2): on duplicate-free,
     self-loop-free graphs with aligned filters, the two join strategies

@@ -68,6 +68,14 @@ def test_preagg_triangle_equals_enumeration_at_volume(spark, skewed_edges):
     assert got > 0
 
 
+def test_ordered_equals_shuffle_at_volume(spark, skewed_edges):
+    """The hub-safe degree-ordered strategy equals the shuffle algebra on
+    the skewed volume graph (its raison d'être)."""
+    assert scalar(graph.triangle_count_ordered(skewed_edges)) == scalar(
+        graph.triangle_count_shuffle(skewed_edges)
+    )
+
+
 def test_cardinality_equals_enumeration_at_volume(spark, skewed_edges):
     total = scalar(graph.path2_cardinality_total(skewed_edges))
     enumerated = graph.path2(skewed_edges, exclude_closed=False).count()

@@ -198,6 +198,148 @@ def triangle_count_shuffle(
     )
 
 
+def triangle_count_ordered(
+    edges: DataFrame, max_id: int | None = None, strict: bool = True
+) -> DataFrame:
+    """Directed-triangle count via degree-ordered wedge enumeration — the
+    hub-safe strategy for power-law graphs at scale.
+
+    The shuffle strategy's cost is Σ_y distinct-in(y)·distinct-out(y),
+    quadratic at hub middles. Here each triangle is enumerated exactly
+    once, at its LOWEST-degree vertex, on the undirected support graph
+    oriented low→high by (degree, id): wedge count is
+    Σ_w C(outdeg⁺(w), 2) = O(E^1.5) regardless of skew (hubs rank last, so
+    nothing enumerates their neighborhoods). Total wedges replace the
+    hub-quadratic path join; every other step is linear.
+
+    Reference-exact algebra (same value as ``triangle_count_shuffle``,
+    golden-tested including duplicates/self-loops/2-cycles): with
+    m_uv = multiplicity of u→v and l_y = multiplicity of the self-loop
+    y→y, the reference's rotation counter equals
+
+        3·Σ_{unordered {a,b,c}} (m_ab·m_bc·m_ca + m_ac·m_cb·m_ba)
+      + 2·Σ_{unordered {a,b}}   m_ab·m_ba·(l_a + l_b)
+
+    (the second term: a 2-cycle a↔b closed by a self-loop forms paths
+    (x,y,y) and (y,y,x) but the (x,y,x) rotation is excluded by X≠Z, so
+    those "triangles" are counted twice, not three times — hence the
+    floor division matters). Result = floor(counter / 3).
+    """
+    e = filter_edges(edges, max_id, strict)
+    ec = edge_multiplicities(e)
+    loops = ec.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("lv"), F.col("cnt").alias("l")
+    )
+    # undirected support with both directed multiplicities, keyed a < b
+    und = (
+        ec.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.when(F.col("src") < F.col("dst"), F.col("cnt"))
+            .otherwise(0)
+            .alias("fwd"),
+            F.when(F.col("src") > F.col("dst"), F.col("cnt"))
+            .otherwise(0)
+            .alias("rev"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum("fwd").alias("m_ab"),  # a→b
+            F.sum("rev").alias("m_ba"),  # b→a
+        )
+    )
+    # distinct-neighbor degree on the support graph
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient low→high by (degree, id); carry both multiplicities as
+    # (lo→hi, hi→lo)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    a_low = (F.col("d_a") < F.col("d_b")) | (
+        (F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_low, F.col("m_ab")).otherwise(F.col("m_ba")).alias("m_lh"),
+            F.when(a_low, F.col("m_ba")).otherwise(F.col("m_ab")).alias("m_hl"),
+        )
+    )
+    # wedges at the lowest-ranked vertex w: pairs (u, v) of its oriented
+    # out-neighbors (u < v by id for a canonical pair), closed by the
+    # support edge {u, v}
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo"))
+        & (F.col("e1.hi") < F.col("e2.hi")),
+        "inner",
+    ).select(
+        F.col("e1.lo").alias("w"),
+        F.col("e1.hi").alias("u"),
+        F.col("e2.hi").alias("v"),
+        F.col("e1.m_lh").alias("m_wu"),
+        F.col("e1.m_hl").alias("m_uw"),
+        F.col("e2.m_lh").alias("m_wv"),
+        F.col("e2.m_hl").alias("m_vw"),
+    )
+    closing = und.select(
+        F.col("a").alias("u"),
+        F.col("b").alias("v"),
+        F.col("m_ab").alias("m_uv"),
+        F.col("m_ba").alias("m_vu"),
+    )
+    tri_distinct = (
+        wedges.join(closing, ["u", "v"], "inner")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("m_wu") * F.col("m_uv") * F.col("m_vw")
+                    + F.col("m_wv") * F.col("m_vu") * F.col("m_uw")
+                ),
+                F.lit(0),
+            ).alias("s")
+        )
+    )
+    la = loops.select(F.col("lv").alias("a"), F.col("l").alias("l_a"))
+    lb = loops.select(F.col("lv").alias("b"), F.col("l").alias("l_b"))
+    degen = (
+        und.where((F.col("m_ab") > 0) & (F.col("m_ba") > 0))
+        .join(la, "a", "left_outer")
+        .join(lb, "b", "left_outer")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("m_ab")
+                    * F.col("m_ba")
+                    * (
+                        F.coalesce(F.col("l_a"), F.lit(0))
+                        + F.coalesce(F.col("l_b"), F.lit(0))
+                    )
+                ),
+                F.lit(0),
+            ).alias("s")
+        )
+    )
+    counter = tri_distinct.select(
+        (F.lit(3) * F.col("s")).alias("c")
+    ).unionByName(degen.select((F.lit(2) * F.col("s")).alias("c")))
+    return counter.agg(
+        F.floor(F.coalesce(F.sum("c"), F.lit(0)) / 3)
+        .cast("long")
+        .alias("triangles")
+    )
+
+
 def triangle_count_broadcast(
     edges: DataFrame, max_id: int | None = None, strict: bool = False
 ) -> DataFrame:
@@ -259,4 +401,10 @@ def triangle_count(
         return triangle_count_broadcast(
             edges, max_id, False if strict is None else strict
         )
-    raise ValueError(f"unknown strategy {strategy!r}; use 'shuffle' or 'broadcast'")
+    if strategy == "ordered":
+        return triangle_count_ordered(
+            edges, max_id, True if strict is None else strict
+        )
+    raise ValueError(
+        f"unknown strategy {strategy!r}; use 'shuffle', 'broadcast', or 'ordered'"
+    )

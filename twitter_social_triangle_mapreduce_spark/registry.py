@@ -60,6 +60,14 @@ def q_social_triangle_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_social_triangle_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as social_triangle_rs via the degree-ordered wedge
+    strategy (hub-safe O(E^1.5) enumeration) — same oracle, same value."""
+    return graph.triangle_count(
+        edges_from_events(spark, sf_dir), max_id=TRIANGLE_RS_MAX, strategy="ordered"
+    )
+
+
 def q_triangle_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReplicatedJoinDriver: broadcast-join triangle count, <= cutoff on the
     cache side only, closing edge existence-checked
@@ -83,6 +91,7 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "approx_cardinality": q_approx_cardinality,
     "approx_cardinality_per_node": q_approx_cardinality_per_node,
     "social_triangle_rs": q_social_triangle_rs,
+    "social_triangle_ordered": q_social_triangle_ordered,
     "triangle_replicated": q_triangle_replicated,
     "path2_enum": q_path2_enum,
 }
@@ -158,6 +167,9 @@ GRAPH_ORACLES: dict[str, str] = {
         JOIN f e2 ON e1.dst = e2.src AND e1.src <> e2.dst
     """,
 }
+
+# the degree-ordered strategy computes the identical quantity — same oracle
+GRAPH_ORACLES["social_triangle_ordered"] = GRAPH_ORACLES["social_triangle_rs"]
 
 
 def all_queries() -> dict[str, QueryFn]:
