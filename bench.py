@@ -26,6 +26,7 @@ HEADLINE = [
     "exact_cardinality",
     "approx_cardinality",
     "social_triangle_rs",
+    "social_triangle_ordered",
     "triangle_replicated",
     "path2_enum",
     "dedup_minhash_pairs",
