@@ -1,6 +1,7 @@
 from .streams import (  # noqa: F401
     read_events_stream,
     sessionize_native,
+    streaming_dedup_against_corpus,
     streaming_event_window_counts,
     streaming_path2_against_static,
     streaming_path2_stream_stream,

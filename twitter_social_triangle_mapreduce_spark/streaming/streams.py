@@ -210,6 +210,50 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_dedup_against_corpus(
+    docs_stream: DataFrame,
+    corpus_bands: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Incremental near-dup detection: for each micro-batch of incoming
+    documents, compute their MinHash band signatures with the SAME batch
+    operator the corpus used (``operators.dedup.minhash_bands``) and join
+    against the static corpus bands; matches are appended to a parquet
+    sink. ``foreachBatch`` is the production pattern here — it reuses
+    arbitrary batch operators per micro-batch with exactly-once parquet
+    output via the checkpoint, which no built-in streaming sink offers.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.dedup import minhash_bands
+
+    corpus = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"), "band", "bh"
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands = minhash_bands(batch_df)
+        matches = (
+            bands.join(F.broadcast(corpus), ["band", "bh"], "inner")
+            .where(F.col("doc_id") != F.col("corpus_doc_id"))
+            .select(
+                F.col("doc_id").alias("new_doc_id"),
+                "corpus_doc_id",
+            )
+            .distinct()
+        )
+        matches.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
