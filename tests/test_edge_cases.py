@@ -22,6 +22,7 @@ def test_triangle_counts_on_empty_graph(spark):
     e = empty_edges(spark)
     assert scalar(graph.triangle_count_shuffle(e)) == 0
     assert scalar(graph.triangle_count_broadcast(e)) == 0
+    assert scalar(graph.triangle_count_ordered(e)) == 0
     assert scalar(graph.path2_cardinality_total(e)) == 0
     assert graph.path2(e).count() == 0
     assert graph.path2_cardinality_per_node(e).count() == 0
