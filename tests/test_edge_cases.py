@@ -28,6 +28,21 @@ def test_triangle_counts_on_empty_graph(spark):
     assert graph.path2_cardinality_per_node(e).count() == 0
 
 
+def test_iterative_and_lsh_on_empty_inputs(spark):
+    from twitter_social_triangle_mapreduce_spark.operators import (
+        components,
+        similarity,
+    )
+
+    e = empty_edges(spark)
+    assert components.pagerank(e).count() == 0
+    assert components.connected_components(e).count() == 0
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert similarity.lsh_signature(emb).count() == 0
+
+
 def test_filter_excluding_everything(spark):
     e = edges_df(spark, [(100, 200), (200, 300)])
     assert scalar(graph.triangle_count_shuffle(e, max_id=5)) == 0

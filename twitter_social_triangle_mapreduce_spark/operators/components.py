@@ -118,6 +118,10 @@ def pagerank(
     )
     verts = vertices(edges).localCheckpoint(eager=False)
     n = verts.count()  # the one driver action: graph order (static)
+    if n == 0:
+        return verts.select(
+            "v", F.lit(0).cast("long").alias("rank_e9")
+        )  # empty graph → empty (well-typed) result
     ranks = verts.withColumn("r", F.lit(1.0 / n))
     # loop-invariant transition matrix: checkpointed so each iteration
     # reuses the materialized relation instead of re-deriving from edges

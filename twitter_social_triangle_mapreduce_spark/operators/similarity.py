@@ -100,7 +100,12 @@ def lsh_signature(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
     Σ_d coeff(b,d)·v[d] > 0 with coeff(b,d) = ±1 from the parity of the
     first hex nibble of md5(b||'#'||d). Deterministic, portable, and
     computed without shuffles (per-row expression)."""
-    dims = embeddings.select(F.size("embedding").alias("n")).first()["n"]
+    first = embeddings.select(F.size("embedding").alias("n")).first()
+    if first is None:  # empty table → empty (well-typed) result
+        return embeddings.select(
+            "vec_id", F.lit(0).cast("long").alias("sig")
+        )
+    dims = first["n"]
     bit_exprs = []
     for b in range(bits):
         terms = " + ".join(

@@ -63,6 +63,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def derive_edges(events: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Map an events-shaped DataFrame (``user_id``, ``event_id``) to the
+    canonical ``edges(src, dst)`` relation — the ONE implementation of
+    ``EDGES_FROM_EVENTS_SQL``'s arithmetic, shared by the batch queries
+    and every streaming variant so the derivations can never diverge.
+    ``keep`` carries extra columns (e.g. ``ts``) through."""
+    return events.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias("dst"),
+        *(keep or []),
+    )
+
+
 def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical directed multigraph, derived from ``events``.
 
@@ -70,11 +83,7 @@ def edges_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates and self-loops occur naturally (reference semantics §2.7.3-4).
     All arithmetic is BIGINT and stays JVM-side.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias("dst"),
-    )
+    return derive_edges(load_table(spark, sf_dir, "events"))
 
 
 def read_edges_csv(spark: SparkSession, path: str) -> DataFrame:

@@ -25,6 +25,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..sources.io import derive_edges
+
 #: schema of the events parquet as the nanos-as-long session reads it
 EVENTS_STREAM_SCHEMA = StructType(
     [
@@ -81,13 +83,7 @@ def streaming_path2_against_static(
     static known graph's out-edges of Y, counting the new length-2 paths
     it opens. Stream-static inner joins need no watermark; the static side
     broadcasts. This is the streaming analog of J1 (SURVEY.md §2.3)."""
-    new_edges = events.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
-            "dst"
-        ),
-        F.col("ts"),
-    )
+    new_edges = derive_edges(events, keep=["ts"])
     closing = static_edges.select(
         F.col("src").alias("mid"), F.col("dst").alias("far")
     )
@@ -109,13 +105,7 @@ def streaming_triangle_closures(
     t→X hops, both broadcast). Two chained stream-static broadcast joins —
     the streaming analog of the replicated join (J3), zero stream-side
     shuffles before the windowed aggregate."""
-    new_edges = events.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
-            "dst"
-        ),
-        F.col("ts"),
-    )
+    new_edges = derive_edges(events, keep=["ts"])
     hop = static_edges.select(
         F.col("src").alias("mid"), F.col("dst").alias("far")
     )
@@ -154,20 +144,24 @@ def streaming_path2_stream_stream(
     Pass two separately-constructed readers of the same source for the
     self-join (Structured Streaming requires distinct source instances).
     """
-    e1 = left_events.select(
-        F.col("user_id").alias("src1"),
-        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
-            "dst1"
-        ),
-        F.col("ts").alias("ts1"),
-    ).withWatermark("ts1", watermark)
-    e2 = right_events.select(
-        F.col("user_id").alias("src2"),
-        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
-            "dst2"
-        ),
-        F.col("ts").alias("ts2"),
-    ).withWatermark("ts2", watermark)
+    e1 = (
+        derive_edges(left_events, keep=["ts"])
+        .select(
+            F.col("src").alias("src1"),
+            F.col("dst").alias("dst1"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", watermark)
+    )
+    e2 = (
+        derive_edges(right_events, keep=["ts"])
+        .select(
+            F.col("src").alias("src2"),
+            F.col("dst").alias("dst2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", watermark)
+    )
     return e1.join(
         e2,
         (F.col("dst1") == F.col("src2"))
