@@ -86,6 +86,51 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5(norm).alias("fp"))
 
 
+#: BPE-ish subword pattern: greedy ≤4-char alpha/digit chunks — a stand-in
+#: with the same shape as a real BPE pre-tokenizer regex (both engines'
+#: regex dialects agree on this class/quantifier subset)
+BPE_PATTERN = "[a-z]{1,4}|[0-9]{1,4}"
+
+#: rolling-hash parameters (modulus keeps acc*base+val inside int64)
+RH_BASE = 131
+RH_MOD = 1_000_000_007
+
+
+def token_counts_multi(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws, n_bpe, n_chars_calc) — token counting under both
+    tokenizers a data pipeline meters with: whitespace words and BPE-ish
+    subword chunks (``regexp_extract_all``, JVM-side)."""
+    return documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+def doc_rolling_hash(documents: DataFrame) -> DataFrame:
+    """(doc_id, rhash) — order-sensitive polynomial rolling hash over the
+    token stream: fold (acc·B + val(tok)) mod M left-to-right, with
+    val(tok) the 28-bit md5 prefix. Unlike the order-insensitive content
+    md5 (``doc_fingerprint``), this detects reorderings — the
+    rolling-fingerprint shape used for shingle-free near-dup passes.
+    Pure integer arithmetic → oracle-exact (DuckDB ``list_reduce`` has
+    first-element-as-seed semantics; the Spark fold seeds identically)."""
+    val = (
+        "transform(split(text, ' '),"
+        " x -> CAST(conv(substr(md5(x), 1, 7), 16, 10) AS BIGINT))"
+    )
+    fold = (
+        f"aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+        f" (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})"
+    )
+    return documents.select(
+        "doc_id", F.expr(val).alias("vals")
+    ).select("doc_id", F.expr(fold).alias("rhash"))
+
+
 def token_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     """(tok, cnt) — corpus-wide token frequency, top ``k`` by (count desc,
     token asc) — deterministic total order. Exercises the engine's

@@ -134,6 +134,14 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_counts_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts_multi(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_rolling_hash(load_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norms(load_table(spark, sf_dir, "embeddings"))
 
@@ -273,6 +281,8 @@ EXT_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_topk": q_token_topk,
+    "token_counts_multi": q_token_counts_multi,
+    "doc_rolling_hash": q_doc_rolling_hash,
     "embedding_norms": q_embedding_norms,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lsh_signature": q_lsh_signature,
@@ -561,6 +571,38 @@ EXT_ORACLES["media_frames"] = """
                AS frame_digest8
     FROM f WHERE idx % 4 = 0
 """
+
+EXT_ORACLES["token_counts_multi"] = """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,4}'))
+                AS BIGINT) AS n_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+"""
+
+
+def _rolling_hash_oracle() -> str:
+    from .functions.hashing import hex_prefix_to_long_sql
+    from .operators.text import RH_BASE, RH_MOD
+
+    tokval = hex_prefix_to_long_sql("md5(x)", 7)
+    return f"""
+        WITH v AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  x -> {tokval}) AS vals
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_reduce(vals,
+                    (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD})
+                    AS BIGINT) AS rhash
+        FROM v
+    """
+
+
+EXT_ORACLES["doc_rolling_hash"] = _rolling_hash_oracle()
 
 EXT_ORACLES["value_percentiles"] = """
     SELECT event_type,
