@@ -203,29 +203,32 @@ def asof_join(
     shuffle on the key — no per-row range probe, no skew-prone range join;
     this is the scalable shape for billions of rows per side.
     """
+    # collision-safe internal names: user frames may carry any column
     lt = left.select(
-        F.col(key).alias("k"),
-        F.col(left_time).alias("t"),
-        F.lit(1).alias("is_left"),
-        F.lit(None).cast("long").alias("rv"),
+        F.col(key).alias("_asof_k"),
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast("long").alias("_asof_rv"),
         "*",
     )
     rt = right.select(
-        F.col(key).alias("k"),
-        F.col(right_time).alias("t"),
-        F.lit(0).alias("is_left"),
-        F.col(right_val).cast("long").alias("rv"),
+        F.col(key).alias("_asof_k"),
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        F.col(right_val).cast("long").alias("_asof_rv"),
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_left", "rv")
+        Window.partitionBy("_asof_k")
+        .orderBy("_asof_t", "_asof_side", "_asof_rv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        unioned.withColumn("asof_val", F.last("rv", ignorenulls=True).over(w))
-        .where(F.col("is_left") == 1)
-        .drop("k", "t", "is_left", "rv")
+        unioned.withColumn(
+            "asof_val", F.last("_asof_rv", ignorenulls=True).over(w)
+        )
+        .where(F.col("_asof_side") == 1)
+        .drop("_asof_k", "_asof_t", "_asof_side", "_asof_rv")
     )
 
 
