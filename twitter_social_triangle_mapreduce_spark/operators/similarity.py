@@ -156,20 +156,54 @@ def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
     )
 
 
+def query_probe_cells(
+    embeddings: DataFrame, n_queries: int, nprobe: int, k_cells: int = IVF_CELLS
+) -> DataFrame:
+    """(qid, qcell) — the ``nprobe`` closest cells per query vector
+    (multi-probe IVF: recall recovers items that fell just across a cell
+    boundary at the cost of scoring nprobe inverted lists)."""
+    cents = embeddings.where(F.col("vec_id") < k_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dot = _dot("embedding", "ce")
+    cn = F.sqrt(
+        F.expr(
+            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    scored = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("qid"), F.col("cid"), (dot / cn).alias("s")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("qcell"))
+    )
+
+
 def ann_topk_ivf(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 3
+    embeddings: DataFrame, n_queries: int = 5, k: int = 3, nprobe: int = 1
 ) -> DataFrame:
     """(qid, nid, rank, sim_e4) — IVF-bucketed approximate top-k: each
-    query scores only its own cell's inverted list (nprobe=1), exact
-    cosine rank within the cell. The candidate join is an equi-join on the
-    cell id — the IVF alternative to the LSH bucket join, same 100 TB
-    shape: per-query work proportional to one cell, not the corpus."""
+    query scores the inverted lists of its ``nprobe`` nearest cells,
+    exact cosine rank across the probed candidates. The candidate join is
+    an equi-join on the cell id — the IVF alternative to the LSH bucket
+    join, same 100 TB shape: per-query work proportional to nprobe cells,
+    not the corpus."""
     cells = ivf_cells(embeddings)
     emb = embeddings.join(cells, "vec_id")
-    q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.col("cell").alias("qcell"),
+    probes = query_probe_cells(embeddings, n_queries, nprobe)
+    q = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .join(probes, "qid")
+        .select("qid", "qe", "qcell")
     )
     c = emb.select(
         F.col("vec_id").alias("nid"),

@@ -253,6 +253,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"), nprobe=2
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(load_table(spark, sf_dir, "documents"))
 
@@ -310,6 +316,7 @@ EXT_QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "ivf_cells": q_ivf_cells,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
 }
 
 
@@ -701,6 +708,38 @@ cells AS (
 EXT_ORACLES["ivf_cells"] = f"""
     WITH {_IVF_CELLS_CTE}
     SELECT vec_id, cell FROM cells
+"""
+
+EXT_ORACLES["ann_topk_ivf2"] = f"""
+    WITH {_IVF_CELLS_CTE},
+    probes AS (
+        SELECT vec_id AS qid, cid AS qcell
+        FROM (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, cid ASC) AS rn
+              FROM cscored)
+        WHERE rn <= 2 AND vec_id < 5
+    ),
+    q AS (SELECT e.vec_id AS qid, e.embedding AS qe, p.qcell
+          FROM embeddings e JOIN probes p ON e.vec_id = p.qid),
+    c AS (SELECT e.vec_id AS nid, e.embedding AS ce, cl.cell AS ccell
+          FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id),
+    scored AS (
+        SELECT qid, nid,
+               {_DOT}
+               / (sqrt({_SQ_SUM.format(col='qe')})
+                  * sqrt({_SQ_SUM.format(col='ce')})) AS sim
+        FROM q JOIN c ON qcell = ccell AND qid <> nid
+    ),
+    ranked AS (
+        SELECT qid, nid, sim,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, nid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid, nid, rank,
+           CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+    FROM ranked WHERE rank <= 3
 """
 
 EXT_ORACLES["ann_topk_ivf"] = f"""
