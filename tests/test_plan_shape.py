@@ -26,7 +26,13 @@ def plan_of(df) -> str:
 # pagerank crosses a broadcast 1-row dangling-mass aggregate into each
 # iteration's update; IVF scores the corpus against a broadcast handful of
 # centroids — deliberate small-side broadcasts, not blowups
-BNLJ_BY_DESIGN = {"ann_topk_bruteforce", "pagerank", "ivf_cells", "ann_topk_ivf"}
+BNLJ_BY_DESIGN = {
+    "ann_topk_bruteforce",
+    "pagerank",
+    "ivf_cells",
+    "ann_topk_ivf",
+    "ann_topk_ivf2",
+}
 
 
 def test_no_cartesian_anywhere(spark):
