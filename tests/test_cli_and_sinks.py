@@ -64,6 +64,22 @@ def test_cli_social_triangle_rs(spark, edges_csv_dir, tmp_path):
     assert got == want
 
 
+def test_ordered_strategy_at_reference_constants(spark, edges_csv_dir):
+    """The degree-ordered strategy must agree with DuckDB at the
+    reference's own MAX=50000 on the raw CSV fixture (dups, self-loops,
+    boundary ids included)."""
+    from twitter_social_triangle_mapreduce_spark.operators import graph
+
+    e = read_edges_csv(spark, f"{edges_csv_dir}/*.csv")
+    got = graph.triangle_count(e, max_id=50000, strategy="ordered").collect()[
+        0
+    ][0]
+    want = _duck_triangles(
+        f"{edges_csv_dir}/edges.csv", 50000, strict=True, dedup_closing=False
+    )
+    assert got == want
+
+
 def test_cli_triangle_replicated(spark, edges_csv_dir, tmp_path):
     got = run_program(
         spark, "triangle_replicated", edges_csv_dir, str(tmp_path / "out2")
