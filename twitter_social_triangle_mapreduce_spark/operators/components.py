@@ -101,6 +101,70 @@ def connected_components_oracle_sql(
     return f"{body}\nSELECT v, l AS component FROM it{iterations}"
 
 
+KCORE_K = 3
+KCORE_ITERATIONS = 8
+
+
+def kcore(
+    edges: DataFrame, k: int = KCORE_K, iterations: int = KCORE_ITERATIONS
+) -> DataFrame:
+    """(v,) — vertices surviving ``iterations`` rounds of k-core peeling
+    on the undirected support graph: each round removes vertices with
+    fewer than ``k`` distinct remaining neighbors. Fixed rounds → integer-
+    deterministic whether or not converged (unrolled SQL oracle matches
+    exactly). Same per-round shape as connected components: one join + one
+    aggregate + a semi-join, lineage truncated per round."""
+    sym = _symmetric(edges).where(F.col("src") != F.col("dst")).localCheckpoint(
+        eager=False
+    )
+    alive = vertices(edges)
+    for _ in range(iterations):
+        deg = (
+            sym.join(alive.withColumnRenamed("v", "s"), sym.src == F.col("s"))
+            .join(alive.withColumnRenamed("v", "d"), sym.dst == F.col("d"))
+            .groupBy(F.col("s").alias("v2"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = (
+            alive.join(
+                deg.where(F.col("deg") >= k), alive.v == F.col("v2"), "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+    return alive.select("v")
+
+
+def kcore_oracle_sql(
+    edges_sql: str, k: int = KCORE_K, iterations: int = KCORE_ITERATIONS
+) -> str:
+    """Unrolled DuckDB twin of ``kcore`` — identical per-round peeling.
+    Every round CTE is MATERIALIZED: each ``alive`` is referenced three
+    times per round, and without materialization DuckDB re-inlines the
+    whole chain (exponential re-evaluation)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"
+        " WHERE src <> dst)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"deg{i} AS MATERIALIZED (SELECT s.src AS v2, COUNT(*) AS deg"
+            f" FROM sym s"
+            f" JOIN alive{i} a1 ON s.src = a1.v"
+            f" JOIN alive{i} a2 ON s.dst = a2.v"
+            f" GROUP BY s.src)"
+        )
+        parts.append(
+            f"alive{i + 1} AS MATERIALIZED (SELECT a.v FROM alive{i} a"
+            f" WHERE EXISTS (SELECT 1 FROM deg{i} d"
+            f" WHERE d.v2 = a.v AND d.deg >= {k}))"
+        )
+    return ",\n".join(parts) + f"\nSELECT v FROM alive{iterations}"
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,

@@ -198,6 +198,66 @@ def triangle_count_shuffle(
     )
 
 
+def triangle_enum(
+    edges: DataFrame, max_id: int | None = None, strict: bool = True
+) -> DataFrame:
+    """Enumerate directed triangles as rows ``(x, y, z)``: X→Y→Z→X with
+    X≠Z, one row per rotation per edge-multiplicity combination — the
+    materialized form of what the reference only counts (its Job-2
+    reducer emits no rows; ``SocialTriangle_RS.java`` ClosedTriangle).
+    Row count = 3× the triangle counter."""
+    p = path2(edges, max_id, strict)
+    e = filter_edges(edges, max_id, strict)
+    closing = e.select(F.col("dst").alias("x"), F.col("src").alias("z"))
+    return p.join(closing, ["x", "z"], "inner").select("x", "y", "z")
+
+
+def neighborhood_jaccard_pairs(
+    edges: DataFrame, min_common: int = 3
+) -> DataFrame:
+    """(v_a, v_b, common, jaccard_e6) — similar-user detection: Jaccard
+    similarity of out-neighbor SETS, via an inverted-index join on the
+    shared neighbor (same scalable shape as the n-gram Jaccard: keyed on
+    the neighbor id, never user×user). Integer floor(1e6·j) output."""
+    nb = edges.select("src", "dst").distinct()
+    sizes = nb.groupBy("src").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("v_a"), F.col("b.src").alias("v_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("src", "v_a").withColumnRenamed("sz", "sz_a"),
+            "v_a",
+        )
+        .join(
+            sizes.withColumnRenamed("src", "v_b").withColumnRenamed("sz", "sz_b"),
+            "v_b",
+        )
+        .select(
+            "v_a",
+            "v_b",
+            "common",
+            F.floor(
+                1000000
+                * F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
 def triangle_count_ordered(
     edges: DataFrame, max_id: int | None = None, strict: bool = True
 ) -> DataFrame:

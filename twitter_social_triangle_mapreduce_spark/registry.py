@@ -77,6 +77,24 @@ def q_triangle_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized directed triangles (3 rows per counted triangle)."""
+    return graph.triangle_enum(
+        edges_from_events(spark, sf_dir), max_id=TRIANGLE_RS_MAX, strict=True
+    )
+
+
+def q_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similar users by out-neighborhood Jaccard."""
+    return graph.neighborhood_jaccard_pairs(edges_from_events(spark, sf_dir))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.components import kcore
+
+    return kcore(edges_from_events(spark, sf_dir))
+
+
 def q_path2_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SocialTriangle_RS Job 1's intermediate relation: directed length-2
     paths (x,y,z), X≠Z, strict < cutoff (``SocialTriangle_RS.java:92-103``)."""
@@ -94,6 +112,9 @@ GRAPH_QUERIES: dict[str, QueryFn] = {
     "social_triangle_ordered": q_social_triangle_ordered,
     "triangle_replicated": q_triangle_replicated,
     "path2_enum": q_path2_enum,
+    "triangle_enum": q_triangle_enum,
+    "neighborhood_jaccard": q_neighborhood_jaccard,
+    "kcore": q_kcore,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -170,6 +191,42 @@ GRAPH_ORACLES: dict[str, str] = {
 
 # the degree-ordered strategy computes the identical quantity — same oracle
 GRAPH_ORACLES["social_triangle_ordered"] = GRAPH_ORACLES["social_triangle_rs"]
+
+GRAPH_ORACLES["triangle_enum"] = f"""
+    {_EDGES_CTE},
+    f AS (SELECT * FROM edges
+          WHERE src < {TRIANGLE_RS_MAX} AND dst < {TRIANGLE_RS_MAX})
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM f e1
+    JOIN f e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+    JOIN f e3 ON e3.src = e2.dst AND e3.dst = e1.src
+"""
+
+GRAPH_ORACLES["neighborhood_jaccard"] = f"""
+    {_EDGES_CTE},
+    nb AS (SELECT DISTINCT src, dst FROM edges),
+    sizes AS (SELECT src, COUNT(*) AS sz FROM nb GROUP BY src),
+    pairs AS (
+        SELECT a.src AS v_a, b.src AS v_b, COUNT(*) AS common
+        FROM nb a JOIN nb b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY a.src, b.src HAVING COUNT(*) >= 3
+    )
+    SELECT v_a, v_b, common,
+           CAST(FLOOR(1000000 * common / (sa.sz + sb.sz - common))
+                AS BIGINT) AS jaccard_e6
+    FROM pairs
+    JOIN sizes sa ON sa.src = v_a
+    JOIN sizes sb ON sb.src = v_b
+"""
+
+
+def _kcore_oracle() -> str:
+    from .operators.components import kcore_oracle_sql
+
+    return kcore_oracle_sql(EDGES_FROM_EVENTS_SQL)
+
+
+GRAPH_ORACLES["kcore"] = _kcore_oracle()
 
 
 def all_queries() -> dict[str, QueryFn]:
