@@ -11,7 +11,7 @@ from pyspark.sql.functions import pandas_udf
 
 from twitter_social_triangle_mapreduce_spark.operators import graph
 
-from conftest import edges_df, scalar
+from conftest import SF_SMOKE, edges_df, scalar
 
 
 def empty_edges(spark):
@@ -47,6 +47,36 @@ def test_filter_excluding_everything(spark):
     e = edges_df(spark, [(100, 200), (200, 300)])
     assert scalar(graph.triangle_count_shuffle(e, max_id=5)) == 0
     assert scalar(graph.path2_cardinality_total(e, max_id=5)) == 0
+
+
+def test_apply_in_pandas_trend_matches_regr_slope(spark):
+    """Grouped applyInPandas (batch split-apply-combine) — the per-user
+    least-squares slope must agree with Spark's built-in regr_slope within
+    float tolerance."""
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        user_value_trend,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r["user_id"]: r["slope_e9"]
+        for r in user_value_trend(ev).collect()
+    }
+    want = {
+        r["user_id"]: r["s"]
+        for r in ev.select(
+            "user_id",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ep"),
+            "value",
+        )
+        .groupBy("user_id")
+        .agg(F.expr("regr_slope(value, ep)").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, s in want.items():
+        assert abs(got[u] - 1e9 * s) <= 10, (u, got[u], s)
 
 
 def test_scalar_pandas_udf_matches_jvm_expression(spark):

@@ -104,6 +104,44 @@ def top_customers(
     )
 
 
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """(user_id, n, slope_e9) — per-user least-squares slope of ``value``
+    over event time via grouped ``applyInPandas`` — the batch
+    split-apply-combine UDF shape (Arrow batch per group, closed-form
+    numpy math inside). Registered rows-only: the float slope is
+    formulation-sensitive; the test asserts agreement with Spark's own
+    ``regr_slope`` within tolerance. Self-contained closure (workers need
+    no package import)."""
+    out_schema = "user_id long, n long, slope_e9 long"
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        t = pdf["ep"].to_numpy(dtype="float64")
+        v = pdf["value"].to_numpy(dtype="float64")
+        n = len(t)
+        if n < 2 or np.all(t == t[0]):
+            slope = 0.0
+        else:
+            tm, vm = t.mean(), v.mean()
+            slope = float(((t - tm) * (v - vm)).sum() / ((t - tm) ** 2).sum())
+        return _pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n": [n],
+                "slope_e9": [int(np.floor(1e9 * slope))],
+            }
+        )
+
+    prepared = events.select(
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ep"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandas(fit, out_schema)
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Per event_type exact p50/p95 of ``value`` (sort-based percentile
     with linear interpolation — same definition as SQL PERCENTILE_CONT).

@@ -201,6 +201,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.pagerank(edges_from_events(spark, sf_dir))
 
 
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.value_percentiles(load_table(spark, sf_dir, "events"))
 
@@ -298,6 +302,7 @@ EXT_QUERIES = {
     "sessionize_native": q_sessionize_native,
     "value_percentiles": q_value_percentiles,
     "value_histogram": q_value_histogram,
+    "user_value_trend": q_user_value_trend,  # applyInPandas: rows-only
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "revenue_by_region": q_revenue_by_region,
