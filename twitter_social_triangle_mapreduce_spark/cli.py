@@ -91,6 +91,25 @@ def run_program(
     raise ValueError(f"unknown program {program!r}")
 
 
+def run_explain(spark, sf_dir: str, query_name: str) -> str:
+    """``explain`` subcommand: print the formatted physical plan of any
+    registered query — the operability hook for verifying pushdown /
+    join strategy / shuffle shape on a live session."""
+    from . import registry
+
+    queries = registry.all_queries()
+    if query_name not in queries:
+        raise SystemExit(
+            f"unknown query {query_name!r}; one of: {', '.join(sorted(queries))}"
+        )
+    df = queries[query_name](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    print(plan)
+    return plan
+
+
 def run_sql(spark, sf_dir: str, query: str, limit: int = 50) -> None:
     """``sql`` subcommand: register the testdata tables + ``edges`` as
     views and run one ad-hoc SQL statement — the interactive query surface
@@ -104,7 +123,7 @@ def main(argv: list[str] | None = None) -> None:
         prog="twitter_social_triangle_mapreduce_spark",
         description="PySpark-native equivalents of the reference MapReduce programs",
     )
-    p.add_argument("program", choices=(*PROGRAMS, "sql"))
+    p.add_argument("program", choices=(*PROGRAMS, "sql", "explain"))
     p.add_argument(
         "input_dir",
         help="programs: directory of followerId,followeeId CSV files; "
@@ -133,6 +152,10 @@ def main(argv: list[str] | None = None) -> None:
     if args.program == "sql":
         # input_dir = testdata dir, output_dir = the SQL text
         run_sql(spark, args.input_dir, args.output_dir)
+        return
+    if args.program == "explain":
+        # input_dir = testdata dir, output_dir = the registered query name
+        run_explain(spark, args.input_dir, args.output_dir)
         return
     run_program(
         spark,
