@@ -14,10 +14,7 @@ from twitter_social_triangle_mapreduce_spark.sources.io import edges_from_events
 from conftest import SF_SMOKE
 
 
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from twitter_social_triangle_mapreduce_spark.plans.explain import plan_of  # noqa: E402
 
 
 # brute-force ANN scoring IS a broadcast cross product by design: the tiny

@@ -102,10 +102,9 @@ def run_explain(spark, sf_dir: str, query_name: str) -> str:
         raise SystemExit(
             f"unknown query {query_name!r}; one of: {', '.join(sorted(queries))}"
         )
-    df = queries[query_name](spark, sf_dir)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    from .plans.explain import plan_of
+
+    plan = plan_of(queries[query_name](spark, sf_dir))
     print(plan)
     return plan
 

@@ -1,3 +1,4 @@
+from .explain import assert_no_cartesian, plan_of, pushed_filters  # noqa: F401
 from .parity import (  # noqa: F401
     APPROX_MAX,
     REPLICATED_MAX,
