@@ -35,6 +35,19 @@ def _dot(a: str, b: str):
     )
 
 
+def _norm(col: str):
+    """L2 norm via the same sequential double fold (kept textually
+    identical everywhere so the DuckDB oracles reproduce the value
+    bit-for-bit — change the fold here and ONLY here)."""
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({col},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """(vec_id, norm_e6) — L2 norms as floor(1e6·‖v‖)."""
     sq = F.expr(
@@ -64,18 +77,8 @@ def ann_topk_bruteforce(
         F.col("vec_id").alias("nid"), F.col("embedding").alias("ce")
     )
     dot = _dot("qe", "ce")
-    qn = F.sqrt(
-        F.expr(
-            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    qn = _norm("qe")
+    cn = _norm("ce")
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
         .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
@@ -137,12 +140,7 @@ def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     dot = _dot("embedding", "ce")
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    cn = _norm("ce")
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", (dot / cn).alias("s")
     )
@@ -166,12 +164,7 @@ def query_probe_cells(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     dot = _dot("embedding", "ce")
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    cn = _norm("ce")
     scored = (
         embeddings.where(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cents))
@@ -211,18 +204,8 @@ def ann_topk_ivf(
         F.col("cell").alias("ccell"),
     )
     dot = _dot("qe", "ce")
-    qn = F.sqrt(
-        F.expr(
-            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    qn = _norm("qe")
+    cn = _norm("ce")
     scored = (
         c.join(
             F.broadcast(q),
@@ -266,18 +249,8 @@ def embedding_near_dup_pairs(
         F.col("sig").alias("sigb"),
     )
     dot = _dot("qe", "ce")
-    qn = F.sqrt(
-        F.expr(
-            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    qn = _norm("qe")
+    cn = _norm("ce")
     return (
         a.join(
             b,
@@ -313,18 +286,8 @@ def ann_topk_lsh(
         F.col("sig").alias("csig"),
     )
     dot = _dot("qe", "ce")
-    qn = F.sqrt(
-        F.expr(
-            "aggregate(transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
-    cn = F.sqrt(
-        F.expr(
-            "aggregate(transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
-            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-    )
+    qn = _norm("qe")
+    cn = _norm("ce")
     scored = (
         c.join(
             F.broadcast(q),
