@@ -6,7 +6,11 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All real logic lives in ``twitter_social_triangle_mapreduce_spark``;
-this module is the thin registry adapter.
+this module is the thin registry adapter. ``queries()`` exposes EXACTLY
+50 entries: the driver records at most 50 correctness rows (round 1: a
+51st registered query was silently dropped), so the one semantic
+near-duplicate (``sessionize_native``) is pytest-oracled instead
+(``registry.all_queries(include_extra=True)``).
 """
 
 from __future__ import annotations

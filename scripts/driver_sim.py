@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Simulate the driver's correctness harness locally, end to end.
+
+Builds a VANILLA SparkSession (no factory confs — the round-1 failure
+mode), runs every ``__spark_entry__.queries()`` entry at sf0.01, runs the
+matching ``oracle_sql()`` in DuckDB with the tables pre-registered as
+views, and compares row count, column names, and an order-insensitive,
+column-name-sorted value multiset — the same gate the driver applies.
+
+Usage: python scripts/driver_sim.py [sf_dir]  (default /root/testdata/sf0.01)
+Prints one line per query and a final tally; exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from twitter_social_triangle_mapreduce_spark.sources.io import TABLES  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9) if math.isfinite(v) else v
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        # deliberately NON-UTC: any timezone-sensitive arithmetic must fail here
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    n_pass = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:160]}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows {name}: {len(srows)} rows (no oracle)")
+            continue
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        perm = [scols.index(c) for c in sorted(scols)]
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        sset = sorted(tuple(_norm(r[i]) for i in perm) for r in srows)
+        oset = sorted(tuple(_norm(r[i]) for i in operm) for r in orows)
+        if sset != oset:
+            failures.append(name)
+            print(
+                f"FAIL {name}: rows {len(sset)} vs {len(oset)}; "
+                f"first diff {next((a, b) for a, b in zip(sset, oset) if a != b) if len(sset) == len(oset) else 'count'}"
+            )
+            continue
+        n_pass += 1
+        print(f"ok   {name}: {len(sset)} rows hash-match")
+
+    print(
+        json.dumps(
+            {
+                "queries": len(queries),
+                "hash_match": n_pass,
+                "rows_only": n_rows_only,
+                "failures": failures,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

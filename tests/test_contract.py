@@ -28,6 +28,14 @@ def test_every_oracle_has_a_query():
     assert rows_only == {"pagerank", "user_counts", "user_value_trend"}
 
 
+def test_driver_registry_is_exactly_50():
+    """The driver's correctness harness records at most 50 queries (r01:
+    the 51st registered query got no row). Expose exactly 50 so nothing is
+    silently dropped."""
+    mod = load_entry()
+    assert len(mod.queries()) == 50
+
+
 def test_query_callables_take_spark_and_sfdir():
     mod = load_entry()
     for name, fn in mod.queries().items():

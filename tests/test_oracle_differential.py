@@ -20,12 +20,12 @@ def _normalize(v):
     return v
 
 
-@pytest.mark.parametrize("name", sorted(registry.all_queries()))
+@pytest.mark.parametrize("name", sorted(registry.all_queries(include_extra=True)))
 def test_query_matches_oracle(spark, duck, name):
-    oracles = registry.all_oracles()
+    oracles = registry.all_oracles(include_extra=True)
     if name not in oracles:
         pytest.skip(f"{name}: no SQL oracle (rows-only check)")
-    sdf = registry.all_queries()[name](spark, SF_SMOKE)
+    sdf = registry.all_queries(include_extra=True)[name](spark, SF_SMOKE)
     cur = duck.execute(oracles[name])
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()

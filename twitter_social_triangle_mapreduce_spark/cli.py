@@ -97,7 +97,7 @@ def run_explain(spark, sf_dir: str, query_name: str) -> str:
     join strategy / shuffle shape on a live session."""
     from . import registry
 
-    queries = registry.all_queries()
+    queries = registry.all_queries(include_extra=True)
     if query_name not in queries:
         raise SystemExit(
             f"unknown query {query_name!r}; one of: {', '.join(sorted(queries))}"

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.io import ntz_epoch_seconds
+
 #: session gap threshold (seconds) for sessionization
 SESSION_GAP_S = 1800
 
@@ -37,8 +39,10 @@ def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     ``gap_s`` seconds. Classic two-window formulation (lag → boundary flag
     → running sum), partitioned by user — one shuffle on user_id, then
     both windows reuse that partitioning. Ordering is (ts, event_id) so
-    ties are deterministic."""
-    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ties are deterministic. Epoch math is TZ-free (``ntz_epoch_seconds``),
+    so the result is identical whatever ``spark.sql.session.timeZone``
+    happens to be."""
+    ep = ntz_epoch_seconds("ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     with_flag = events.select(
         "user_id", "ts", "event_id", ep.alias("ep")
@@ -136,7 +140,7 @@ def user_value_trend(events: DataFrame) -> DataFrame:
 
     prepared = events.select(
         "user_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ep"),
+        ntz_epoch_seconds("ts").alias("ep"),
         "value",
     )
     return prepared.groupBy("user_id").applyInPandas(fit, out_schema)
@@ -204,7 +208,9 @@ def user_event_setops(events: DataFrame) -> DataFrame:
     (distinct semantics in both engines)."""
     ud = lambda t: (  # noqa: E731
         events.where(F.col("event_type") == t).select(
-            "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+            # to_date directly on the NTZ column — TZ-free (a cast to
+            # TIMESTAMP first would shift the date at session offsets)
+            "user_id", F.to_date(F.col("ts")).alias("d")
         )
     )
     return ud("click").intersect(ud("purchase")).exceptAll(
@@ -277,11 +283,12 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     ev = events.select(
         "event_id",
         "user_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ev_s"),
+        ntz_epoch_seconds("ts").alias("ev_s"),
     )
     od = orders.select(
         F.col("o_custkey").alias("user_id"),
-        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("od_s"),
+        # o_orderdate is parquet naive µs → TimestampNTZ; same TZ-free rule
+        ntz_epoch_seconds("o_orderdate").alias("od_s"),
         "o_orderkey",
     )
     out = asof_join(

@@ -17,6 +17,9 @@ bits so each query only scores its bucket.
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -24,6 +27,10 @@ from pyspark.sql import functions as F
 #: coefficients are ±1 derived from md5(bit || '#' || dim) parity —
 #: deterministic and engine-portable.
 LSH_BITS = 8
+
+#: embedding width of the testdata corpus (FLOAT[64]); callers with other
+#: corpora pass their own ``dims`` — never discovered via a driver action.
+EMBED_DIMS = 64
 
 
 def _dot(a: str, b: str):
@@ -69,19 +76,25 @@ def ann_topk_bruteforce(
 
     The query side carries an explicit broadcast hint: the corpus never
     shuffles — scan → broadcast-join → window per query partition. At
-    cluster scale this is the standard exact-scoring baseline."""
+    cluster scale this is the standard exact-scoring baseline. Norms are
+    computed ONCE per side before the join (the per-pair select would
+    recompute every corpus norm per query — ~2× the arithmetic for
+    nothing); the double value is identical, so oracle hashes are
+    unaffected."""
     q = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("nid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
     )
     dot = _dot("qe", "ce")
-    qn = _norm("qe")
-    cn = _norm("ce")
     scored = (
         c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("nid").asc()
@@ -98,32 +111,57 @@ def ann_topk_bruteforce(
     )
 
 
-def lsh_signature(embeddings: DataFrame, bits: int = LSH_BITS) -> DataFrame:
+@lru_cache(maxsize=32)
+def _lsh_coeffs(bits: int, dims: int) -> tuple[tuple[float, ...], ...]:
+    """±1 hyperplane coefficients, coeff(b,d) from the parity of the
+    1-based position of md5(b||'#'||d)'s first hex nibble in
+    '0123456789abcdef' — the exact arithmetic the SQL oracle
+    (`registry_ext._lsh_sig_sql`) spells out with instr/strpos, evaluated
+    once in Python (hashlib md5 == SQL md5) instead of per row."""
+    out = []
+    for b in range(bits):
+        row = []
+        for d in range(dims):
+            nib = hashlib.md5(f"{b}#{d}".encode()).hexdigest()[0]
+            pos = "0123456789abcdef".index(nib) + 1
+            row.append(1.0 if pos % 2 == 0 else -1.0)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def lsh_signature(
+    embeddings: DataFrame, bits: int = LSH_BITS, dims: int = EMBED_DIMS
+) -> DataFrame:
     """(vec_id, sig) — random-hyperplane signature: bit b is set iff
     Σ_d coeff(b,d)·v[d] > 0 with coeff(b,d) = ±1 from the parity of the
     first hex nibble of md5(b||'#'||d). Deterministic, portable, and
-    computed without shuffles (per-row expression)."""
-    first = embeddings.select(F.size("embedding").alias("n")).first()
-    if first is None:  # empty table → empty (well-typed) result
-        return embeddings.select(
-            "vec_id", F.lit(0).cast("long").alias("sig")
+    computed without shuffles (per-row expression).
+
+    Scale shape: the coefficients are precomputed in Python and shipped as
+    ``bits`` literal double arrays; each bit is ONE ``aggregate(zip_with)``
+    fold, so the expression tree is O(bits + dims-of-literal-data) — not
+    the O(bits·dims) md5/CASE term blowup that would choke codegen at real
+    embedding widths (768–4096). ``dims`` is a parameter; no driver-side
+    action ever runs at plan-construction time. The fold is strictly
+    left-to-right in double, identical term order to the SQL oracle, so
+    the sums agree bit-for-bit."""
+    bit_terms = []
+    for b, row in enumerate(_lsh_coeffs(bits, dims)):
+        coeffs = F.array(*[F.lit(c) for c in row])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                coeffs,
+                lambda x, c: c * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    dims = first["n"]
-    bit_exprs = []
-    for b in range(bits):
-        terms = " + ".join(
-            (
-                f"(CASE WHEN instr('0123456789abcdef',"
-                f" substr(md5('{b}#{d}'), 1, 1)) % 2 = 0"
-                f" THEN 1.0 ELSE -1.0 END)"
-                f" * CAST(embedding[{d}] AS DOUBLE)"
-            )
-            for d in range(dims)
-        )
-        bit_exprs.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
-    return embeddings.select(
-        "vec_id", F.expr(" + ".join(bit_exprs)).cast("long").alias("sig")
-    )
+        bit_terms.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return embeddings.select("vec_id", sig.cast("long").alias("sig"))
 
 
 #: number of IVF cells (stand-in "trained" centroids = first IVF_CELLS vecs)
@@ -135,14 +173,16 @@ def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
     nearest centroid by cosine. Centroids here are the first ``k`` vectors
     (a deterministic stand-in for k-means training — the operator shape,
     broadcast-centroids × corpus scoring + per-row argmax, is identical to
-    the trained case). Ties break toward the smaller centroid id."""
+    the trained case). Ties break toward the smaller centroid id.
+    Centroid norms are precomputed on the (tiny) broadcast side."""
     cents = embeddings.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
     )
     dot = _dot("embedding", "ce")
-    cn = _norm("ce")
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", (dot / cn).alias("s")
+        "vec_id", "cid", (dot / F.col("cn")).alias("s")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("s").desc(), F.col("cid").asc()
@@ -161,15 +201,18 @@ def query_probe_cells(
     (multi-probe IVF: recall recovers items that fell just across a cell
     boundary at the cost of scoring nprobe inverted lists)."""
     cents = embeddings.where(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
     )
     dot = _dot("embedding", "ce")
-    cn = _norm("ce")
     scored = (
         embeddings.where(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cents))
         .select(
-            F.col("vec_id").alias("qid"), F.col("cid"), (dot / cn).alias("s")
+            F.col("vec_id").alias("qid"),
+            F.col("cid"),
+            (dot / F.col("cn")).alias("s"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").asc())
@@ -194,24 +237,27 @@ def ann_topk_ivf(
     probes = query_probe_cells(embeddings, n_queries, nprobe)
     q = (
         embeddings.where(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+        )
         .join(probes, "qid")
-        .select("qid", "qe", "qcell")
+        .select("qid", "qe", "qn", "qcell")
     )
     c = emb.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
         F.col("cell").alias("ccell"),
     )
     dot = _dot("qe", "ce")
-    qn = _norm("qe")
-    cn = _norm("ce")
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("nid")),
         )
-        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("nid").asc()
@@ -241,16 +287,16 @@ def embedding_near_dup_pairs(
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
         F.col("sig").alias("siga"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
         F.col("sig").alias("sigb"),
     )
     dot = _dot("qe", "ce")
-    qn = _norm("qe")
-    cn = _norm("ce")
     return (
         a.join(
             b,
@@ -260,7 +306,9 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.floor(10000 * (dot / (qn * cn))).cast("long").alias("sim_e4"),
+            F.floor(10000 * (dot / (F.col("qn") * F.col("cn"))))
+            .cast("long")
+            .alias("sim_e4"),
         )
         .where(F.col("sim_e4") >= min_sim_e4)
     )
@@ -278,22 +326,22 @@ def ann_topk_lsh(
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
         F.col("sig").alias("qsig"),
     )
     c = emb.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
         F.col("sig").alias("csig"),
     )
     dot = _dot("qe", "ce")
-    qn = _norm("qe")
-    cn = _norm("ce")
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("qsig") == F.col("csig")) & (F.col("qid") != F.col("nid")),
         )
-        .select("qid", "nid", (dot / (qn * cn)).alias("sim"))
+        .select("qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("sim").desc(), F.col("nid").asc()

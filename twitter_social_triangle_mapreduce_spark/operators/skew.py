@@ -28,17 +28,30 @@ def salted_inner_join(
 ) -> DataFrame:
     """Inner equi-join on ``on`` with left-side salting. Output columns:
     left columns then right's non-key columns (like a plain ``join(on=)``).
+
+    The salt mixes ``monotonically_increasing_id()`` with the row content
+    so EXACT duplicate rows of a hot key still spread across partitions
+    (content-only hashing would send them all to one salt). The id makes
+    the salt assignment non-deterministic across runs — irrelevant to
+    correctness, since the right side is replicated over every salt value
+    (semantics equal the plain inner join; property-tested). The internal
+    column name is collision-resistant against user frames.
     """
     lcols = left.columns
     rcols = [c for c in right.columns if c not in on]
+    salt_col = "__tstm_salt"
     salted_l = left.withColumn(
-        "_salt", F.pmod(F.hash(*[F.col(c) for c in lcols]), F.lit(num_salts))
+        salt_col,
+        F.pmod(
+            F.hash(F.monotonically_increasing_id(), *[F.col(c) for c in lcols]),
+            F.lit(num_salts),
+        ),
     )
     salted_r = right.withColumn(
-        "_salt",
+        salt_col,
         F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
     )
     return (
-        salted_l.join(salted_r, on=[*on, "_salt"], how="inner")
+        salted_l.join(salted_r, on=[*on, salt_col], how="inner")
         .select(*lcols, *rcols)
     )

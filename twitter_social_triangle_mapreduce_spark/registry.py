@@ -206,9 +206,11 @@ GRAPH_ORACLES["neighborhood_jaccard"] = f"""
     {_EDGES_CTE},
     nb AS (SELECT DISTINCT src, dst FROM edges),
     sizes AS (SELECT src, COUNT(*) AS sz FROM nb GROUP BY src),
+    hot AS (SELECT dst FROM nb GROUP BY dst HAVING COUNT(*) > 1000),
+    nbc AS (SELECT * FROM nb WHERE dst NOT IN (SELECT dst FROM hot)),
     pairs AS (
         SELECT a.src AS v_a, b.src AS v_b, COUNT(*) AS common
-        FROM nb a JOIN nb b ON a.dst = b.dst AND a.src < b.src
+        FROM nbc a JOIN nbc b ON a.dst = b.dst AND a.src < b.src
         GROUP BY a.src, b.src HAVING COUNT(*) >= 3
     )
     SELECT v_a, v_b, common,
@@ -229,19 +231,28 @@ def _kcore_oracle() -> str:
 GRAPH_ORACLES["kcore"] = _kcore_oracle()
 
 
-def all_queries() -> dict[str, QueryFn]:
-    from .registry_ext import EXT_QUERIES
+def all_queries(include_extra: bool = False) -> dict[str, QueryFn]:
+    """The driver-facing registry: EXACTLY 50 queries (the driver's
+    correctness harness records at most 50 rows — see
+    ``registry_ext.EXT_EXTRA_QUERIES``). ``include_extra=True`` adds the
+    pytest-only entries for the in-repo differential suite."""
+    from .registry_ext import EXT_EXTRA_QUERIES, EXT_QUERIES
 
     out: dict[str, QueryFn] = {}
     out.update(GRAPH_QUERIES)
     out.update(EXT_QUERIES)
+    if include_extra:
+        out.update(EXT_EXTRA_QUERIES)
     return out
 
 
-def all_oracles() -> dict[str, str]:
-    from .registry_ext import ext_oracles
+def all_oracles(include_extra: bool = False) -> dict[str, str]:
+    from .registry_ext import EXT_EXTRA_QUERIES, ext_oracles
 
     out: dict[str, str] = {}
     out.update(GRAPH_ORACLES)
     out.update(ext_oracles())
+    if not include_extra:
+        for k in EXT_EXTRA_QUERIES:
+            out.pop(k, None)
     return out

@@ -299,7 +299,6 @@ EXT_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "events_json_kpi": q_events_json_kpi,
     "sessionize": q_sessionize,
-    "sessionize_native": q_sessionize_native,
     "value_percentiles": q_value_percentiles,
     "value_histogram": q_value_histogram,
     "user_value_trend": q_user_value_trend,  # applyInPandas: rows-only
@@ -322,6 +321,17 @@ EXT_QUERIES = {
     "ivf_cells": q_ivf_cells,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
+}
+
+#: oracle-checked by pytest (tests/test_oracle_differential.py) but NOT
+#: exposed to the driver: the driver's correctness harness records at most
+#: 50 queries (r01: 51 registered → exactly the first 50 got rows, the
+#: 51st silently dropped), so the driver registry holds exactly 50.
+#: sessionize_native duplicates sessionize's SEMANTICS through the native
+#: ``session_window`` operator — the weakest marginal driver signal — and
+#: keeps its full hash-level oracle check in pytest.
+EXT_EXTRA_QUERIES = {
+    "sessionize_native": q_sessionize_native,
 }
 
 
@@ -545,13 +555,19 @@ EXT_ORACLES = {
         FROM documents
     """,
     # oracle for the STUBBED decode: the fake features are deterministic
-    # functions of the payload, so even the mapInPandas path is checkable
+    # functions of the payload, so even the mapInPandas path is checkable.
+    # first_byte: the stub returns the first UTF-8 BYTE (-1 when empty);
+    # ascii() returns a CODEPOINT, so this oracle assumes ASCII text (true
+    # of the synthetic testdata, same assumption as media_frames) and
+    # mirrors the empty-payload -1 explicitly.
     "media_features": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'image/png'
                     ELSE 'audio/wav' END AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+               CAST(CASE WHEN length(text) = 0 THEN -1
+                         ELSE ascii(substr(text, 1, 1)) END
+                    AS BIGINT) AS first_byte,
                substr(md5(text), 1, 8) AS digest8
         FROM documents
     """,

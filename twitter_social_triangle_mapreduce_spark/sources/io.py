@@ -42,24 +42,65 @@ TABLES = (
     "documents embeddings"
 ).split()
 
+#: wall-clock zero point for every timezone-free timestamp computation
+NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ts_ntz_from_nanos(col: str = "ts"):
+    """ns-since-epoch BIGINT → TimestampNTZ, truncated to µs, with NO
+    session-timezone involvement: ``timestampadd`` on an NTZ base is pure
+    wall-clock arithmetic. (A ``timestamp_micros(...).cast('timestamp_ntz')``
+    detour goes through TIMESTAMP_LTZ and silently shifts every value by
+    the session offset on a non-UTC session.) Integer division is
+    essential: ``floor(ts/1000)`` would divide as double, and at ~1.7e18 ns
+    the rounded quotient can land one microsecond high (DuckDB's ns→µs
+    truncation is exact, so the oracle would diverge)."""
+    return F.expr(f"timestampadd(MICROSECOND, {col} div 1000, {NTZ_EPOCH})")
+
+
+def ntz_epoch_seconds(col: str):
+    """TZ-free whole epoch seconds of a TimestampNTZ column — truncating,
+    so it equals DuckDB's ``CAST(floor(epoch(ts)) AS BIGINT)`` for
+    post-1970 data. Use this instead of ``unix_timestamp(cast(...))``,
+    which interprets the wall clock in the session timezone."""
+    return F.expr(f"timestampdiff(SECOND, {NTZ_EPOCH}, {col})")
+
+
+def ntz_epoch_micros(col: str):
+    """TZ-free epoch microseconds of a TimestampNTZ column (DuckDB
+    ``epoch_us``)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {NTZ_EPOCH}, {col})")
+
+
+def ts_ltz_from_nanos(col: str = "ts"):
+    """ns-since-epoch BIGINT → TIMESTAMP (an instant). Used by the
+    STREAMING reader only: Spark's event-time machinery
+    (``withWatermark``) requires TIMESTAMP, rejecting TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The value is still
+    session-timezone-free — ``timestamp_micros`` maps epoch µs to an
+    instant with no wall-clock interpretation — and because the source
+    nanos are UTC-epoch-based, the instant's UTC wall clock equals the
+    batch reader's NTZ wall clock (``ts_ntz_from_nanos``), so tumbling /
+    session window boundaries agree between batch and stream."""
+    return F.timestamp_micros(F.expr(f"{col} div 1000"))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet scan, vectorized).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as BIGINT
-    nanoseconds and is truncated here to a session-timezone-free
-    TimestampNTZ. Integer division is essential: ``floor(ts/1000)`` would
-    divide as double, and at ~1.7e18 ns the rounded quotient can land one
-    microsecond high (DuckDB's ns→µs truncation is exact, so the oracle
-    would diverge).
+    The library owns its read path: the driver's harness (and any user)
+    may build a vanilla ``SparkSession.builder.getOrCreate()``, so the
+    parquet-nanos compatibility conf is set HERE (it is runtime-settable),
+    not only in ``session.get_spark``. ``events.ts`` is stored as parquet
+    TIMESTAMP(NANOS), which vanilla Spark rejects outright
+    (PARQUET_TYPE_ILLEGAL); with the conf it arrives as BIGINT nanoseconds
+    and is converted to a session-timezone-free TimestampNTZ by
+    ``ts_ntz_from_nanos``.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        df = df.withColumn("ts", ts_ntz_from_nanos("ts"))
     return df
 
 

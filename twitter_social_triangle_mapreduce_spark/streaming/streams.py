@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.io import derive_edges
+from ..sources.io import derive_edges, ntz_epoch_micros, ts_ltz_from_nanos
 
 #: schema of the events parquet as the nanos-as-long session reads it
 EVENTS_STREAM_SCHEMA = StructType(
@@ -43,7 +43,11 @@ EVENTS_STREAM_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with an explicit schema
     (streaming readers must not infer). ``ts`` arrives as ns-since-epoch
-    and is converted exactly as the batch reader does."""
+    and is converted by the shared ``sources.io.ts_ltz_from_nanos`` helper
+    — TIMESTAMP because watermarks require it, timezone-free and
+    wall-clock-consistent with the batch reader by construction (see the
+    helper's docstring)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -51,11 +55,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts",
-        # integer division — see sources.io.load_table's µs-exactness note
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp"),
-    )
+    return raw.withColumn("ts", ts_ltz_from_nanos("ts"))
 
 
 def streaming_event_window_counts(
@@ -189,16 +189,18 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     batch and streaming inputs): events within ``gap`` of each other merge
     into one growing window. Batch twin of the manual two-window
     formulation in ``operators.relational.sessionize`` — the oracle
-    reproduces it with microsecond-exact gap logic."""
+    reproduces it with microsecond-exact gap logic. ``session_window``
+    accepts TimestampNTZ directly (Spark ≥3.4), so no TZ-sensitive cast
+    is involved and the epoch-µs output is session-timezone-free."""
     return (
         events.groupBy(
-            F.session_window(F.col("ts").cast("timestamp"), gap).alias("w"),
+            F.session_window(F.col("ts"), gap).alias("w"),
             "user_id",
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            ntz_epoch_micros("w.start").alias("sess_start_us"),
             "n_events",
         )
     )
