@@ -30,6 +30,22 @@ def test_connected_components_self_loop_and_dups(spark):
     assert got == {5: 5, 7: 7, 8: 7}
 
 
+def test_reliable_checkpoint_mode_identical_results(spark, tmp_path):
+    """``reliable=True`` (fault-tolerant rdd checkpoints — the production
+    setting for long iterative jobs) must change only durability, never
+    results."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    e = edges_from_events(spark, SF_SMOKE)
+    base = sorted(map(tuple, components.connected_components(e).collect()))
+    rel = sorted(
+        map(tuple, components.connected_components(e, reliable=True).collect())
+    )
+    assert base == rel
+    kb = sorted(map(tuple, components.kcore(e).collect()))
+    kr = sorted(map(tuple, components.kcore(e, reliable=True).collect()))
+    assert kb == kr
+
+
 def test_pagerank_against_independent_computation(spark):
     """Fixed-iteration PageRank vs a plain-Python reimplementation on the
     collected sf0.001 graph; float sums may differ in association order,

@@ -93,3 +93,34 @@ def test_partial_aggregation_fires(spark):
         e.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     )
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ann_bucketed_variants_are_hash_joins(spark):
+    """The LSH scale path must candidate-join on signature EQUALITY — a
+    hash join (broadcast or shuffled), never a nested-loop scan of the
+    corpus per query. This is the difference between bucket-proportional
+    and corpus-proportional per-query work at 100 TB."""
+    for name in ("ann_topk_lsh", "embedding_near_dup_pairs"):
+        plan = plan_of(registry.all_queries()[name](spark, SF_SMOKE))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), name
+
+
+def test_ann_norms_computed_prejoin(spark):
+    """Norms must be attached once per side BEFORE the scoring join. In the
+    optimized plan the topmost (post-join, per-pair) Project may contain
+    the dot-product fold (``aggregate(zip_with...)`` — inherently per
+    pair) but must NOT recompute the norm square-fold
+    (``aggregate(transform...)``), which belongs in the per-side Projects
+    below the join."""
+    df = registry.all_queries()["ann_topk_bruteforce"](spark, SF_SMOKE)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    scoring = [ln for ln in lines if "aggregate(zip_with" in ln]
+    assert scoring, "expected a per-pair dot-product projection"
+    for ln in scoring:
+        assert "aggregate(transform" not in ln, "norm recomputed per pair"
+    assert sum("aggregate(transform" in ln for ln in lines) == 2  # once/side

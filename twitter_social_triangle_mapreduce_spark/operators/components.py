@@ -24,6 +24,18 @@ PR_ITERATIONS = 5
 PR_DAMPING = 0.85
 
 
+def _truncate(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage between iterations. ``localCheckpoint`` (default)
+    stores blocks on executors — fast, but lost with an executor, which on
+    a 1000-executor cluster means restarting the whole job after one
+    failure. ``reliable=True`` uses a fault-tolerant checkpoint (requires
+    ``spark.sparkContext.setCheckpointDir`` pointing at HDFS/S3) — the
+    production setting for long iterative jobs; results are identical."""
+    return (
+        df.checkpoint(eager=False) if reliable else df.localCheckpoint(eager=False)
+    )
+
+
 def _symmetric(edges: DataFrame) -> DataFrame:
     """Undirected view: each edge in both directions (distinct pairs)."""
     fwd = edges.select("src", "dst")
@@ -40,7 +52,7 @@ def vertices(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, iterations: int = CC_ITERATIONS
+    edges: DataFrame, iterations: int = CC_ITERATIONS, reliable: bool = False
 ) -> DataFrame:
     """(v, component) — label propagation: every vertex starts labeled with
     its own id; each round takes the min of its label and its neighbors'
@@ -53,8 +65,9 @@ def connected_components(
     without lineage truncation each round doubles the plan (labels feeds
     two operators), giving an exponentially-growing tree (measured: 766
     exchanges at 8 rounds un-checkpointed vs ~3 per round with); this is
-    the standard iterative-algorithm pattern on Spark."""
-    sym = _symmetric(edges).localCheckpoint(eager=False)
+    the standard iterative-algorithm pattern on Spark. ``reliable``
+    switches to fault-tolerant checkpoints (see ``_truncate``)."""
+    sym = _truncate(_symmetric(edges), reliable)
     labels = vertices(edges).withColumn("l", F.col("v"))
     for _ in range(iterations):
         nbr_min = (
@@ -70,8 +83,8 @@ def connected_components(
                     F.col("l"), F.coalesce(F.col("nl"), F.col("l"))
                 ).alias("l"),
             )
-            .localCheckpoint(eager=False)
         )
+        labels = _truncate(labels, reliable)
     return labels.select("v", F.col("l").alias("component"))
 
 
@@ -106,7 +119,10 @@ KCORE_ITERATIONS = 8
 
 
 def kcore(
-    edges: DataFrame, k: int = KCORE_K, iterations: int = KCORE_ITERATIONS
+    edges: DataFrame,
+    k: int = KCORE_K,
+    iterations: int = KCORE_ITERATIONS,
+    reliable: bool = False,
 ) -> DataFrame:
     """(v,) — vertices surviving ``iterations`` rounds of k-core peeling
     on the undirected support graph: each round removes vertices with
@@ -114,8 +130,8 @@ def kcore(
     deterministic whether or not converged (unrolled SQL oracle matches
     exactly). Same per-round shape as connected components: one join + one
     aggregate + a semi-join, lineage truncated per round."""
-    sym = _symmetric(edges).where(F.col("src") != F.col("dst")).localCheckpoint(
-        eager=False
+    sym = _truncate(
+        _symmetric(edges).where(F.col("src") != F.col("dst")), reliable
     )
     alive = vertices(edges)
     for _ in range(iterations):
@@ -125,11 +141,11 @@ def kcore(
             .groupBy(F.col("s").alias("v2"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = (
+        alive = _truncate(
             alive.join(
                 deg.where(F.col("deg") >= k), alive.v == F.col("v2"), "left_semi"
-            )
-            .localCheckpoint(eager=False)
+            ),
+            reliable,
         )
     return alive.select("v")
 
@@ -169,6 +185,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,
     damping: float = PR_DAMPING,
+    reliable: bool = False,
 ) -> DataFrame:
     """(v, rank_e9) — PageRank with uniform teleport over the directed
     multigraph (parallel edges count as stronger links, consistent with
@@ -177,10 +194,8 @@ def pagerank(
     (float-valued → registered rows-only, asserted in tests against an
     independent local computation)."""
     ec = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    out_w = ec.groupBy("src").agg(F.sum("w").alias("ow")).localCheckpoint(
-        eager=False
-    )
-    verts = vertices(edges).localCheckpoint(eager=False)
+    out_w = _truncate(ec.groupBy("src").agg(F.sum("w").alias("ow")), reliable)
+    verts = _truncate(vertices(edges), reliable)
     n = verts.count()  # the one driver action: graph order (static)
     if n == 0:
         return verts.select(
@@ -189,10 +204,10 @@ def pagerank(
     ranks = verts.withColumn("r", F.lit(1.0 / n))
     # loop-invariant transition matrix: checkpointed so each iteration
     # reuses the materialized relation instead of re-deriving from edges
-    links = (
+    links = _truncate(
         ec.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .localCheckpoint(eager=False)
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p")),
+        reliable,
     )
     for _ in range(iterations):
         contribs = (
@@ -221,11 +236,11 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            # truncate lineage: ranks feeds both the contrib join and the
-            # dangling aggregate next round — un-checkpointed the plan
-            # doubles per iteration
-            .localCheckpoint(eager=False)
         )
+        # truncate lineage: ranks feeds both the contrib join and the
+        # dangling aggregate next round — un-checkpointed the plan
+        # doubles per iteration
+        ranks = _truncate(ranks, reliable)
     return ranks.select(
         "v", F.floor(F.lit(1e9) * F.col("r")).cast("long").alias("rank_e9")
     )
