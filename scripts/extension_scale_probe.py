@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Scale probes for the extension operators fixed in round 2: LSH
+signatures at real embedding widths and neighborhood Jaccard on a
+hub-heavy graph. Prints one JSON line per probe.
+
+- lsh_wide: signature computation over synthetic embeddings at dims
+  768/1024 — the regime where the old per-term md5/CASE codegen choked;
+  the coefficient-array fold must stay scan-bound.
+- jaccard_hub: a power-law follower graph with one celebrity node. The
+  capped operator's candidate pairs stay bounded; the uncapped pair count
+  is reported for contrast (quadratic in the hub's fan-in).
+
+Usage: python scripts/extension_scale_probe.py [--uncapped]
+(--uncapped also times the no-cap Jaccard run for contrast; slow — the
+hub's quadratic pair fan-out is the point being demonstrated)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from twitter_social_triangle_mapreduce_spark.operators.graph import (  # noqa: E402
+    neighborhood_jaccard_pairs,
+)
+from twitter_social_triangle_mapreduce_spark.operators.similarity import (  # noqa: E402
+    lsh_signature,
+)
+from twitter_social_triangle_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def synth_embeddings(spark, n: int, dims: int):
+    """Deterministic pseudo-random float vectors, generated JVM-side."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dims - 1}),"
+            " d -> cast(pmod(hash(id * 31 + d), 2001) - 1000 as float) / 1000.0F)"
+        ).alias("embedding"),
+    )
+
+
+def hub_graph(spark, n_follows: int, n_users: int, hub_followers: int):
+    """Follower edges with a long-tail neighbor space (mean fan-in ~10)
+    plus ONE celebrity hub followed by ``hub_followers`` distinct users —
+    the single pathological key the cap must neutralize."""
+    base = spark.range(n_follows).select(
+        F.pmod(F.hash("id"), n_users).alias("src"),
+        F.pmod(F.hash(F.col("id") + 1), n_follows // 10).alias("dst"),
+    )
+    hub = spark.range(hub_followers).select(
+        F.col("id").alias("src"), F.lit(999_999_999).alias("dst")
+    )
+    return base.unionByName(hub)
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    v = fn()
+    return v, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="tstm-ext-scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for n, dims in [(100_000, 768), (100_000, 1024)]:
+        emb = synth_embeddings(spark, n, dims).persist()
+        emb.count()
+        cnt, sec = timed(lambda: lsh_signature(emb, dims=dims).count())
+        emb.unpersist()
+        print(
+            json.dumps(
+                {"probe": "lsh_wide", "n": n, "dims": dims, "rows": cnt, "sec": sec}
+            ),
+            flush=True,
+        )
+
+    e = hub_graph(spark, 1_000_000, 200_000, 20_000).persist()
+    e.count()
+    capped, sec_c = timed(
+        lambda: neighborhood_jaccard_pairs(
+            e, min_common=3, max_neighbor_freq=10_000
+        ).count()
+    )
+    out = {
+        "probe": "jaccard_hub",
+        "n_follows": 1_020_000,
+        "hub_fanin": 20_000,
+        "capped_pairs": capped,
+        "sec": sec_c,
+        "uncapped_hub_pairs_alone": 20_000 * 19_999 // 2,
+    }
+    if "--uncapped" in sys.argv:
+        un, sec_u = timed(
+            lambda: neighborhood_jaccard_pairs(
+                e, min_common=3, max_neighbor_freq=10**12
+            ).count()
+        )
+        out["uncapped_pairs"], out["uncapped_sec"] = un, sec_u
+    print(json.dumps(out), flush=True)
+    e.unpersist()
+
+
+if __name__ == "__main__":
+    main()
