@@ -168,14 +168,14 @@ def lsh_signature(
 IVF_CELLS = 4
 
 
-def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
-    """(vec_id, cell) — IVF coarse quantization: assign every vector to its
-    nearest centroid by cosine. Centroids here are the first ``k`` vectors
-    (a deterministic stand-in for k-means training — the operator shape,
-    broadcast-centroids × corpus scoring + per-row argmax, is identical to
-    the trained case). Ties break toward the smaller centroid id.
-    Centroid norms are precomputed on the (tiny) broadcast side."""
-    cents = embeddings.where(F.col("vec_id") < k).select(
+def _centroid_ranked(embeddings: DataFrame, k_cells: int = IVF_CELLS) -> DataFrame:
+    """(vec_id, cid, s, rn) — every vector's cosine score against each of
+    the ``k_cells`` broadcast centroids, ranked per vector (1 = nearest;
+    ties toward the smaller centroid id). The shared subtree of
+    ``ivf_cells`` and the multi-probe assignment: deriving both from ONE
+    ranked relation lets Spark reuse the scored exchange instead of
+    recomputing the corpus × centroid dot products per consumer."""
+    cents = embeddings.where(F.col("vec_id") < k_cells).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
@@ -187,8 +187,18 @@ def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("s").desc(), F.col("cid").asc()
     )
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantization: assign every vector to its
+    nearest centroid by cosine. Centroids here are the first ``k`` vectors
+    (a deterministic stand-in for k-means training — the operator shape,
+    broadcast-centroids × corpus scoring + per-row argmax, is identical to
+    the trained case). Ties break toward the smaller centroid id.
+    Centroid norms are precomputed on the (tiny) broadcast side."""
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        _centroid_ranked(embeddings, k)
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
     )
@@ -199,27 +209,17 @@ def query_probe_cells(
 ) -> DataFrame:
     """(qid, qcell) — the ``nprobe`` closest cells per query vector
     (multi-probe IVF: recall recovers items that fell just across a cell
-    boundary at the cost of scoring nprobe inverted lists)."""
-    cents = embeddings.where(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        _norm("embedding").alias("cn"),
+    boundary at the cost of scoring nprobe inverted lists). Standalone
+    use scores only the query vectors; ``ann_topk_ivf`` instead derives
+    probes from the same ranked relation as the cell assignment so the
+    corpus-wide centroid scoring runs once. The rank per query is
+    identical either way (the window partitions by vector)."""
+    ranked = _centroid_ranked(
+        embeddings.where(F.col("vec_id") < max(n_queries, k_cells)), k_cells
     )
-    dot = _dot("embedding", "ce")
-    scored = (
-        embeddings.where(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("cid"),
-            (dot / F.col("cn")).alias("s"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= nprobe)
-        .select("qid", F.col("cid").alias("qcell"))
+        ranked.where((F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
     )
 
 
@@ -231,10 +231,21 @@ def ann_topk_ivf(
     exact cosine rank across the probed candidates. The candidate join is
     an equi-join on the cell id — the IVF alternative to the LSH bucket
     join, same 100 TB shape: per-query work proportional to nprobe cells,
-    not the corpus."""
-    cells = ivf_cells(embeddings)
+    not the corpus.
+
+    Cell assignment AND query probes are rank filters of ONE
+    ``_centroid_ranked`` relation, so the corpus × centroid scoring (the
+    expensive dot products) is planned once — the shuffled ranked relation
+    is shared via exchange reuse instead of being recomputed per
+    consumer."""
+    ranked = _centroid_ranked(embeddings)
+    cells = ranked.where(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
     emb = embeddings.join(cells, "vec_id")
-    probes = query_probe_cells(embeddings, n_queries, nprobe)
+    probes = ranked.where(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
     q = (
         embeddings.where(F.col("vec_id") < n_queries)
         .select(
