@@ -145,6 +145,14 @@ def lsh_signature(
     action ever runs at plan-construction time. The fold is strictly
     left-to-right in double, identical term order to the SQL oracle, so
     the sums agree bit-for-bit."""
+    return embeddings.select("vec_id", _sig_col(bits, dims).alias("sig"))
+
+
+def _sig_col(bits: int, dims: int):
+    """The signature as a plain Column over ``embedding`` — internal
+    consumers attach it with ``withColumn`` instead of self-joining the
+    ``lsh_signature`` relation back onto the corpus (a join on vec_id
+    whose only purpose is carrying one derived column)."""
     bit_terms = []
     for b, row in enumerate(_lsh_coeffs(bits, dims)):
         coeffs = F.array(*[F.lit(c) for c in row])
@@ -161,7 +169,7 @@ def lsh_signature(
     sig = bit_terms[0]
     for t in bit_terms[1:]:
         sig = sig + t
-    return embeddings.select("vec_id", sig.cast("long").alias("sig"))
+    return sig.cast("long")
 
 
 #: number of IVF cells (stand-in "trained" centroids = first IVF_CELLS vecs)
@@ -292,9 +300,10 @@ def embedding_near_dup_pairs(
     dedup-by-embedding path. Candidates come from LSH bucket collisions
     (equi-join on the hyperplane signature — never vec×vec), then exact
     cosine filters by threshold. At 100 TB this is the only tractable
-    shape for all-pairs near-dup detection."""
-    sigs = lsh_signature(embeddings, bits)
-    emb = embeddings.join(sigs, "vec_id")
+    shape for all-pairs near-dup detection. The signature is attached as
+    a scan-side column (no self-join), and the two join sides share one
+    exchange."""
+    emb = embeddings.withColumn("sig", _sig_col(bits, EMBED_DIMS))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
@@ -331,9 +340,10 @@ def ann_topk_lsh(
     """(qid, nid, rank, sim_e4) — approximate top-k: candidates restricted
     to the query's LSH bucket (same hyperplane signature), then exact
     cosine rank within the bucket. The bucket join replaces the full cross
-    product — the 100 TB path where brute force is infeasible."""
-    sigs = lsh_signature(embeddings, bits)
-    emb = embeddings.join(sigs, "vec_id")
+    product — the 100 TB path where brute force is infeasible. The
+    signature is attached as a scan-side column (no self-join back onto
+    the corpus)."""
+    emb = embeddings.withColumn("sig", _sig_col(bits, EMBED_DIMS))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
