@@ -9,8 +9,10 @@ the noop sink (no driver-side collection cost)."""
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -47,6 +49,15 @@ def run_once(df) -> float:
     return time.perf_counter() - t0
 
 
+def plan_digest(df) -> str:
+    """8-hex digest of the optimized plan with expression ids normalized —
+    stable across sessions, changes iff the plan shape/expressions change.
+    Lets a round-over-round timing delta be attributed: same digest →
+    machine noise; new digest → a real plan change to inspect."""
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    return hashlib.md5(re.sub(r"#\d+", "#", s).encode()).hexdigest()[:8]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -58,8 +69,10 @@ def main() -> None:
 
     queries = registry.all_queries()
     per_query: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
+        plans[name] = plan_digest(fn(spark, sf_dir))
         for _ in range(WARMUP_RUNS):
             run_once(fn(spark, sf_dir))
         times = [run_once(fn(spark, sf_dir)) for _ in range(TIMED_RUNS)]
@@ -74,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf),
+                "plans": plans,
             }
         )
     )
