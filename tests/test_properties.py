@@ -69,3 +69,78 @@ def test_strategies_agree_without_selfloops_and_dups(spark, edges):
     assert scalar(graph.triangle_count_shuffle(e)) == scalar(
         graph.triangle_count_broadcast(e)
     )
+
+
+@given(edges=graphs)
+@SET
+def test_jaccard_cap_neutral_when_above_max_fanin(spark, edges):
+    """A non-binding ``max_neighbor_freq`` must be a pure no-op: capped at
+    any value ≥ the graph's max neighbor fan-in, the pair set equals the
+    effectively-uncapped result (same convention the oracle relies on)."""
+    e = edges_df(spark, edges)
+    fanin = max(
+        len({a for a, b in set(edges) if b == d})
+        for d in {b for _, b in edges}
+    )
+    capped = sorted(
+        map(
+            tuple,
+            graph.neighborhood_jaccard_pairs(
+                e, min_common=1, max_neighbor_freq=fanin
+            ).collect(),
+        )
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            graph.neighborhood_jaccard_pairs(
+                e, min_common=1, max_neighbor_freq=10**9
+            ).collect(),
+        )
+    )
+    assert capped == uncapped
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-8, 8, allow_nan=False, width=32), min_size=6, max_size=6
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    bits=st.integers(1, 8),
+)
+@SET
+def test_lsh_signature_matches_python_reference(spark, vecs, bits):
+    """The coefficient-array fold must reproduce the definitional
+    signature (±1 md5-parity hyperplanes) for arbitrary vectors/widths."""
+    import hashlib
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    dims = 6
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r["sig"] for r in lsh_signature(df, bits, dims).collect()}
+    import struct
+
+    for vid, vec in enumerate(vecs):
+        sig = 0
+        for b in range(bits):
+            proj = 0.0
+            for d in range(dims):
+                nib = hashlib.md5(f"{b}#{d}".encode()).hexdigest()[0]
+                coeff = (
+                    1.0
+                    if ("0123456789abcdef".index(nib) + 1) % 2 == 0
+                    else -1.0
+                )
+                # float32 storage round-trip, then double math — same as Spark
+                proj += coeff * struct.unpack("f", struct.pack("f", vec[d]))[0]
+            if proj > 0:
+                sig |= 1 << b
+        assert got[vid] == sig, (vid, bits)
