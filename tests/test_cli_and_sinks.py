@@ -12,7 +12,10 @@ import pytest
 
 from twitter_social_triangle_mapreduce_spark.cli import run_program
 from twitter_social_triangle_mapreduce_spark.sources.io import (
+    load_table,
     read_edges_csv,
+    read_json_table,
+    write_json,
     write_tsv,
 )
 
@@ -136,3 +139,24 @@ def test_write_tsv_roundtrip(spark, tmp_path):
         .csv(out)
     )
     assert sorted(tuple(r) for r in back.collect()) == [(1, 10), (2, 20)]
+
+
+def test_json_sink_source_roundtrip(spark, tmp_path):
+    """write_json → read_json_table must be lossless on a real table
+    (events at sf0.001, timestamp dropped: JSON-lines carries no native
+    timestamp type — the ns column is interchange-serialized upstream)."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").drop("ts")
+    out = str(tmp_path / "events_json")
+    write_json(ev, out)
+    back = read_json_table(spark, out, ev.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+
+
+def test_json_reader_failfast_on_corrupt_line(spark, tmp_path):
+    d = tmp_path / "badjson"
+    d.mkdir()
+    (d / "part-0.json").write_text('{"a": 1}\n{"a": not-json}\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_json_table(spark, str(d), "a long").collect()

@@ -155,6 +155,17 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("compression", "gzip").json(path)
 
 
+def read_json_table(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema'd JSON-lines reader (the ``write_json`` sink's counterpart).
+    An explicit schema is mandatory: inference would scan the data twice
+    and silently widen types (a bigint column with one null becomes
+    double under inference); FAILFAST surfaces corrupt lines instead of
+    nulling them — same crash-not-skip stance as the CSV reader."""
+    return (
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    )
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
