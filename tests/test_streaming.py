@@ -71,6 +71,30 @@ def test_streaming_window_counts_matches_batch(spark):
     assert got == closed
 
 
+def test_streaming_session_windows_match_batch(spark):
+    """Streaming session_window must converge to the batch
+    sessionize_native result on bounded input (complete mode emits every
+    session; the batch twin's NTZ micros equal the stream's instant
+    micros by construction)."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        sessionize_native,
+        streaming_sessionize,
+    )
+
+    ev = st.read_events_stream(spark, SF_SMOKE)
+    sink = run_to_completion(streaming_sessionize(ev), mode="complete")
+    got = sorted(map(tuple, spark.table(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            sessionize_native(load_table(spark, SF_SMOKE, "events"))
+            .select("user_id", "sess_start_us", "n_events")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_path2_matches_batch(spark):
     ev = st.read_events_stream(spark, SF_SMOKE)
     static_edges = edges_from_events(spark, SF_SMOKE)

@@ -5,6 +5,7 @@ from .streams import (  # noqa: F401
     streaming_event_window_counts,
     streaming_path2_against_static,
     streaming_path2_stream_stream,
+    streaming_sessionize,
     streaming_triangle_closures,
     streaming_user_running_counts,
 )

@@ -206,6 +206,29 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def streaming_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization — the streaming twin of
+    ``sessionize_native``: native ``session_window`` merges events within
+    ``gap`` into growing sessions across micro-batches; the watermark
+    bounds state (sessions whose close falls behind it are finalized and
+    evicted). The stream's event time is TIMESTAMP (watermark contract),
+    so epoch µs comes from ``unix_micros`` — an instant→integer map with
+    no session-timezone involvement, numerically equal to the batch
+    twin's NTZ wall-clock micros because the source nanos are UTC-based."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup_against_corpus(
     docs_stream: DataFrame,
     corpus_bands: DataFrame,
