@@ -104,12 +104,14 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     co-locate, so the sort-merge join needs no exchange on either side."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from twitter_social_triangle_mapreduce_spark.sources.io import (
+            write_bucketed_table,
+        )
+
         e = edges_from_events(spark, SF_SMOKE)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         for name, df in (("b_edges", e), ("b_deg", deg)):
-            df.write.mode("overwrite").bucketBy(8, "src").sortBy(
-                "src"
-            ).saveAsTable(name)
+            write_bucketed_table(df, name, 8, ["src"])
         joined = spark.table("b_edges").join(spark.table("b_deg"), "src")
         plan = joined._sc._jvm.PythonSQLUtils.explainString(
             joined._jdf.queryExecution(), "formatted"

@@ -175,6 +175,27 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    key_cols: list[str],
+    sort: bool = True,
+) -> None:
+    """Bucketed managed-table sink: tables written with the same
+    bucketing on their join key co-locate, so a recurring equi-join
+    between them needs NO exchange on either side — at 100 TB the
+    difference between shuffling the fact table on every query and never
+    shuffling it (plan-asserted in
+    tests/test_components_and_scale.py::test_bucketed_join_avoids_shuffle).
+    ``sort`` additionally orders each bucket on the key, removing the
+    per-task sort from sort-merge joins."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *key_cols)
+    if sort:
+        writer = writer.sortBy(*key_cols)
+    writer.saveAsTable(name)
+
+
 def write_tsv(df: DataFrame, path: str) -> None:
     """S5 text sink: tab-separated lines, mirroring the reference's
     ``mapreduce.output.textoutputformat.separator=\\t``
