@@ -67,7 +67,11 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     filter in PushedFilters and read only the 6 referenced columns."""
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return (
-        lineitem.where(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        # l_shipdate is naive parquet ms → TimestampNTZ; compare against
+        # an NTZ literal so no session-timezone interpretation is involved
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
