@@ -95,6 +95,35 @@ def test_streaming_session_windows_match_batch(spark):
     assert got == want
 
 
+def test_streaming_json_source_reader_swap(spark, tmp_path):
+    """The reader-swap claim, proven: the same sessionization operator
+    consuming a JSON-lines stream (interchange format, raw ns ts) must
+    produce the identical result as over the parquet stream / batch."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        read_events_stream_json,
+        sessionize_native,
+        streaming_sessionize,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts stays bigint
+    json_dir = str(tmp_path / "events_json_stream")
+    raw.write.mode("overwrite").json(json_dir)
+
+    ev = read_events_stream_json(spark, json_dir)
+    sink = run_to_completion(streaming_sessionize(ev), mode="complete")
+    got = sorted(map(tuple, spark.table(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            sessionize_native(load_table(spark, SF_SMOKE, "events"))
+            .select("user_id", "sess_start_us", "n_events")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_streaming_path2_matches_batch(spark):
     ev = st.read_events_stream(spark, SF_SMOKE)
     static_edges = edges_from_events(spark, SF_SMOKE)

@@ -1,5 +1,6 @@
 from .streams import (  # noqa: F401
     read_events_stream,
+    read_events_stream_json,
     sessionize_native,
     streaming_dedup_against_corpus,
     streaming_event_window_counts,

@@ -58,6 +58,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", ts_ltz_from_nanos("ts"))
 
 
+def read_events_stream_json(spark: SparkSession, path: str) -> DataFrame:
+    """Alternative stream reader over JSON-lines event files (the
+    interchange format ``sources.io.write_json`` emits, with ``ts`` as
+    raw ns-since-epoch) — proves the reader-swap claim: every downstream
+    streaming operator takes the DataFrame this returns exactly as it
+    takes the parquet reader's, and a Kafka reader would slot in the
+    same way (``spark.readStream.format("kafka")`` + ``from_json`` over
+    the value column against EVENTS_STREAM_SCHEMA)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+    return raw.withColumn("ts", ts_ltz_from_nanos("ts"))
+
+
 def streaming_event_window_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
