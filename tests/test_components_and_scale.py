@@ -126,3 +126,37 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         )
         for name in ("b_edges", "b_deg"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_hll_sketch_rollup_lossless_merge_and_error_bound(spark):
+    """The stored-sketch pattern must be exact under merging: unioning
+    the daily sketches gives the SAME estimate as one direct pass (lossless
+    at equal lgK), and the estimate tracks the true distinct count within
+    HLL error (default lgK=12 → ~2.5% peak; assert a loose 5%)."""
+    from pyspark.sql import functions as F
+
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        user_sketch_rollup,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    merged = {
+        r["event_type"]: r["est_users"]
+        for r in user_sketch_rollup(ev).collect()
+    }
+    direct = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct  # union of partials == single pass
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= max(2, 0.05 * n), (t, merged[t], n)

@@ -233,6 +233,34 @@ def user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def user_sketches_daily(events: DataFrame) -> DataFrame:
+    """(d, event_type, sk) — per-(day, type) HyperLogLog sketches of
+    distinct users (DataSketches ``hll_sketch_agg``). THE distinct-count
+    pattern at 100 TB: sketches are built once at ingest granularity and
+    stored as a tiny binary column; any coarser rollup (weekly, per-type,
+    global) is then a cheap ``hll_union_agg`` over stored sketches — no
+    rescan of raw events, and unions are associative so they parallelize
+    and incrementally update."""
+    return events.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+
+
+def user_sketch_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, est_users) — distinct users per event type via union
+    of the daily sketches. Estimates are engine/sketch-specific (no SQL
+    oracle — rows-only); the test asserts the merged estimate equals the
+    direct single-pass estimate EXACTLY (sketch union is lossless at
+    equal lgK) and tracks the exact distinct count within HLL error."""
+    return (
+        user_sketches_daily(events)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

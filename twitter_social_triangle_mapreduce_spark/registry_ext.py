@@ -330,8 +330,15 @@ EXT_QUERIES = {
 #: sessionize_native duplicates sessionize's SEMANTICS through the native
 #: ``session_window`` operator — the weakest marginal driver signal — and
 #: keeps its full hash-level oracle check in pytest.
+def q_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_sketch_rollup(load_table(spark, sf_dir, "events"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
+    # HLL estimates are sketch-implementation-specific: rows-only by
+    # nature; merge-losslessness + error bound asserted in pytest
+    "user_sketch_rollup": q_user_sketch_rollup,
 }
 
 
