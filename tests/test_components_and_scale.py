@@ -160,3 +160,36 @@ def test_hll_sketch_rollup_lossless_merge_and_error_bound(spark):
     assert merged == direct  # union of partials == single pass
     for t, n in exact.items():
         assert abs(merged[t] - n) <= max(2, 0.05 * n), (t, merged[t], n)
+
+
+def test_approx_percentiles_track_exact(spark):
+    """The bounded-memory percentile sketch returns an actual data value
+    within its RANK error (≤1/accuracy), unlike the interpolating exact
+    percentile — so the right assertion is rank containment: the fraction
+    of each group's values at or below the sketch's answer must bracket
+    the requested quantile."""
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        value_percentiles_approx,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    approx = {
+        r["event_type"]: (r["p50_e4"], r["p95_e4"])
+        for r in value_percentiles_approx(ev).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(vals)
+    for t, (a50, a95) in approx.items():
+        xs = sorted(vals[t])
+        n = len(xs)
+        # discreteness: one rank = 1/n; allow one extra rank of slack
+        slack = 1.5 / n
+        for q, a in ((0.5, a50), (0.95, a95)):
+            v = a / 10000.0
+            at_or_below = sum(1 for x in xs if 10000 * x <= a + 1) / n
+            below = sum(1 for x in xs if 10000 * x < a) / n
+            assert below <= q + slack, (t, q, v, below)
+            assert at_or_below >= q - slack, (t, q, v, at_or_below)

@@ -164,6 +164,26 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """(event_type, p50_e4, p95_e4) — the 100 TB twin of
+    ``value_percentiles``: ``percentile_approx`` (Greenwald-Khanna
+    sketch) aggregates with bounded memory and mergeable partial state,
+    where the exact percentile must buffer and sort every group's values.
+    Error ≤ 1/accuracy of the rank. Sketch results are
+    implementation-specific (no SQL oracle — rows-only); the test bounds
+    the deviation from the exact percentiles."""
+    return events.groupBy("event_type").agg(
+        F.floor(10000 * F.expr(f"percentile_approx(value, 0.5, {accuracy})"))
+        .cast("long")
+        .alias("p50_e4"),
+        F.floor(10000 * F.expr(f"percentile_approx(value, 0.95, {accuracy})"))
+        .cast("long")
+        .alias("p95_e4"),
+    )
+
+
 def value_histogram(events: DataFrame, bucket_width: float = 50.0) -> DataFrame:
     """Fixed-width histogram of ``value``: integer bucket = floor(v/width).
     One aggregation, fully portable arithmetic."""

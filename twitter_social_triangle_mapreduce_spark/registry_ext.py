@@ -334,11 +334,18 @@ def q_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_sketch_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.value_percentiles_approx(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
-    # HLL estimates are sketch-implementation-specific: rows-only by
-    # nature; merge-losslessness + error bound asserted in pytest
+    # sketch results are implementation-specific: rows-only by nature;
+    # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
+    "value_percentiles_approx": q_value_percentiles_approx,
 }
 
 
