@@ -46,6 +46,27 @@ def test_reliable_checkpoint_mode_identical_results(spark, tmp_path):
     assert kb == kr
 
 
+def test_bfs_levels_golden(spark):
+    """1→2→3→1 cycle with a tail 3→4: hops from 1 are 0,1,2,3; the cycle
+    must not relabel already-reached vertices (BFS invariant)."""
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    got = {r["v"]: r["hop"] for r in components.bfs_levels(e, source=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_unreachable_and_bounded(spark):
+    """Vertices beyond max_hops (or unreachable) are absent; the source
+    itself is present even when isolated."""
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (9, 9)])
+    got = {
+        r["v"]: r["hop"]
+        for r in components.bfs_levels(e, source=1, max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+    lone = {r["v"]: r["hop"] for r in components.bfs_levels(e, source=7).collect()}
+    assert lone == {7: 0}
+
+
 def test_pagerank_against_independent_computation(spark):
     """Fixed-iteration PageRank vs a plain-Python reimplementation on the
     collected sf0.001 graph; float sums may differ in association order,

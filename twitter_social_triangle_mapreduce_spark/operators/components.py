@@ -181,6 +181,59 @@ def kcore_oracle_sql(
     return ",\n".join(parts) + f"\nSELECT v FROM alive{iterations}"
 
 
+BFS_MAX_HOPS = 4
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = BFS_MAX_HOPS,
+    reliable: bool = False,
+) -> DataFrame:
+    """(v, hop) — shortest directed hop distance from ``source`` for every
+    vertex within ``max_hops`` — the k-hop generalization of the
+    reference's length-2 path exploration (``SocialTriangle_RS.java``
+    Job 1 enumerates exactly the hop≤2 frontier). Per round: expand the
+    CURRENT frontier (rows whose hop equals the round number — vertices
+    already reached earlier are not re-expanded, the BFS invariant) with
+    one join + a min-aggregate. Integer-deterministic, so the unrolled
+    SQL oracle matches exactly; same per-round lineage truncation as the
+    other iteratives."""
+    spark = edges.sparkSession
+    levels = spark.createDataFrame([(source, 0)], "v long, hop long")
+    for k in range(max_hops):
+        frontier = levels.where(F.col("hop") == k)
+        nxt = frontier.join(edges, frontier.v == edges.src).select(
+            F.col("dst").alias("v"), F.lit(k + 1).cast("long").alias("hop")
+        )
+        levels = _truncate(
+            levels.unionByName(nxt).groupBy("v").agg(F.min("hop").alias("hop")),
+            reliable,
+        )
+    return levels
+
+
+def bfs_levels_oracle_sql(
+    edges_sql: str, source: int, max_hops: int = BFS_MAX_HOPS
+) -> str:
+    """Unrolled DuckDB twin of ``bfs_levels`` — identical per-round
+    frontier expansion and min algebra."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"l0 AS (SELECT CAST({source} AS BIGINT) AS v, CAST(0 AS BIGINT) AS hop)",
+    ]
+    for k in range(max_hops):
+        parts.append(
+            f"l{k + 1} AS MATERIALIZED (SELECT v, MIN(hop) AS hop FROM ("
+            f"SELECT v, hop FROM l{k}"
+            f" UNION ALL"
+            f" SELECT e.dst AS v, CAST({k + 1} AS BIGINT) AS hop"
+            f" FROM l{k} f JOIN edges e ON f.v = e.src WHERE f.hop = {k}"
+            f") GROUP BY v)"
+        )
+    return ",\n".join(parts) + f"\nSELECT v, hop FROM l{max_hops}"
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = PR_ITERATIONS,

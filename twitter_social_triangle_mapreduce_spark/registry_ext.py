@@ -340,12 +340,23 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BFS source for the registered k-hop query (vertex 0 is always present:
+#: dst = (...)%200 covers 0..199 on the testdata graph)
+BFS_SOURCE = 0
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.bfs_levels(edges_from_events(spark, sf_dir), BFS_SOURCE)
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
     # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
     "value_percentiles_approx": q_value_percentiles_approx,
+    # k-hop BFS: exact unrolled oracle, hash-checked in pytest
+    "bfs_levels": q_bfs_levels,
 }
 
 
@@ -809,6 +820,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out = dict(EXT_ORACLES)
     out["connected_components"] = components.connected_components_oracle_sql(
         EDGES_FROM_EVENTS_SQL
+    )
+    out["bfs_levels"] = components.bfs_levels_oracle_sql(
+        EDGES_FROM_EVENTS_SQL, BFS_SOURCE
     )
     sig = _lsh_sig_sql(dims)
     out["lsh_signature"] = f"""
