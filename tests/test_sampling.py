@@ -1,0 +1,63 @@
+"""Deterministic sampling/splitting guarantees: pure function of
+(key, salt) — stable across reruns and corpus growth, correct fractions,
+and sample ⊂ corpus by construction. The engine-exact DuckDB parity of
+the split is covered by the oracle differential (doc_train_test_split)."""
+
+from __future__ import annotations
+
+from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    hash_sample,
+    train_test_split,
+)
+from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+from conftest import SF_SMOKE
+
+
+def _splits(df):
+    return {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+
+
+def test_split_deterministic_across_runs(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = _splits(train_test_split(docs, "doc_id"))
+    b = _splits(train_test_split(docs, "doc_id"))
+    assert a == b and set(a.values()) == {"test", "train"}
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """Adding documents must never flip an existing document's split —
+    the auditability property random sampling lacks."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = _splits(train_test_split(docs, "doc_id"))
+    subset = _splits(train_test_split(docs.where("doc_id < 100"), "doc_id"))
+    assert subset == {k: v for k, v in full.items() if k < 100}
+
+
+def test_split_fraction_within_tolerance(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    split = train_test_split(docs, "doc_id", test_frac=0.2)
+    n = docs.count()
+    n_test = split.where("split = 'test'").count()
+    # md5 buckets are uniform; 500 docs at p=0.2 → σ≈8.9, allow 4σ
+    assert abs(n_test - 0.2 * n) <= 4 * (0.2 * 0.8 * n) ** 0.5
+
+
+def test_hash_sample_is_split_consistent(spark):
+    """hash_sample(frac) with the split salt keeps exactly the 'test'
+    side of train_test_split(frac) — one bucket function, two views."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sampled = {
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.1, salt="split").collect()
+    }
+    test_side = {
+        k for k, v in _splits(train_test_split(docs, "doc_id", 0.1)).items()
+        if v == "test"
+    }
+    assert sampled == test_side
+
+
+def test_bucket_granularity_is_exact():
+    assert SPLIT_BUCKETS == 10**6  # fractions exact to 1e-6

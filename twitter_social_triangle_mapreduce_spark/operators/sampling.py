@@ -1,0 +1,88 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+Reproducibility contract: a row's assignment depends ONLY on its key and
+the salt — stable across runs, engines, partitionings, cluster sizes, and
+corpus growth (adding documents never flips an existing document's
+split). This is the property ``df.sample()`` / ``randomSplit()`` lack
+(their draws depend on partitioning and seed plumbing), and it is what
+makes train/test membership auditable months later: recompute the hash,
+get the same answer. The bucket function is the engine-portable md5
+arithmetic shared with the dedup pipeline (`functions.hashing`), so a
+DuckDB oracle reproduces assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex_prefix_to_long_sql
+
+#: bucket granularity: fractions are exact to 1e-6
+SPLIT_BUCKETS = 1_000_000
+
+_DIGEST = "__tstm_split_digest"
+
+
+def _with_bucket(df: DataFrame, key: str, salt: str) -> DataFrame:
+    """Attach the deterministic [0, SPLIT_BUCKETS) bucket of ``key``.
+    Two-step (digest column, then nibble arithmetic) so md5 is computed
+    once per row, not once per nibble."""
+    digest = F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#{salt}")))
+    return df.withColumn(_DIGEST, digest).withColumn(
+        "__tstm_bucket",
+        F.expr(hex_prefix_to_long_sql(_DIGEST, 7)) % SPLIT_BUCKETS,
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash. Unlike
+    ``df.sample`` the decision is a pure function of (key, salt):
+    rerunning, repartitioning, or growing the corpus never changes which
+    keys are kept — the reproducible-downsampling primitive."""
+    cut = int(fraction * SPLIT_BUCKETS)
+    return (
+        _with_bucket(df, key, salt)
+        .where(F.col("__tstm_bucket") < cut)
+        .drop(_DIGEST, "__tstm_bucket")
+    )
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_frac: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """All rows with a ``split`` column ∈ {'test','train'} assigned by
+    key hash: deterministic, engine-portable, leak-free (a key appearing
+    in many rows lands wholly on one side — group by the DOCUMENT or
+    USER key, never a row id, to avoid near-duplicate leakage across the
+    boundary)."""
+    cut = int(test_frac * SPLIT_BUCKETS)
+    return (
+        _with_bucket(df, key, salt)
+        .withColumn(
+            "split",
+            F.when(F.col("__tstm_bucket") < cut, F.lit("test")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop(_DIGEST, "__tstm_bucket")
+    )
+
+
+def split_oracle_sql(
+    table: str, key: str, test_frac: float = 0.1, salt: str = "split"
+) -> str:
+    """DuckDB twin of ``train_test_split`` projected to (key, split)."""
+    cut = int(test_frac * SPLIT_BUCKETS)
+    bucket = hex_prefix_to_long_sql("dg", 7)
+    return f"""
+        WITH d AS (SELECT {key},
+                          md5(concat(CAST({key} AS VARCHAR), '#{salt}')) AS dg
+                   FROM {table})
+        SELECT {key},
+               CASE WHEN ({bucket} % {SPLIT_BUCKETS}) < {cut}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM d
+    """

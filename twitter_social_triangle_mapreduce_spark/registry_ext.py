@@ -349,6 +349,14 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.bfs_levels(edges_from_events(spark, sf_dir), BFS_SOURCE)
 
 
+def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import train_test_split
+
+    return train_test_split(
+        load_table(spark, sf_dir, "documents"), key="doc_id"
+    ).select("doc_id", "split")
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -357,6 +365,8 @@ EXT_EXTRA_QUERIES = {
     "value_percentiles_approx": q_value_percentiles_approx,
     # k-hop BFS: exact unrolled oracle, hash-checked in pytest
     "bfs_levels": q_bfs_levels,
+    # deterministic hash split: exact oracle, hash-checked in pytest
+    "doc_train_test_split": q_doc_train_test_split,
 }
 
 
@@ -824,6 +834,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["bfs_levels"] = components.bfs_levels_oracle_sql(
         EDGES_FROM_EVENTS_SQL, BFS_SOURCE
     )
+    from .operators.sampling import split_oracle_sql
+
+    out["doc_train_test_split"] = split_oracle_sql("documents", "doc_id")
     sig = _lsh_sig_sql(dims)
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
