@@ -7,7 +7,9 @@ matching ``oracle_sql()`` in DuckDB with the tables pre-registered as
 views, and compares row count, column names, and an order-insensitive,
 column-name-sorted value multiset — the same gate the driver applies.
 
-Usage: python scripts/driver_sim.py [sf_dir]  (default /root/testdata/sf0.01)
+Usage: python scripts/driver_sim.py [sf_dir] [--include-extra]
+(default sf_dir /root/testdata/sf0.01; --include-extra also checks the
+pytest-tier queries the 50-row driver cap keeps off the registry)
 Prints one line per query and a final tally; exit code 1 on any mismatch.
 """
 
@@ -34,7 +36,9 @@ def _norm(v):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--include-extra"]
+    include_extra = "--include-extra" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
@@ -48,7 +52,13 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if include_extra:
+        from twitter_social_triangle_mapreduce_spark import registry
+
+        queries = registry.all_queries(include_extra=True)
+        oracles = registry.all_oracles(include_extra=True)
+    else:
+        queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_rows_only = 0
     failures: list[str] = []
     for name, fn in queries.items():
