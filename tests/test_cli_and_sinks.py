@@ -160,3 +160,49 @@ def test_json_reader_failfast_on_corrupt_line(spark, tmp_path):
     (d / "part-0.json").write_text('{"a": 1}\n{"a": not-json}\n')
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         read_json_table(spark, str(d), "a long").collect()
+
+
+def test_cli_approx_cardinality_filter_binds(spark, tmp_path):
+    """The 4th reference program end-to-end through the CLI: ids
+    straddling the 7,812,500 cutoff so the strict < filter actually
+    discards edges (ApproxCardinality.java:24 — both endpoints)."""
+    d = tmp_path / "approx_in"
+    d.mkdir()
+    big = 7_812_500
+    rows = [
+        (1, 2), (2, 3), (2, 4),              # small ids: kept
+        (big - 1, 2), (big, 2), (big + 5, 2),  # at/above cutoff: dropped
+        (2, big), (5, big - 1),
+    ]
+    (d / "edges.csv").write_text("\n".join(f"{a},{b}" for a, b in rows) + "\n")
+    out = str(tmp_path / "approx_out")
+    got = run_program(spark, "approx_cardinality", str(d), out)
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH edges AS (
+            SELECT column0 AS src, column1 AS dst
+            FROM read_csv('{d}/edges.csv', header=false,
+                          columns={{'column0':'BIGINT','column1':'BIGINT'}})
+        ),
+        f AS (SELECT * FROM edges WHERE src < {big} AND dst < {big}),
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM f GROUP BY src),
+        ins AS (SELECT dst AS node, COUNT(*) AS m FROM f GROUP BY dst)
+        SELECT COALESCE(SUM(m * n), 0) FROM ins JOIN outs USING (node)
+        """
+    ).fetchone()[0]
+    assert got == want
+    # sanity: the cutoff really binds on this fixture (unfiltered differs)
+    unfiltered = con.execute(
+        f"""
+        WITH edges AS (
+            SELECT column0 AS src, column1 AS dst
+            FROM read_csv('{d}/edges.csv', header=false,
+                          columns={{'column0':'BIGINT','column1':'BIGINT'}})
+        ),
+        outs AS (SELECT src AS node, COUNT(*) AS n FROM edges GROUP BY src),
+        ins AS (SELECT dst AS node, COUNT(*) AS m FROM edges GROUP BY dst)
+        SELECT COALESCE(SUM(m * n), 0) FROM ins JOIN outs USING (node)
+        """
+    ).fetchone()[0]
+    assert unfiltered != want
