@@ -206,3 +206,25 @@ def test_cli_approx_cardinality_filter_binds(spark, tmp_path):
         """
     ).fetchone()[0]
     assert unfiltered != want
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """50 tiny files → a handful of right-sized ones, data unchanged."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "tiny")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").drop("ts")
+    ev.repartition(50).write.parquet(src)
+    n_src = len(glob.glob(f"{src}/part-*"))
+    assert n_src == 50
+
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_mb=256)
+    n_dst = len(glob.glob(f"{dst}/part-*"))
+    assert n == 1 and n_dst == 1  # 1000 rows ≪ 256 MB
+    back = spark.read.parquet(dst)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )

@@ -175,6 +175,30 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, src_path: str, dst_path: str, target_file_mb: int = 256
+) -> int:
+    """Rewrite a parquet dataset into ~``target_file_mb`` files and return
+    the output file count. Streaming sinks and fine-grained ingestion
+    leave thousands of tiny files; at 100 TB, listing and opening them
+    dominates scan time (the "small files problem"), and compaction to
+    row-group-sized files is the standard maintenance job. The target
+    count comes from the dataset's ACTUAL on-disk bytes via the Hadoop
+    FileSystem API (works unchanged on HDFS/S3A, not just local paths),
+    never from row counts — compressed width per row varies wildly."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    size_bytes = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_path).repartition(n).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    return n
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,
