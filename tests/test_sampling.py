@@ -61,3 +61,24 @@ def test_hash_sample_is_split_consistent(spark):
 
 def test_bucket_granularity_is_exact():
     assert SPLIT_BUCKETS == 10**6  # fractions exact to 1e-6
+
+
+def test_column_profile_single_pass_and_nulls(spark):
+    """Profile counts on a fixture with known nulls/duplicates; the plan
+    must contain exactly one scan of the input (one-pass contract)."""
+    from twitter_social_triangle_mapreduce_spark.operators.profile import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (4, None)],
+        "k long, v string",
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in column_profile(df).collect()
+    }
+    assert got == {"k": (5, 0, 4), "v": (5, 2, 2)}
+
+    plan = column_profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1  # one scan, however many columns

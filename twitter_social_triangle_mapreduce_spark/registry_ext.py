@@ -357,6 +357,16 @@ def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+#: columns profiled by the documents data-quality audit query
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import column_profile
+
+    return column_profile(load_table(spark, sf_dir, "documents"), PROFILE_COLS)
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -367,6 +377,8 @@ EXT_EXTRA_QUERIES = {
     "bfs_levels": q_bfs_levels,
     # deterministic hash split: exact oracle, hash-checked in pytest
     "doc_train_test_split": q_doc_train_test_split,
+    # one-pass data-quality profile: exact oracle, hash-checked in pytest
+    "doc_profile": q_doc_profile,
 }
 
 
@@ -837,6 +849,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators.sampling import split_oracle_sql
 
     out["doc_train_test_split"] = split_oracle_sql("documents", "doc_id")
+    from .operators.profile import profile_oracle_sql
+
+    out["doc_profile"] = profile_oracle_sql("documents", PROFILE_COLS)
     sig = _lsh_sig_sql(dims)
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
