@@ -83,8 +83,15 @@ def main() -> int:
             continue
         perm = [scols.index(c) for c in sorted(scols)]
         operm = [ocols.index(c) for c in sorted(ocols)]
-        sset = sorted(tuple(_norm(r[i]) for i in perm) for r in srows)
-        oset = sorted(tuple(_norm(r[i]) for i in operm) for r in orows)
+        # key=repr: NULLs are not orderable against ints; repr gives a
+        # total order that is identical on both sides, which is all an
+        # equality comparison of sorted multisets needs
+        sset = sorted(
+            (tuple(_norm(r[i]) for i in perm) for r in srows), key=repr
+        )
+        oset = sorted(
+            (tuple(_norm(r[i]) for i in operm) for r in orows), key=repr
+        )
         if sset != oset:
             failures.append(name)
             print(

@@ -106,3 +106,45 @@ def test_neighborhood_jaccard_cap_does_not_bind_on_testdata(spark, duck):
         .collect()[0][0]
     )
     assert max_fanin <= 1000
+
+
+def test_lsh_signature_rejects_width_mismatch(spark):
+    """A corpus whose embedding width differs from dims must FAIL LOUDLY:
+    zip_with null-padding would otherwise zero every signature and
+    collapse the bucket join into all-pairs (review finding)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="width must equal dims"):
+        lsh_signature(df, bits=4, dims=64).collect()
+    # matching dims works
+    assert lsh_signature(df, bits=4, dims=16).count() == 1
+
+
+def test_sessionize_native_ltz_input_timezone_independent(spark):
+    """sessionize_native advertises batch AND streaming inputs; with a
+    TIMESTAMP (LTZ) event-time column the epoch extraction must not
+    shift with the session timezone (review finding)."""
+    from pyspark.sql import functions as F
+
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        sessionize_native,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 1_700_000_000_000_000), (1, 1_700_000_060_000_000)],
+        "user_id long, us long",
+    )
+    ltz = base.select("user_id", F.timestamp_micros("us").alias("ts"))
+    tz_key = "spark.sql.session.timeZone"
+    original = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        got = sessionize_native(ltz).collect()
+    finally:
+        spark.conf.set(tz_key, original)
+    assert [(r["user_id"], r["sess_start_us"], r["n_events"]) for r in got] == [
+        (1, 1_700_000_000_000_000, 2)
+    ]

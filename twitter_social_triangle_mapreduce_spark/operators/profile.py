@@ -21,7 +21,9 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     computed in one aggregation pass (exact distincts — swap in
     ``approx_count_distinct`` for ultra-high-cardinality columns when the
     exact shuffle is not worth it)."""
-    cols = cols or df.columns
+    cols = df.columns if cols is None else cols
+    if not cols:
+        raise ValueError("column_profile: no columns to profile")
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nnull_{c}"))

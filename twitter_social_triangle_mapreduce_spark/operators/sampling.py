@@ -42,7 +42,7 @@ def hash_sample(
     ``df.sample`` the decision is a pure function of (key, salt):
     rerunning, repartitioning, or growing the corpus never changes which
     keys are kept — the reproducible-downsampling primitive."""
-    cut = int(fraction * SPLIT_BUCKETS)
+    cut = round(fraction * SPLIT_BUCKETS)
     return (
         _with_bucket(df, key, salt)
         .where(F.col("__tstm_bucket") < cut)
@@ -58,7 +58,10 @@ def train_test_split(
     in many rows lands wholly on one side — group by the DOCUMENT or
     USER key, never a row id, to avoid near-duplicate leakage across the
     boundary)."""
-    cut = int(test_frac * SPLIT_BUCKETS)
+    # round, not int(): 0.29 * 1e6 is 289999.99999999994 in binary
+    # floating point and truncation would shave a bucket off the
+    # documented 1e-6-exact granularity
+    cut = round(test_frac * SPLIT_BUCKETS)
     return (
         _with_bucket(df, key, salt)
         .withColumn(
@@ -75,7 +78,7 @@ def split_oracle_sql(
     table: str, key: str, test_frac: float = 0.1, salt: str = "split"
 ) -> str:
     """DuckDB twin of ``train_test_split`` projected to (key, split)."""
-    cut = int(test_frac * SPLIT_BUCKETS)
+    cut = round(test_frac * SPLIT_BUCKETS)  # keep in lockstep with the Spark side
     bucket = hex_prefix_to_long_sql("dg", 7)
     return f"""
         WITH d AS (SELECT {key},

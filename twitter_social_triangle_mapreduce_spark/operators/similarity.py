@@ -152,7 +152,13 @@ def _sig_col(bits: int, dims: int):
     """The signature as a plain Column over ``embedding`` — internal
     consumers attach it with ``withColumn`` instead of self-joining the
     ``lsh_signature`` relation back onto the corpus (a join on vec_id
-    whose only purpose is carrying one derived column)."""
+    whose only purpose is carrying one derived column).
+
+    Width guard: if a row's embedding width differs from ``dims``, the
+    zip_with null-padding would silently zero the fold and collapse every
+    vector into bucket 0 (degenerating the bucket join to all-pairs) —
+    so a mismatch raises instead (``raise_error`` branch), the same
+    crash-not-corrupt stance as the FAILFAST readers."""
     bit_terms = []
     for b, row in enumerate(_lsh_coeffs(bits, dims)):
         coeffs = F.array(*[F.lit(c) for c in row])
@@ -169,7 +175,22 @@ def _sig_col(bits: int, dims: int):
     sig = bit_terms[0]
     for t in bit_terms[1:]:
         sig = sig + t
-    return sig.cast("long")
+    # NULL embeddings keep the legacy sig=0 (proj NULL → every bit 0);
+    # only a genuine width mismatch raises
+    ok = F.col("embedding").isNull() | (
+        F.size(F.col("embedding")) == F.lit(dims)
+    )
+    return (
+        F.when(ok, sig)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"lsh signature: embedding width must equal dims={dims}"
+                )
+            ).cast("long")
+        )
+        .cast("long")
+    )
 
 
 #: number of IVF cells (stand-in "trained" centroids = first IVF_CELLS vecs)
@@ -294,7 +315,10 @@ def ann_topk_ivf(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, bits: int = LSH_BITS, min_sim_e4: int = 0
+    embeddings: DataFrame,
+    bits: int = LSH_BITS,
+    min_sim_e4: int = 0,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_e4) — embedding-cosine near-duplicate pairs: the
     dedup-by-embedding path. Candidates come from LSH bucket collisions
@@ -302,8 +326,9 @@ def embedding_near_dup_pairs(
     cosine filters by threshold. At 100 TB this is the only tractable
     shape for all-pairs near-dup detection. The signature is attached as
     a scan-side column (no self-join), and the two join sides share one
-    exchange."""
-    emb = embeddings.withColumn("sig", _sig_col(bits, EMBED_DIMS))
+    exchange. ``dims`` must match the corpus width (guarded — see
+    ``_sig_col``)."""
+    emb = embeddings.withColumn("sig", _sig_col(bits, dims))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
@@ -335,15 +360,20 @@ def embedding_near_dup_pairs(
 
 
 def ann_topk_lsh(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 3, bits: int = LSH_BITS
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    bits: int = LSH_BITS,
+    dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """(qid, nid, rank, sim_e4) — approximate top-k: candidates restricted
     to the query's LSH bucket (same hyperplane signature), then exact
     cosine rank within the bucket. The bucket join replaces the full cross
     product — the 100 TB path where brute force is infeasible. The
     signature is attached as a scan-side column (no self-join back onto
-    the corpus)."""
-    emb = embeddings.withColumn("sig", _sig_col(bits, EMBED_DIMS))
+    the corpus). ``dims`` must match the corpus width (guarded — see
+    ``_sig_col``)."""
+    emb = embeddings.withColumn("sig", _sig_col(bits, dims))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),

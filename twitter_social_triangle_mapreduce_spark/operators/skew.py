@@ -29,23 +29,23 @@ def salted_inner_join(
     """Inner equi-join on ``on`` with left-side salting. Output columns:
     left columns then right's non-key columns (like a plain ``join(on=)``).
 
-    The salt mixes ``monotonically_increasing_id()`` with the row content
-    so EXACT duplicate rows of a hot key still spread across partitions
-    (content-only hashing would send them all to one salt). The id makes
-    the salt assignment non-deterministic across runs — irrelevant to
-    correctness, since the right side is replicated over every salt value
-    (semantics equal the plain inner join; property-tested). The internal
-    column name is collision-resistant against user frames.
+    The salt is a DETERMINISTIC hash of the row's full content. That
+    retry-determinism is load-bearing: a salt depending on task-local
+    state (``monotonically_increasing_id``, ``rand``) changes when a map
+    task is recomputed after a fetch failure, sending the recomputed
+    row's output to a reduce partition that already consumed (duplicate)
+    or will never consume (loss) it — the shuffle-key-nondeterminism bug
+    class. Known limitation, accepted: EXACT duplicate rows of a hot key
+    share a salt and land in one partition; duplicates are typically a
+    small multiplicity, and AQE skew splitting still applies on top. The
+    internal column name is collision-resistant against user frames.
     """
     lcols = left.columns
     rcols = [c for c in right.columns if c not in on]
     salt_col = "__tstm_salt"
     salted_l = left.withColumn(
         salt_col,
-        F.pmod(
-            F.hash(F.monotonically_increasing_id(), *[F.col(c) for c in lcols]),
-            F.lit(num_salts),
-        ),
+        F.pmod(F.hash(*[F.col(c) for c in lcols]), F.lit(num_salts)),
     )
     salted_r = right.withColumn(
         salt_col,

@@ -206,19 +206,24 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     into one growing window. Batch twin of the manual two-window
     formulation in ``operators.relational.sessionize`` — the oracle
     reproduces it with microsecond-exact gap logic. ``session_window``
-    accepts TimestampNTZ directly (Spark ≥3.4), so no TZ-sensitive cast
-    is involved and the epoch-µs output is session-timezone-free."""
-    return (
-        events.groupBy(
-            F.session_window(F.col("ts"), gap).alias("w"),
-            "user_id",
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            ntz_epoch_micros("w.start").alias("sess_start_us"),
-            "n_events",
-        )
+    accepts TimestampNTZ directly (Spark ≥3.4). The epoch-µs extraction
+    dispatches on the event-time type: NTZ wall clocks use the TZ-free
+    ``timestampdiff`` helper, TIMESTAMP instants (what the streaming
+    readers produce) use ``unix_micros`` — mixing them up would shift
+    every value by the session offset on a non-UTC session (timestampdiff
+    coerces an LTZ column through the session zone)."""
+    is_ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    sessed = events.groupBy(
+        F.session_window(F.col("ts"), gap).alias("w"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    start_us = (
+        ntz_epoch_micros("w.start")
+        if is_ntz
+        else F.unix_micros(F.col("w.start"))
+    )
+    return sessed.select(
+        "user_id", start_us.alias("sess_start_us"), "n_events"
     )
 
 
