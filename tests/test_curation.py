@@ -1,0 +1,92 @@
+"""Semantic tests for the dedup/curation DELIVERABLES: near-dup cluster
+closure + canonical election (dedup.near_dup_clusters) and the composed
+curation gates (text.curate_corpus). The sf0.001 oracle hash-match lives
+in test_oracle_differential; these pin the semantics on crafted corpora
+where the expected answer is known by construction."""
+
+from __future__ import annotations
+
+from twitter_social_triangle_mapreduce_spark.operators import dedup, text
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+# a base document long enough to shingle, plus near-variants that keep
+# most 3-shingles intact (high minhash collision probability)
+_BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_VAR1 = _BASE + " lambda"
+_VAR2 = _BASE + " lambda mu"
+_OTHER = "one two three four five six seven eight nine ten eleven"
+
+
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    """VAR1 collides with BASE and VAR2; even if BASE and VAR2 never share
+    a band, transitive closure must place all three in ONE cluster with
+    the min doc_id canonical. Unrelated docs stay singletons."""
+    corpus = docs_df(
+        spark, [(10, _BASE), (11, _VAR1), (12, _VAR2), (30, _OTHER)]
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.near_dup_clusters(corpus).collect()
+    }
+    assert got[10] == (10, 1)
+    assert got[11] == (10, 0)
+    assert got[12] == (10, 0)
+    assert got[30] == (30, 1)
+
+
+def test_near_dup_clusters_exact_copies_cluster(spark):
+    """Exact copies share every band — always one cluster."""
+    corpus = docs_df(spark, [(1, _BASE), (2, _BASE), (3, _OTHER)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(corpus).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_curate_corpus_gate_precedence(spark):
+    """Each crafted doc fails exactly the gate its name says; the dup of
+    the kept doc reports exact_dup even though it would also pass every
+    other gate (precedence: dup > lang > length > stopword)."""
+    kept = (
+        "the quick brown fox of the meadow jumps over a lazy dog and "
+        "runs to the river in the morning of a bright day to rest"
+    )
+    short = "the a of and to in seven eight"  # < 20 tokens, high stopword
+    no_lang = " ".join(f"tok{i}" for i in range(30))  # no markers at all
+    no_stop = "der hund und die katze und der vogel " + " ".join(
+        f"wort{i}" for i in range(20)
+    )  # German: markers hit, zero English stopwords
+    corpus = docs_df(
+        spark,
+        [(1, kept), (2, kept), (3, short), (4, no_lang), (5, no_stop)],
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in text.curate_corpus(corpus).collect()
+    }
+    assert got[1] == (1, "kept")
+    assert got[2] == (0, "exact_dup")
+    assert got[3] == (0, "too_short")
+    assert got[4] == (0, "lang_unknown")
+    assert got[5] == (0, "low_stopword")
+
+
+def test_curate_corpus_keep_matches_reason(spark):
+    """keep is exactly the kept-reason indicator on real testdata, and
+    the curation verdict covers every document exactly once."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = text.curate_corpus(docs).collect()
+    assert len(out) == docs.count()
+    assert all((r["reason"] == "kept") == (r["keep"] == 1) for r in out)
+    # thresholds chosen to produce real variety on the synthetic corpus
+    reasons = {r["reason"] for r in out}
+    assert "kept" in reasons and len(reasons) >= 2

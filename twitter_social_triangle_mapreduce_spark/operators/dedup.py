@@ -239,3 +239,53 @@ def ngram_jaccard_pairs(
             .alias("jaccard_e6"),
         )
     )
+
+
+#: label-propagation rounds for near-dup clustering (cluster diameters in
+#: LSH collision graphs are tiny; fixed rounds keep the result — and the
+#: unrolled SQL oracle — deterministic whether or not converged)
+NEAR_DUP_CC_ROUNDS = 6
+
+
+def near_dup_clusters(
+    documents: DataFrame, iterations: int = NEAR_DUP_CC_ROUNDS
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — the actual dedup DELIVERABLE:
+    candidate pairs from LSH band collisions are closed transitively
+    (connected components, min-label propagation) into clusters, and the
+    lowest doc_id of each cluster is elected canonical. Downstream, a
+    training pipeline keeps ``is_canonical = 1`` rows — one representative
+    per near-duplicate group — instead of consuming raw pair lists.
+
+    Singleton documents (no collisions) keep ``cluster_id = doc_id``.
+    ``cluster_id`` is the min doc_id reachable within ``iterations``
+    rounds — deterministic at any round count, and exactly mirrored by the
+    unrolled oracle.
+
+    Scale: the CC iteration runs on the PAIR graph (collision survivors
+    only — orders of magnitude smaller than the corpus), per round one
+    join + one aggregate with lineage truncation; the corpus itself is
+    touched twice (band pipeline + final left join). No all-pairs stage
+    anywhere. Reference analogy: the closure join of the triangle pipeline
+    (SocialTriangle_RS.java) applied to the dedup domain."""
+    from .components import connected_components
+
+    pairs = minhash_candidate_pairs(documents)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, iterations=iterations)
+    docs = documents.select("doc_id")
+    return (
+        docs.join(cc, docs.doc_id == cc.v, "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("long"),
+        )
+    )

@@ -142,3 +142,61 @@ def token_topk(documents: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("tok").asc())
         .limit(k)
     )
+
+
+#: curation gates: minimum token count and minimum (English) stopword
+#: density — the classic cheap heuristics a pretraining pipeline applies
+#: before any model-based scoring
+CURATE_MIN_TOKENS = 20
+CURATE_MIN_STOPWORD_E6 = 10000  # 1% of tokens
+
+
+def curate_corpus(
+    documents: DataFrame,
+    min_tokens: int = CURATE_MIN_TOKENS,
+    min_stopword_e6: int = CURATE_MIN_STOPWORD_E6,
+) -> DataFrame:
+    """(doc_id, keep, reason) — the composed curation pipeline: every
+    document is tagged kept or dropped with the FIRST failing gate as its
+    reason, in fixed precedence order:
+
+    1. ``exact_dup``     — not the lowest doc_id of its md5(text) group
+    2. ``lang_unknown``  — the marker heuristic predicts no language
+    3. ``too_short``     — fewer than ``min_tokens`` tokens
+    4. ``low_stopword``  — stopword density below ``min_stopword_e6``
+                           (boilerplate / non-prose signal; English-
+                           centric by construction, like the classic
+                           C4-style heuristic)
+    5. ``kept``          — survived every gate (``keep = 1``)
+
+    One pass builds all features (token aggregates + language scores share
+    the exploded-token shuffle input; the md5 keep-first group is its own
+    tiny aggregate); the verdict is a single CASE — no per-gate scans of
+    the corpus. All gates are expression-level, so at 100 TB this is three
+    shuffles over compact aggregates regardless of document size."""
+    stats = text_stats(documents)
+    langs = lang_id(documents)
+    hashed = documents.select("doc_id", F.md5("text").alias("__h"))
+    keep_first = hashed.groupBy("__h").agg(
+        F.min("doc_id").alias("__keep_id")
+    )
+    flags = hashed.join(keep_first, "__h").select("doc_id", "__keep_id")
+    reason = (
+        F.when(F.col("doc_id") != F.col("__keep_id"), F.lit("exact_dup"))
+        .when(F.col("pred_lang") == "und", F.lit("lang_unknown"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("stopword_e6") < min_stopword_e6, F.lit("low_stopword")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        flags.join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+        )
+        .withColumn("keep", (F.col("reason") == "kept").cast("long"))
+        .select("doc_id", "keep", "reason")
+    )

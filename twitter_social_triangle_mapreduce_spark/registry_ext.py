@@ -67,6 +67,46 @@ bands AS ({band_selects})
 
 _BANDS = _bands_sql()
 
+def _near_dup_clusters_oracle() -> str:
+    """DuckDB twin of ``dedup.near_dup_clusters``: the band pipeline, the
+    distinct collision pairs, then the SAME min-label rounds the Spark
+    side runs, unrolled (every round CTE MATERIALIZED — DuckDB re-inlines
+    multiply-referenced CTEs exponentially otherwise), and the final
+    corpus left-join electing min-label canonicals."""
+    from .operators.dedup import NEAR_DUP_CC_ROUNDS
+
+    it = NEAR_DUP_CC_ROUNDS
+    parts = [
+        f"{_BANDS.rstrip()},",
+        "pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS src,"
+        " b.doc_id AS dst FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)),",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM pairs UNION ALL SELECT dst FROM pairs)),",
+        "it0 AS (SELECT v, v AS l FROM verts),",
+    ]
+    for k in range(it):
+        parts.append(
+            f"nm{k} AS MATERIALIZED (SELECT s.dst AS v2, MIN(i.l) AS nl"
+            f" FROM sym s JOIN it{k} i ON s.src = i.v GROUP BY s.dst),"
+        )
+        parts.append(
+            f"it{k + 1} AS MATERIALIZED (SELECT i.v,"
+            f" LEAST(i.l, COALESCE(n.nl, i.l)) AS l"
+            f" FROM it{k} i LEFT JOIN nm{k} n ON i.v = n.v2),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"""
+{body}
+SELECT d.doc_id,
+       COALESCE(cc.l, d.doc_id) AS cluster_id,
+       CAST(d.doc_id = COALESCE(cc.l, d.doc_id) AS BIGINT) AS is_canonical
+FROM documents d LEFT JOIN it{it} cc ON d.doc_id = cc.v
+"""
+
+
 _SQ_SUM = (
     "list_sum(list_transform({col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 )
@@ -367,6 +407,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(load_table(spark, sf_dir, "documents"), PROFILE_COLS)
 
 
+def q_doc_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_clusters(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -379,6 +427,11 @@ EXT_EXTRA_QUERIES = {
     "doc_train_test_split": q_doc_train_test_split,
     # one-pass data-quality profile: exact oracle, hash-checked in pytest
     "doc_profile": q_doc_profile,
+    # LSH pairs -> transitive closure -> canonical election: exact
+    # unrolled-CC oracle, hash-checked in pytest
+    "doc_near_dup_clusters": q_doc_near_dup_clusters,
+    # composed curation gates (dup/lang/length/stopword): exact oracle
+    "corpus_curation": q_corpus_curation,
 }
 
 
@@ -852,6 +905,42 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators.profile import profile_oracle_sql
 
     out["doc_profile"] = profile_oracle_sql("documents", PROFILE_COLS)
+    out["doc_near_dup_clusters"] = _near_dup_clusters_oracle()
+    out["corpus_curation"] = f"""
+        WITH toks AS ({_TOKS}),
+        stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(FLOOR(1000000 * SUM(CASE WHEN tok IN {_STOPW}
+                                            THEN 1 ELSE 0 END)
+                              / COUNT(*)) AS BIGINT) AS stopword_e6
+                  FROM toks GROUP BY doc_id),
+        ls AS (SELECT doc_id,
+                SUM(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS s_de,
+                SUM(CASE WHEN tok IN ('the','a','of') THEN 1 ELSE 0 END) AS s_en,
+                SUM(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS s_es,
+                SUM(CASE WHEN tok IN ('le','la','et') THEN 1 ELSE 0 END) AS s_fr
+               FROM toks GROUP BY doc_id),
+        langs AS (SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+                  FROM ls),
+        hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+        keepf AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h),
+        flags AS (SELECT hashed.doc_id, keep_id FROM hashed JOIN keepf USING (h)),
+        r AS (SELECT f.doc_id,
+               CASE WHEN f.doc_id != f.keep_id THEN 'exact_dup'
+                    WHEN l.pred_lang = 'und' THEN 'lang_unknown'
+                    WHEN s.n_tokens < {text.CURATE_MIN_TOKENS} THEN 'too_short'
+                    WHEN s.stopword_e6 < {text.CURATE_MIN_STOPWORD_E6}
+                        THEN 'low_stopword'
+                    ELSE 'kept' END AS reason
+              FROM flags f JOIN stats s ON f.doc_id = s.doc_id
+                           JOIN langs l ON f.doc_id = l.doc_id)
+        SELECT doc_id, CAST(reason = 'kept' AS BIGINT) AS keep, reason
+        FROM r
+    """
     sig = _lsh_sig_sql(dims)
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
