@@ -415,6 +415,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.curate_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import retrieval
+
+    return retrieval.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -432,6 +438,8 @@ EXT_EXTRA_QUERIES = {
     "doc_near_dup_clusters": q_doc_near_dup_clusters,
     # composed curation gates (dup/lang/length/stopword): exact oracle
     "corpus_curation": q_corpus_curation,
+    # BM25 top-k: shared score-expression text -> bit-exact oracle
+    "doc_bm25_topk": q_doc_bm25_topk,
 }
 
 
@@ -906,6 +914,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["doc_profile"] = profile_oracle_sql("documents", PROFILE_COLS)
     out["doc_near_dup_clusters"] = _near_dup_clusters_oracle()
+    from .operators import retrieval
+
+    out["doc_bm25_topk"] = retrieval.bm25_oracle_sql(_TOKS)
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
