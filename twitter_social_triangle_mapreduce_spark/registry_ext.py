@@ -421,6 +421,12 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_user_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import cdc
+
+    return cdc.user_latest_event(load_table(spark, sf_dir, "events"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -440,6 +446,8 @@ EXT_EXTRA_QUERIES = {
     "corpus_curation": q_corpus_curation,
     # BM25 top-k: shared score-expression text -> bit-exact oracle
     "doc_bm25_topk": q_doc_bm25_topk,
+    # latest-wins snapshot: aggregate-argmax plan vs window oracle
+    "user_latest_event": q_user_latest_event,
 }
 
 
@@ -917,6 +925,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import retrieval
 
     out["doc_bm25_topk"] = retrieval.bm25_oracle_sql(_TOKS)
+    from .operators import cdc
+
+    out["user_latest_event"] = cdc.user_latest_event_oracle_sql()
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
