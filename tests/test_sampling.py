@@ -5,6 +5,8 @@ the split is covered by the oracle differential (doc_train_test_split)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from twitter_social_triangle_mapreduce_spark.operators.sampling import (
     SPLIT_BUCKETS,
     hash_sample,
@@ -82,3 +84,61 @@ def test_column_profile_single_pass_and_nulls(spark):
 
     plan = column_profile(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1  # one scan, however many columns
+
+
+def test_stratified_rates_and_membership(spark):
+    """Per-stratum keep rates bind independently; membership within a
+    stratum is the same hash decision as hash_sample with the stratified
+    salt (one bucket function, per-stratum cutoffs)."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fr = {"en": 0.25, "de": 1.0, "zh": 0.5}
+    out = stratified_sample(
+        docs, "doc_id", "lang", fr, default_frac=0.0
+    )
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    totals = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # de kept whole, default-0 strata dropped entirely
+    assert by_lang.get("de") == totals["de"]
+    assert "es" not in by_lang and "fr" not in by_lang
+    # sampled strata within 4 sigma of their rate
+    for lang, p in (("en", 0.25), ("zh", 0.5)):
+        n = totals[lang]
+        assert abs(by_lang.get(lang, 0) - p * n) <= 4 * (p * (1 - p) * n) ** 0.5
+
+
+def test_stratified_stable_under_other_stratum_growth(spark):
+    """Dropping one stratum entirely must not change another stratum's
+    members (hash decisions are per-key, not rank-based)."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fr = {"en": 0.25, "de": 1.0}
+    full = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "doc_id", "lang", fr)
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    without_de = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.where("lang != 'de'"), "doc_id", "lang", fr
+        )
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    assert full == without_de

@@ -21,7 +21,7 @@ from twitter_social_triangle_mapreduce_spark.operators.similarity import (
     lsh_signature,
 )
 
-from conftest import edges_df
+from conftest import SF_SMOKE, edges_df
 
 
 def _sig_reference(vec: list[float], bits: int, dims: int) -> int:
@@ -148,3 +148,48 @@ def test_sessionize_native_ltz_input_timezone_independent(spark):
     assert [(r["user_id"], r["sess_start_us"], r["n_events"]) for r in got] == [
         (1, 1_700_000_000_000_000, 2)
     ]
+
+
+def test_cooccurrence_cap_excludes_giant_docs(spark):
+    """A document over the distinct-token cap contributes NO pairs (its
+    fan-out is quadratic) but still counts toward document frequencies —
+    mirroring the jaccard/ngram hot-key convention."""
+    from twitter_social_triangle_mapreduce_spark.operators.text import (
+        token_cooccurrence_lift,
+    )
+
+    rows = [(i, "alpha beta") for i in range(10)]
+    # one giant doc: 50 distinct tokens incl alpha/beta -> over cap 20
+    giant = " ".join(["alpha", "beta"] + [f"t{j}" for j in range(48)])
+    rows.append((99, giant))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = token_cooccurrence_lift(
+        docs, min_pair_docs=1, max_doc_types=20
+    ).collect()
+    pairs = {(r["tok_a"], r["tok_b"]): r for r in out}
+    # only the alpha/beta pair survives; giant doc's t_j pairs are gone
+    assert set(pairs) == {("alpha", "beta")}
+    r = pairs[("alpha", "beta")]
+    # n_both counts only capped-eligible docs (10), but df includes the
+    # giant doc (11 each): lift = 1e6 * 10 * 11 / (11 * 11)
+    assert r["n_both"] == 10
+    assert r["lift_e6"] == int(1e6 * 10 * 11 // (11 * 11))
+
+
+def test_cooccurrence_cap_does_not_bind_on_testdata(spark, duck):
+    """On real testdata the default cap must be inert (vocab is 31) —
+    the capped result equals the uncapped one."""
+    from twitter_social_triangle_mapreduce_spark.operators.text import (
+        token_cooccurrence_lift,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    capped = sorted(map(tuple, token_cooccurrence_lift(docs).collect()))
+    uncapped = sorted(
+        map(
+            tuple,
+            token_cooccurrence_lift(docs, max_doc_types=10**9).collect(),
+        )
+    )
+    assert capped == uncapped and len(capped) > 0

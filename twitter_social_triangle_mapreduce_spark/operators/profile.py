@@ -41,6 +41,49 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew audit of a prospective shuffle/join key: row and key
+    counts, the largest and smallest group, the heaviest key's share of
+    all rows (e6-scaled), and the mean group size. This is the
+    measurement that decides salting / skew-join handling BEFORE a 100 TB
+    shuffle is launched — the engine's answer to "is user_id safe to
+    join on?".
+
+    Two aggregations over compact intermediates: sizes-per-key (partial
+    agg map-side), then a global fold of the size relation. Nothing is
+    collected; the output is one row."""
+    sizes = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return sizes.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * MAX(cnt) / SUM(cnt)) AS BIGINT)"
+        ).alias("top_share_e6"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * SUM(cnt) / COUNT(*)) AS BIGINT)"
+        ).alias("mean_cnt_e6"),
+    )
+
+
+def key_skew_oracle_sql(table: str, key: str) -> str:
+    """DuckDB twin of ``key_skew_profile``."""
+    return f"""
+        WITH sizes AS (SELECT {key}, COUNT(*) AS cnt
+                       FROM {table} GROUP BY {key})
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(cnt) AS max_cnt,
+               MIN(cnt) AS min_cnt,
+               CAST(FLOOR(1000000.0 * MAX(cnt) / SUM(cnt)) AS BIGINT)
+                   AS top_share_e6,
+               CAST(FLOOR(1000000.0 * SUM(cnt) / COUNT(*)) AS BIGINT)
+                   AS mean_cnt_e6
+        FROM sizes
+    """
+
+
 def profile_oracle_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin: one SELECT per column, unioned (COUNT(DISTINCT x)
     ignores NULLs in both engines)."""

@@ -74,6 +74,64 @@ def train_test_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows — the corpus
+    REBALANCING primitive (downsample the dominant language/source, keep
+    the rare ones whole). Same reproducibility contract as
+    ``hash_sample``: membership is a pure function of (key, salt), so
+    growing one stratum never flips another stratum's members, and the
+    per-stratum rates compose with later global samples (independent
+    salts → independent hash buckets). Strata not in ``fractions`` get
+    ``default_frac``. Pure expression-level: one CASE picks the cutoff,
+    one hash decides — no per-stratum scans, no shuffle at all."""
+    cut = F.lit(round(default_frac * SPLIT_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        cut = (
+            F.when(F.col(strata_col) == value, round(frac * SPLIT_BUCKETS))
+            .otherwise(cut)
+        )
+    return (
+        _with_bucket(df, key, salt)
+        .where(F.col("__tstm_bucket") < cut)
+        .drop(_DIGEST, "__tstm_bucket")
+    )
+
+
+def stratified_oracle_sql(
+    table: str,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "strat",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of ``stratified_sample`` projected to ``select``."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {round(f * SPLIT_BUCKETS)}"
+        for v, f in sorted(fractions.items())
+    )
+    bucket = hex_prefix_to_long_sql("dg", 7)
+    return f"""
+        WITH d AS (SELECT *,
+                          md5(concat(CAST({key} AS VARCHAR), '#{salt}')) AS dg
+                   FROM {table})
+        SELECT {select} FROM (
+            SELECT * EXCLUDE (dg), ({bucket} % {SPLIT_BUCKETS}) AS b,
+                   CASE {cases}
+                        ELSE {round(default_frac * SPLIT_BUCKETS)} END AS cut
+            FROM d
+        ) WHERE b < cut
+    """
+
+
 def split_oracle_sql(
     table: str, key: str, test_frac: float = 0.1, salt: str = "split"
 ) -> str:

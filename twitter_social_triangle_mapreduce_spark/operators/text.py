@@ -144,6 +144,113 @@ def token_topk(documents: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+#: co-occurrence guards: pairs must appear in at least this many docs,
+#: and docs with more distinct tokens than the cap are excluded from
+#: PAIR GENERATION (their per-doc pair fan-out is quadratic) while still
+#: counting toward the document frequencies — the same hot-key shape as
+#: the n-gram Jaccard `max_doc_freq` cap
+COOC_MIN_PAIR_DOCS = 5
+COOC_MAX_DOC_TYPES = 1000
+
+
+def token_cooccurrence_lift(
+    documents: DataFrame,
+    min_pair_docs: int = COOC_MIN_PAIR_DOCS,
+    max_doc_types: int = COOC_MAX_DOC_TYPES,
+) -> DataFrame:
+    """(tok_a, tok_b, n_both, lift_e6) — document-level co-occurrence
+    lift P(a,b)/(P(a)·P(b)) for unordered token pairs, the
+    collocation/phrase-mining primitive (lift is the exp of PMI; the
+    log is monotone, so ranking is PMI ranking without the
+    engine-divergent ``ln``).
+
+    Scale shape: pair generation is a doc-local self-join of the
+    DISTINCT-token relation (`a.tok < b.tok`), so fan-out is bounded by
+    ``max_doc_types``² per document, never corpus-size²; the pair count
+    then aggregates with map-side partials, and document frequencies
+    join in on the (small) surviving pair vocabulary. All arithmetic on
+    the lift is exact-integer inputs under correctly-rounded double
+    ops — engine-exact after the e6 floor."""
+    tok_docs = (
+        tokens(documents).select("doc_id", "tok").distinct()
+    )
+    n_types = tok_docs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__nt")
+    )
+    eligible = tok_docs.join(
+        n_types.where(F.col("__nt") <= max_doc_types).select("doc_id"),
+        "doc_id",
+    )
+    a = eligible.select("doc_id", F.col("tok").alias("tok_a"))
+    b = eligible.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_pair_docs)
+    )
+    df_rel = tok_docs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(
+            df_rel.select(
+                F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+            ),
+            "tok_a",
+        )
+        .join(
+            df_rel.select(
+                F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+            ),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            F.expr(
+                "CAST(FLOOR(1000000.0 * n_both * n_docs"
+                " / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))"
+                " AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+def cooccurrence_oracle_sql(
+    toks_sql: str,
+    min_pair_docs: int = COOC_MIN_PAIR_DOCS,
+    max_doc_types: int = COOC_MAX_DOC_TYPES,
+) -> str:
+    """DuckDB twin of ``token_cooccurrence_lift``."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        td AS (SELECT DISTINCT doc_id, tok FROM toks),
+        nt AS (SELECT doc_id FROM td GROUP BY doc_id
+               HAVING COUNT(*) <= {max_doc_types}),
+        elig AS (SELECT td.doc_id, td.tok FROM td JOIN nt USING (doc_id)),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_both
+            FROM elig a JOIN elig b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+            HAVING COUNT(*) >= {min_pair_docs}
+        ),
+        dfs AS (SELECT tok, COUNT(*) AS df FROM td GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tok_a, tok_b, n_both,
+               CAST(FLOOR(1000000.0 * n_both * n_docs
+                    / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)))
+                    AS BIGINT) AS lift_e6
+        FROM pairs
+        JOIN dfs da ON da.tok = tok_a
+        JOIN dfs db ON db.tok = tok_b
+        CROSS JOIN n
+    """
+
+
 #: curation gates: minimum token count and minimum (English) stopword
 #: density — the classic cheap heuristics a pretraining pipeline applies
 #: before any model-based scoring

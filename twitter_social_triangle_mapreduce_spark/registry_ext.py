@@ -427,6 +427,37 @@ def q_user_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.user_latest_event(load_table(spark, sf_dir, "events"))
 
 
+#: per-language keep rates for the stratified rebalance demo query:
+#: downsample dominant English, keep German whole, halve Chinese, default
+#: 10% for everything else
+STRAT_FRACTIONS = {"en": 0.25, "de": 1.0, "zh": 0.5}
+STRAT_DEFAULT = 0.1
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        key="doc_id",
+        strata_col="lang",
+        fractions=STRAT_FRACTIONS,
+        default_frac=STRAT_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_cooccurrence_lift(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -448,6 +479,12 @@ EXT_EXTRA_QUERIES = {
     "doc_bm25_topk": q_doc_bm25_topk,
     # latest-wins snapshot: aggregate-argmax plan vs window oracle
     "user_latest_event": q_user_latest_event,
+    # deterministic per-stratum rebalance: exact oracle
+    "doc_stratified_sample": q_doc_stratified_sample,
+    # one-row shuffle-key skew audit: exact oracle
+    "event_key_skew": q_event_key_skew,
+    # doc-level collocation lift with quadratic-fan-out guard: exact oracle
+    "token_cooccurrence": q_token_cooccurrence,
 }
 
 
@@ -928,6 +965,20 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import cdc
 
     out["user_latest_event"] = cdc.user_latest_event_oracle_sql()
+    from .operators.sampling import stratified_oracle_sql
+
+    out["doc_stratified_sample"] = stratified_oracle_sql(
+        "documents",
+        key="doc_id",
+        strata_col="lang",
+        fractions=STRAT_FRACTIONS,
+        default_frac=STRAT_DEFAULT,
+        select="doc_id, lang",
+    )
+    from .operators.profile import key_skew_oracle_sql
+
+    out["event_key_skew"] = key_skew_oracle_sql("events", "user_id")
+    out["token_cooccurrence"] = text.cooccurrence_oracle_sql(_TOKS)
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
