@@ -1,0 +1,131 @@
+"""Range/interval joins — the temporal join Spark has no native physical
+strategy for (a raw ``l.ts BETWEEN r.start AND r.end`` predicate joins as
+BroadcastNestedLoop or a per-key sort: quadratic on hot keys).
+
+The scalable formulation is time bucketing: choose a granule no smaller
+than the interval width, assign each POINT to the single granule
+containing it, explode each INTERVAL to the granules it overlaps (at most
+``ceil(width/granule) + 1`` — 2 for width == granule), then equi-join on
+(key, granule) and refine with the exact range predicate. The join is a
+plain shuffled hash join on a composite key; fan-out is bounded by the
+granule arithmetic, never by data volume; and skew is bounded by events
+per (user, hour) rather than events per user. This is the standard
+interval-join decomposition streaming engines (Flink) use for bounded
+time-range joins, expressed here purely as DataFrame ops.
+
+Used by ``events_follow_count``: for every event, how many same-user
+events land in the hour after it — the self-join shape of funnel /
+retention / frequency-cap queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.io import ntz_epoch_micros
+
+#: one hour in microseconds — horizon AND granule of the demo query
+HOUR_US = 3_600_000_000
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_us: str,
+    start_us: str,
+    end_us: str,
+    granule_us: int,
+) -> DataFrame:
+    """Inner-join ``points`` to every interval with
+    ``start_us < point_us <= end_us`` sharing ``key`` (half-open on the
+    left: an interval does not match its own start instant — the
+    convention that makes self-joins exclude the anchoring row).
+
+    Columns of both inputs are preserved; callers project/aggregate on
+    top. ``granule_us`` must be >= the widest interval for the 2-granule
+    explosion bound to hold; the generic ``sequence`` explosion stays
+    correct (just wider) if it is not.
+    """
+    # integer div, not float-divide-and-cast: at epoch-microsecond
+    # magnitudes a double quotient can land a hair under an exact
+    # boundary and truncate into the wrong granule
+    p = points.withColumn(
+        "__g", F.expr(f"{point_us} div {granule_us}")
+    )
+    i = intervals.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                F.expr(f"({start_us} + 1) div {granule_us}"),
+                F.expr(f"{end_us} div {granule_us}"),
+            )
+        ),
+    )
+    return (
+        p.join(i, [key, "__g"])
+        .where(
+            (F.col(point_us) > F.col(start_us))
+            & (F.col(point_us) <= F.col(end_us))
+        )
+        .drop("__g")
+    )
+
+
+def events_follow_count(
+    events: DataFrame, horizon_us: int = HOUR_US
+) -> DataFrame:
+    """(event_id, n_follow) — per event, the number of same-user events
+    in the half-open window (ts, ts + horizon]. Zero-count events are
+    kept (left join back), so the output is exactly one row per event.
+
+    Epoch math is the TZ-free microsecond helper shared with the as-of
+    join, so results are session-timezone independent."""
+    base = events.select(
+        "event_id", "user_id", ntz_epoch_micros("ts").alias("us")
+    )
+    anchors = base.select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + horizon_us).alias("end_us"),
+    )
+    followers = base.select(
+        F.col("event_id").alias("follow_id"), "user_id", "us"
+    )
+    matched = point_in_interval_join(
+        followers,
+        anchors,
+        key="user_id",
+        point_us="us",
+        start_us="start_us",
+        end_us="end_us",
+        granule_us=horizon_us,
+    )
+    counts = matched.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow")
+    )
+    return (
+        events.select("event_id")
+        .join(counts, events.event_id == counts.anchor_id, "left")
+        .select(
+            "event_id",
+            F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+        )
+    )
+
+
+def events_follow_count_oracle_sql(horizon_us: int = HOUR_US) -> str:
+    """DuckDB twin of ``events_follow_count`` — the direct inequality
+    join (the oracle can afford the naive plan)."""
+    return f"""
+        SELECT a.event_id,
+               COUNT(b.event_id) AS n_follow
+        FROM events a
+        LEFT JOIN events b
+          ON b.user_id = a.user_id
+         AND epoch_us(b.ts) > epoch_us(a.ts)
+         AND epoch_us(b.ts) <= epoch_us(a.ts) + {horizon_us}
+        GROUP BY a.event_id
+    """
