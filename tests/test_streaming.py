@@ -105,8 +105,15 @@ def test_streaming_json_source_reader_swap(spark, tmp_path):
         streaming_sessionize,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts stays bigint
+    from twitter_social_triangle_mapreduce_spark.sources.io import ntz_epoch_micros
+
+    # materialize the interchange format: ts as raw ns-since-epoch longs
+    # (derived TZ-free from the batch reader's NTZ wall clock — Spark 4.1
+    # reads parquet TIMESTAMP(NANOS) natively as NTZ, so the old
+    # bigint-passthrough read no longer exists)
+    raw = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", (ntz_epoch_micros("ts") * 1000).cast("long")
+    )
     json_dir = str(tmp_path / "events_json_stream")
     raw.write.mode("overwrite").json(json_dir)
 

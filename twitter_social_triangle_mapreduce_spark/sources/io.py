@@ -72,6 +72,17 @@ def ntz_epoch_micros(col: str):
     return F.expr(f"timestampdiff(MICROSECOND, {NTZ_EPOCH}, {col})")
 
 
+def ts_ltz_from_ntz(col: str = "ts"):
+    """TimestampNTZ wall clock → TIMESTAMP instant whose UTC wall clock
+    equals the NTZ value, with NO session-timezone involvement: TZ-free
+    epoch-µs extraction (``timestampdiff`` from the NTZ epoch) followed by
+    ``timestamp_micros`` (epoch µs → instant, no wall-clock
+    interpretation). A plain ``cast('timestamp')`` would instead interpret
+    the wall clock in the session timezone and shift every instant by the
+    session offset."""
+    return F.timestamp_micros(ntz_epoch_micros(col))
+
+
 def ts_ltz_from_nanos(col: str = "ts"):
     """ns-since-epoch BIGINT → TIMESTAMP (an instant). Used by the
     STREAMING reader only: Spark's event-time machinery
@@ -92,10 +103,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     may build a vanilla ``SparkSession.builder.getOrCreate()``, so the
     parquet-nanos compatibility conf is set HERE (it is runtime-settable),
     not only in ``session.get_spark``. ``events.ts`` is stored as parquet
-    TIMESTAMP(NANOS), which vanilla Spark rejects outright
-    (PARQUET_TYPE_ILLEGAL); with the conf it arrives as BIGINT nanoseconds
-    and is converted to a session-timezone-free TimestampNTZ by
-    ``ts_ntz_from_nanos``.
+    TIMESTAMP(NANOS); how Spark surfaces it is version-dependent, and this
+    function normalizes both paths to the same TimestampNTZ wall clock:
+
+    - Spark ≥ 4.1 reads it natively as TimestampNTZ (µs truncation) — the
+      guard below sees ``timestamp_ntz`` and passes it through;
+    - older Spark rejects it (PARQUET_TYPE_ILLEGAL) unless
+      ``nanosAsLong`` is set, in which case it arrives as BIGINT
+      nanoseconds and ``ts_ntz_from_nanos`` converts — TZ-free, same
+      truncation.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -25,13 +25,39 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..sources.io import derive_edges, ntz_epoch_micros, ts_ltz_from_nanos
+from pyspark.sql.types import TimestampNTZType
 
-#: schema of the events parquet as the nanos-as-long session reads it
+from ..sources.io import (
+    derive_edges,
+    ntz_epoch_micros,
+    ts_ltz_from_nanos,
+    ts_ltz_from_ntz,
+)
+
+#: schema for JSON-lines event streams, where ``ts`` is raw ns-since-epoch
+#: (the interchange format ``sources.io.write_json`` emits)
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),  # ns since epoch (nanosAsLong)
+        StructField("ts", LongType(), True),  # ns since epoch
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+#: schema for the PARQUET event stream. The file stream source coerces the
+#: stored TIMESTAMP(NANOS) to whatever the user schema requests — asking
+#: for LongType does NOT yield the raw nanos (it yields epoch µs via an
+#: internal timestamp cast, and silently so), so the only unit-stable
+#: request is a timestamp type. TimestampNTZ preserves the stored wall
+#: clock exactly (µs truncation), independent of session timezone and of
+#: the ``nanosAsLong`` conf.
+EVENTS_STREAM_SCHEMA_PARQUET = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
@@ -42,20 +68,20 @@ EVENTS_STREAM_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with an explicit schema
-    (streaming readers must not infer). ``ts`` arrives as ns-since-epoch
-    and is converted by the shared ``sources.io.ts_ltz_from_nanos`` helper
-    — TIMESTAMP because watermarks require it, timezone-free and
-    wall-clock-consistent with the batch reader by construction (see the
-    helper's docstring)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (streaming readers must not infer). ``ts`` is read as TimestampNTZ
+    (see ``EVENTS_STREAM_SCHEMA_PARQUET`` — the only unit-stable way to
+    consume the stored TIMESTAMP(NANOS)) and converted to a TIMESTAMP
+    instant by the TZ-free ``sources.io.ts_ltz_from_ntz`` helper —
+    TIMESTAMP because watermarks require it, wall-clock-consistent with
+    the batch reader by construction (see the helper's docstring)."""
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA_PARQUET)
         .option("maxFilesPerTrigger", 1)
         # the file source needs a directory; glob-filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", ts_ltz_from_nanos("ts"))
+    return raw.withColumn("ts", ts_ltz_from_ntz("ts"))
 
 
 def read_events_stream_json(spark: SparkSession, path: str) -> DataFrame:
