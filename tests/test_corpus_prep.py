@@ -1,0 +1,131 @@
+"""Corpus-preparation operators (operators/corpus.py): decontamination,
+repetition metrics, sequence packing. Value correctness is covered by the
+differential oracle suite; here we pin the SCALE SHAPES — the properties
+that decide whether these survive a 100 TB corpus — plus semantic edges
+the oracle data cannot reach."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import corpus
+from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_prefix_sum_is_two_pass(spark):
+    """The global running sum must come from the bucketed two-pass form:
+    the only single-partition exchange feeds the tiny bucket-totals
+    window, never the full corpus relation."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        corpus.pack_sequences(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SinglePartition") == 1
+    # the per-document window is partitioned by bucket, so there must be
+    # a hashpartitioning exchange on the bucket column
+    assert "hashpartitioning" in plan
+    assert plan.count("Window") == 2
+
+
+def test_pack_straddle_and_tiny_docs(spark):
+    """A doc longer than the budget spans multiple packs; consecutive
+    small docs share one pack; offsets are contiguous in doc_id order."""
+    rows = [
+        (1, " ".join(["a"] * 10)),   # 10 tokens -> pack 0
+        (2, " ".join(["b"] * 100)),  # straddles: starts pack 0, ends pack 1
+        (3, "c"),                    # 1 token at offset 110 -> pack 1
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in corpus.pack_sequences(_docs(spark, rows), budget=64)
+        .collect()
+    }
+    assert got[1]["start_off"] == 0 and got[1]["pack_id"] == 0
+    assert got[1]["end_pack"] == 0
+    assert got[2]["start_off"] == 10
+    assert got[2]["pack_id"] == 0 and got[2]["end_pack"] == 1
+    assert got[3]["start_off"] == 110
+    assert got[3]["pack_id"] == 1 and got[3]["end_pack"] == 1
+
+
+def test_pack_bucket_span_invariance(spark):
+    """The two-pass decomposition is an implementation detail: any
+    bucket_span must produce identical offsets."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(
+        map(tuple, corpus.pack_sequences(docs, bucket_span=7).collect())
+    )
+    b = sorted(
+        map(tuple, corpus.pack_sequences(docs, bucket_span=1000).collect())
+    )
+    assert a == b
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval shingle-set must broadcast — the train side of a 100 TB
+    corpus can never be shuffled for the contamination probe."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        corpus.decontaminate(
+            docs.where("doc_id % 17 != 0"), docs.where("doc_id % 17 = 0")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing a long span with an eval doc is flagged; a
+    disjoint doc is not; a short doc (< n words) is exempt (absent)."""
+    phrase = "alpha beta gamma delta epsilon zeta"
+    train = _docs(
+        spark,
+        [
+            (1, f"intro words then {phrase} closing remark"),
+            (2, "completely different content with no overlap at all"),
+            (3, "tiny doc"),  # < 3 words -> no shingles -> absent
+        ],
+    )
+    ev = _docs(spark, [(100, phrase)])
+    got = {r["doc_id"]: r for r in corpus.decontaminate(train, ev).collect()}
+    assert got[1]["contaminated"] == 1 and got[1]["n_hits"] >= 4
+    assert got[2]["contaminated"] == 0 and got[2]["n_hits"] == 0
+    assert 3 not in got
+
+
+def test_repetition_separates_looping_from_diverse_text(spark):
+    """A document that is one phrase repeated scores ~1e6 on both
+    metrics; an all-distinct document scores low top2 and zero dup3."""
+    looped = " ".join(["spam and eggs"] * 20)
+    diverse = " ".join(f"w{i}" for i in range(60))
+    got = {
+        r["doc_id"]: r
+        for r in corpus.repetition_stats(
+            _docs(spark, [(1, looped), (2, diverse)])
+        ).collect()
+    }
+    assert got[1]["dup3_e6"] > 900_000
+    assert got[1]["top2_e6"] > 300_000  # 'eggs spam'/'and eggs'/'spam and'
+    assert got[2]["dup3_e6"] == 0
+    # 59 all-distinct bigrams -> top share floor(1e6/59)
+    assert got[2]["top2_e6"] == 1_000_000 * 1 // got[2]["n_2grams"]
+
+
+def test_repetition_requires_trigram_surface(spark):
+    """Docs with <3 words emit nothing (no repetition surface)."""
+    got = corpus.repetition_stats(
+        _docs(spark, [(1, "two words"), (2, "a b c")])
+    ).collect()
+    assert {r["doc_id"] for r in got} == {2}

@@ -1,0 +1,290 @@
+"""Corpus-preparation operators: eval-set decontamination, intra-document
+repetition metrics, and token-budget sequence packing — the steps between
+dedup/curation and actually writing training shards.
+
+Same portability contract as ``dedup``/``text``: md5 hashes, ratios as
+``floor(1e6·r)`` BIGINT, everything expression-level (whole-stage codegen,
+no Python in the hot path).
+
+The reference has no corpus tooling (it is a graph-analytics engine —
+SURVEY.md §1.3); these operators extend the engine toward the
+training-data-pipeline surface the 100 TB deployment needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+#: shingle width used for contamination checks (benchmark-overlap scans
+#: conventionally use wordlevel 8-13-grams; the testdata's short synthetic
+#: docs motivate 3 — the operator is parametric)
+DECONTAM_N = 3
+#: contamination verdict threshold: ≥20% of a doc's distinct shingles
+#: appearing in the eval set flags it
+DECONTAM_THRESHOLD_E6 = 200_000
+
+#: token capacity of one packed training sequence
+PACK_BUDGET = 64
+#: docs per doc_id bucket for the distributed prefix sum
+PACK_BUCKET_SPAN = 100
+
+
+def _shingle_cte(src_sql: str, n: int, rel: str) -> str:
+    """DuckDB CTE body producing ``rel(doc_id, sh)`` — word ``n``-shingles
+    of ``src_sql``'s (doc_id, text) rows; same guard as
+    ``dedup.shingles`` (docs shorter than ``n`` words emit nothing)."""
+    return f"""
+        {rel}_w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM ({src_sql})),
+        {rel}_i AS (SELECT doc_id, ws,
+                           unnest(range(1, len(ws) - {n - 2})) AS i
+                    FROM {rel}_w WHERE len(ws) >= {n}),
+        {rel} AS (SELECT doc_id, array_to_string(ws[i:i+{n - 1}], ' ') AS sh
+                  FROM {rel}_i)
+    """
+
+
+def decontaminate_oracle_sql(
+    train_sql: str,
+    eval_sql: str,
+    n: int = DECONTAM_N,
+    threshold_e6: int = DECONTAM_THRESHOLD_E6,
+) -> str:
+    """DuckDB twin of ``decontaminate`` over (doc_id, text) relations."""
+    return f"""
+        WITH {_shingle_cte(train_sql, n, "tsh_all")},
+        {_shingle_cte(eval_sql, n, "esh_all")},
+        tsh AS (SELECT DISTINCT doc_id, sh FROM tsh_all),
+        esh AS (SELECT DISTINCT sh FROM esh_all),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles
+                  FROM tsh GROUP BY doc_id),
+        hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM tsh
+                 WHERE sh IN (SELECT sh FROM esh) GROUP BY doc_id)
+        SELECT s.doc_id, s.n_shingles,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               CAST(FLOOR(1000000 * COALESCE(h.n_hits, 0) / s.n_shingles)
+                    AS BIGINT) AS contam_e6,
+               CAST(CASE WHEN FLOOR(1000000 * COALESCE(h.n_hits, 0)
+                                    / s.n_shingles) >= {threshold_e6}
+                         THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """
+
+
+def repetition_oracle_sql(src_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of ``repetition_stats``."""
+    return f"""
+        WITH {_shingle_cte(src_sql, 2, "s2")},
+        {_shingle_cte(src_sql, 3, "s3")},
+        c2 AS (SELECT doc_id, sh, COUNT(*) AS c FROM s2
+               GROUP BY doc_id, sh),
+        a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+                      CAST(FLOOR(1000000 * MAX(c) / SUM(c)) AS BIGINT)
+                          AS top2_e6
+               FROM c2 GROUP BY doc_id),
+        c3 AS (SELECT doc_id, sh, COUNT(*) AS c FROM s3
+               GROUP BY doc_id, sh),
+        a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+                      CAST(FLOOR(1000000 * SUM(CASE WHEN c > 1 THEN c
+                                                    ELSE 0 END)
+                                 / SUM(c)) AS BIGINT) AS dup3_e6
+               FROM c3 GROUP BY doc_id)
+        SELECT doc_id, n_2grams, top2_e6, n_3grams, dup3_e6
+        FROM a2 JOIN a3 USING (doc_id)
+    """
+
+
+def pack_oracle_sql(
+    src_sql: str = "SELECT * FROM documents", budget: int = PACK_BUDGET
+) -> str:
+    """DuckDB twin of ``pack_sequences`` — the oracle states the spec
+    directly as one global ordered window (fine at oracle scale; the
+    engine uses the two-pass distributed form)."""
+    return f"""
+        WITH tc AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS n_tokens
+                    FROM ({src_sql})),
+        c AS (SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS start_off
+              FROM tc)
+        SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+               CAST(start_off // {budget} AS BIGINT) AS pack_id,
+               CAST((start_off + greatest(n_tokens, 1) - 1) // {budget}
+                    AS BIGINT) AS end_pack
+        FROM c
+    """
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECONTAM_N,
+    threshold_e6: int = DECONTAM_THRESHOLD_E6,
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hits, contam_e6, contaminated) — eval-set
+    decontamination: for every training document (with ≥1 word
+    ``n``-shingle; shorter docs have no overlap surface and are exempt),
+    the fraction of its DISTINCT shingles that also occur anywhere in the
+    eval set. ``contaminated=1`` when the fraction reaches
+    ``threshold_e6``.
+
+    Scale shape: the eval side collapses to its distinct-shingle set and
+    is broadcast — eval benchmarks are orders of magnitude smaller than a
+    100 TB train corpus, so the train side is never shuffled for the
+    probe; the only wide exchange is the per-doc aggregate keyed on
+    doc_id. No doc×doc comparison exists anywhere."""
+    ev = shingles(eval_docs, n).select("sh").distinct()
+    tr = shingles(train, n).select("doc_id", "sh").distinct()
+    sizes = tr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        .withColumn(
+            "contam_e6",
+            F.floor(1_000_000 * F.col("n_hits") / F.col("n_shingles"))
+            .cast("long"),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("contam_e6") >= threshold_e6).cast("long"),
+        )
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_2grams, top2_e6, n_3grams, dup3_e6) — intra-document
+    repetition metrics in the Gopher-quality-filter family:
+
+    - ``top2_e6``: occurrences of the document's most frequent word
+      bigram over total bigram occurrences (floor 1e6) — high values mean
+      a single phrase dominates;
+    - ``dup3_e6``: fraction of trigram occurrences whose trigram occurs
+      more than once in the document — high values mean looping /
+      boilerplate text.
+
+    Only documents with ≥3 words (i.e. having at least one trigram) are
+    emitted — shorter docs have no repetition surface. Both metrics come
+    from per-(doc, shingle) counts aggregated per doc: two shuffles over
+    compact keys, independent of document length, fully partial-agg."""
+    g2 = (
+        shingles(documents, 2)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.max("c").alias("__top2"),
+        )
+        .select(
+            "doc_id",
+            "n_2grams",
+            F.floor(1_000_000 * F.col("__top2") / F.col("n_2grams"))
+            .cast("long")
+            .alias("top2_e6"),
+        )
+    )
+    g3 = (
+        shingles(documents, 3)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_3grams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "__dup3"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_3grams",
+            F.floor(1_000_000 * F.col("__dup3") / F.col("n_3grams"))
+            .cast("long")
+            .alias("dup3_e6"),
+        )
+    )
+    return g2.join(g3, "doc_id")
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    bucket_span: int = PACK_BUCKET_SPAN,
+) -> DataFrame:
+    """(doc_id, n_tokens, start_off, pack_id, end_pack) — token-budget
+    sequence packing: documents are concatenated in doc_id order into an
+    infinite token tape; training sequence ``k`` owns token span
+    ``[k·budget, (k+1)·budget)``. Each document reports its start offset
+    on the tape, the pack its first token lands in, and the pack its last
+    token lands in (documents may straddle packs — the
+    split-and-continue packing regime; zero-token docs occupy their
+    start pack). This is the deterministic, join-free packing layout a
+    shard writer consumes directly.
+
+    Scale shape — the global running sum is computed as a TWO-PASS
+    distributed prefix sum, never a single-partition window over the
+    corpus: (1) an intra-bucket cumulative sum windowed over contiguous
+    ``doc_id div bucket_span`` buckets (shuffle keyed on bucket), and
+    (2) bucket-level totals — #buckets rows, ~corpus/bucket_span —
+    prefix-summed with an ordered window over that TINY relation and
+    joined back. At 100 TB with bucket_span sized so each bucket holds
+    one task's docs, no stage ever materializes a global ordering."""
+    tc = documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {bucket_span}").alias("__bucket"),
+    )
+    from pyspark.sql.window import Window
+
+    intra_w = (
+        Window.partitionBy("__bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = tc.withColumn(
+        "__intra_prev", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+    )
+    bucket_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_offsets = (
+        tc.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__btotal"))
+        .withColumn(
+            "__bucket_prev",
+            F.coalesce(F.sum("__btotal").over(bucket_w), F.lit(0)),
+        )
+        .select("__bucket", "__bucket_prev")
+    )
+    return (
+        intra.join(F.broadcast(bucket_offsets), "__bucket")
+        .withColumn(
+            "start_off", F.col("__bucket_prev") + F.col("__intra_prev")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.expr(f"start_off div {budget}").alias("pack_id"),
+            F.expr(
+                f"(start_off + greatest(n_tokens, 1) - 1) div {budget}"
+            ).alias("end_pack"),
+        )
+    )

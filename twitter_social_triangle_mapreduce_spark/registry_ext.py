@@ -8,8 +8,17 @@ the portability contract).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .operators import components, dedup, multimodal, relational, similarity, text
+from .operators import (
+    components,
+    corpus,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from .operators.dedup import BAND_SIZE, NUM_HASHES
 from .operators.similarity import LSH_BITS
 from .sources.io import EDGES_FROM_EVENTS_SQL, edges_from_events, load_table
@@ -458,6 +467,27 @@ def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic eval-set carve-out for the decontamination query: every
+#: 17th doc_id plays the held-out benchmark, the rest are "train"
+DECONTAM_EVAL_MOD = 17
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.decontaminate(
+        docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD != 0),
+        docs.where(F.col("doc_id") % DECONTAM_EVAL_MOD == 0),
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -485,6 +515,12 @@ EXT_EXTRA_QUERIES = {
     "event_key_skew": q_event_key_skew,
     # doc-level collocation lift with quadratic-fan-out guard: exact oracle
     "token_cooccurrence": q_token_cooccurrence,
+    # eval-set n-gram decontamination (broadcast eval probe): exact oracle
+    "doc_decontaminate": q_doc_decontaminate,
+    # Gopher-style intra-doc repetition metrics: exact oracle
+    "doc_repetition": q_doc_repetition,
+    # token-budget sequence packing via two-pass prefix sum: exact oracle
+    "doc_pack_sequences": q_doc_pack_sequences,
 }
 
 
@@ -979,6 +1015,18 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["event_key_skew"] = key_skew_oracle_sql("events", "user_id")
     out["token_cooccurrence"] = text.cooccurrence_oracle_sql(_TOKS)
+    out["doc_decontaminate"] = corpus.decontaminate_oracle_sql(
+        train_sql=(
+            "SELECT doc_id, text FROM documents"
+            f" WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0"
+        ),
+        eval_sql=(
+            "SELECT doc_id, text FROM documents"
+            f" WHERE doc_id % {DECONTAM_EVAL_MOD} = 0"
+        ),
+    )
+    out["doc_repetition"] = corpus.repetition_oracle_sql()
+    out["doc_pack_sequences"] = corpus.pack_oracle_sql()
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
