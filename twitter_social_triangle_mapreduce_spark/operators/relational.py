@@ -352,6 +352,47 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def order_cube(orders: DataFrame) -> DataFrame:
+    """(o_orderstatus, o_orderpriority, g_status, g_priority, n_orders,
+    revenue) — CUBE over the two order dimensions: every combination of
+    subtotals plus the grand total in ONE pass (Spark expands the
+    grouping sets and keeps partial aggregation — 4 logical groupings,
+    one shuffle). ``grouping()`` flags distinguish rollup NULLs from
+    data NULLs. Money sums in DECIMAL (exact, engine-portable), cast to
+    double only for the final column."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORDER_CUBE_ORACLE = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def revenue_by_region(
     orders: DataFrame,
     customer: DataFrame,

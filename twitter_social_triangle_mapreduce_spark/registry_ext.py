@@ -488,6 +488,24 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+def q_event_incident_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    return timeseries.incident_event_counts(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_user_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    return timeseries.resample_ffill(load_table(spark, sf_dir, "events"))
+
+
+def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.order_cube(load_table(spark, sf_dir, "orders"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -521,6 +539,12 @@ EXT_EXTRA_QUERIES = {
     "doc_repetition": q_doc_repetition,
     # token-budget sequence packing via two-pass prefix sum: exact oracle
     "doc_pack_sequences": q_doc_pack_sequences,
+    # bucketed range join (equi-shuffle on time buckets): exact oracle
+    "event_incident_counts": q_event_incident_counts,
+    # grid resampling + forward fill (per-user windows): exact oracle
+    "user_resample_ffill": q_user_resample_ffill,
+    # CUBE grouping sets in one pass with grouping() flags: exact oracle
+    "order_cube": q_order_cube,
 }
 
 
@@ -1027,6 +1051,11 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     )
     out["doc_repetition"] = corpus.repetition_oracle_sql()
     out["doc_pack_sequences"] = corpus.pack_oracle_sql()
+    from .operators import timeseries
+
+    out["event_incident_counts"] = timeseries.incident_oracle_sql()
+    out["user_resample_ffill"] = timeseries.resample_oracle_sql()
+    out["order_cube"] = relational.ORDER_CUBE_ORACLE
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
