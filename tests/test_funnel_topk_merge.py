@@ -1,0 +1,113 @@
+"""Funnel / per-group top-k / additive-state merge: edge semantics the
+synthetic tables cannot reach (oracle parity is covered in the
+differential suite)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import incremental
+from twitter_social_triangle_mapreduce_spark.operators.relational import (
+    funnel_stages,
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string, event_id long"
+    )
+    return df.withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ),
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    """A click BEFORE the first signup must not advance the funnel; a
+    click at the exact same instant must not either (strict >)."""
+    ns = 1_000_000_000
+    rows = [
+        # u1: click then signup -> stage 1 only
+        (1, 1 * ns, "click", 1),
+        (1, 2 * ns, "signup", 2),
+        # u2: signup then simultaneous click -> stage 1 (strict >)
+        (2, 5 * ns, "signup", 3),
+        (2, 5 * ns, "click", 4),
+        # u3: full ordered funnel -> stage 3
+        (3, 1 * ns, "signup", 5),
+        (3, 2 * ns, "click", 6),
+        (3, 3 * ns, "purchase", 7),
+        # u4: purchase before click -> stage 2
+        (4, 1 * ns, "signup", 8),
+        (4, 2 * ns, "purchase", 9),
+        (4, 3 * ns, "click", 10),
+        # u5: no signup at all -> stage 0
+        (5, 1 * ns, "view", 11),
+    ]
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(_events(spark, rows)).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1}
+
+
+def test_merge_handles_one_sided_keys(spark):
+    """Keys present only in the snapshot or only in the delta must
+    survive the merge with their own state."""
+    mk = lambda rows: incremental.additive_agg_state(  # noqa: E731
+        spark.createDataFrame(
+            rows, "user_id long, value double, event_id long"
+        )
+    )
+    snap = mk([(1, 10.0, 1), (2, 5.0, 2)])
+    delta = mk([(2, 7.0, 3), (3, 1.0, 4)])
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            float(r["sum_value"]),
+            float(r["min_value"]),
+            float(r["max_value"]),
+        )
+        for r in incremental.merge_agg_states(snap, delta).collect()
+    }
+    assert got[1] == (1, 10.0, 10.0, 10.0)
+    assert got[2] == (2, 12.0, 5.0, 7.0)
+    assert got[3] == (1, 1.0, 1.0, 1.0)
+
+
+def test_merge_is_associative_across_three_splits(spark):
+    """((A+B)+C) must equal state(A∪B∪C) — merges chain."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randrange(5), round(rnd.uniform(-50, 50), 3), i)
+        for i in range(300)
+    ]
+    full = spark.createDataFrame(
+        rows, "user_id long, value double, event_id long"
+    )
+    parts = [
+        full.where(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    merged = incremental.merge_agg_states(
+        incremental.merge_agg_states(
+            incremental.additive_agg_state(parts[0]),
+            incremental.additive_agg_state(parts[1]),
+        ),
+        incremental.additive_agg_state(parts[2]),
+    )
+    direct = incremental.additive_agg_state(full)
+    as_map = lambda df: {  # noqa: E731
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in df.collect()
+    }
+    assert as_map(merged) == as_map(direct)

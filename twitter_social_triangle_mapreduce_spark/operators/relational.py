@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import ntz_epoch_seconds
+from ..sources.io import ntz_epoch_micros, ntz_epoch_seconds
 
 #: session gap threshold (seconds) for sessionization
 SESSION_GAP_S = 1800
@@ -350,6 +350,159 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("asof_val").alias("asof_orderkey")
     )
+
+
+#: ordered funnel steps for the conversion analysis
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel_stages(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """(stage, n_users) — ordered funnel conversion: a user reaches
+    stage k when they performed step k STRICTLY AFTER first completing
+    stage k-1 (first-touch semantics: each stage anchors at its earliest
+    qualifying time). Stage 0 = users with events but no step-1 event.
+
+    Shape: one conditional min-aggregate per step, each keyed on
+    user_id — the chain of tiny state relations joins on the SAME key,
+    so every shuffle reuses the user_id partitioning; the raw events
+    relation is scanned once per step but never joined to itself at
+    event granularity."""
+    e = events.select(
+        "user_id",
+        ntz_epoch_micros("ts").alias("__us"),
+        "event_type",
+    )
+    reached = e.select("user_id").distinct()
+    prev: DataFrame | None = None
+    anchors: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        src = e.where(F.col("event_type") == step)
+        if prev is not None:
+            src = src.join(prev, "user_id").where(
+                F.col("__us") > F.col(f"__t{i - 1}")
+            )
+        cur = src.groupBy("user_id").agg(F.min("__us").alias(f"__t{i}"))
+        anchors.append(cur)
+        prev = cur
+    out = reached
+    for i, a in enumerate(anchors):
+        out = out.join(
+            a.select("user_id", F.lit(1).alias(f"__s{i}")), "user_id", "left"
+        )
+    stage = sum(
+        (F.coalesce(F.col(f"__s{i}"), F.lit(0)) for i in range(len(steps))),
+        F.lit(0),
+    )
+    return (
+        out.select("user_id", stage.cast("long").alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def funnel_oracle_sql(steps: tuple[str, ...] = FUNNEL_STEPS) -> str:
+    """DuckDB twin of ``funnel_stages``."""
+    ctes = [
+        "e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events)"
+    ]
+    for i, step in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"t0 AS (SELECT user_id, MIN(us) AS u0 FROM e"
+                f" WHERE event_type = '{step}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT e.user_id, MIN(us) AS u{i}"
+                f" FROM e JOIN t{i - 1} USING (user_id)"
+                f" WHERE event_type = '{step}' AND us > u{i - 1}"
+                f" GROUP BY e.user_id)"
+            )
+    flags = " + ".join(
+        f"(CASE WHEN t{i}.user_id IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(steps))
+    )
+    joins = " ".join(
+        f"LEFT JOIN t{i} ON t{i}.user_id = u.user_id"
+        for i in range(len(steps))
+    )
+    return f"""
+        WITH {', '.join(ctes)},
+        u AS (SELECT DISTINCT user_id FROM e),
+        staged AS (SELECT u.user_id, CAST({flags} AS BIGINT) AS stage
+                   FROM u {joins})
+        SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY stage
+    """
+
+
+def top_spenders_per_region(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """(r_name, c_custkey, spent, rk) — top-``k`` customers by total
+    spend within each region: the per-group top-k pattern (window rank
+    over a pre-aggregated relation, then filter) — never a global sort.
+    The fact table aggregates FIRST (shuffle on o_custkey), so the
+    window input is one row per customer; dimensions broadcast. Spend
+    ties break by customer key for a deterministic ranking."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spent")
+    )
+    dimmed = (
+        spend.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            spend.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("__spent").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        dimmed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "r_name",
+            "c_custkey",
+            F.col("__spent").cast("double").alias("spent"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def top_spenders_oracle_sql(k: int = 3) -> str:
+    """DuckDB twin of ``top_spenders_per_region``."""
+    return f"""
+        WITH spend AS (SELECT o_custkey,
+                              SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS spent
+                       FROM orders GROUP BY o_custkey),
+        dimmed AS (SELECT r.r_name, c.c_custkey, s.spent
+                   FROM spend s
+                   JOIN customer c ON c.c_custkey = s.o_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+                   JOIN region r ON r.r_regionkey = n.n_regionkey),
+        ranked AS (SELECT r_name, c_custkey, spent,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY r_name
+                              ORDER BY spent DESC, c_custkey ASC) AS rk
+                   FROM dimmed)
+        SELECT r_name, c_custkey, CAST(spent AS DOUBLE) AS spent,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= {k}
+    """
 
 
 def order_cube(orders: DataFrame) -> DataFrame:

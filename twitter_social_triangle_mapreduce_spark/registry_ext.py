@@ -506,6 +506,25 @@ def q_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_cube(load_table(spark, sf_dir, "orders"))
 
 
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+def q_top_spenders_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.top_spenders_per_region(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_user_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import incremental
+
+    return incremental.merged_user_state(load_table(spark, sf_dir, "events"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -545,6 +564,12 @@ EXT_EXTRA_QUERIES = {
     "user_resample_ffill": q_user_resample_ffill,
     # CUBE grouping sets in one pass with grouping() flags: exact oracle
     "order_cube": q_order_cube,
+    # ordered funnel conversion via chained conditional mins: exact oracle
+    "user_funnel": q_user_funnel,
+    # per-group top-k (window rank over pre-aggregated spend): exact oracle
+    "top_spenders_region": q_top_spenders_region,
+    # snapshot+delta additive-state merge vs direct recompute: exact oracle
+    "user_state_merge": q_user_state_merge,
 }
 
 
@@ -1056,6 +1081,11 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["event_incident_counts"] = timeseries.incident_oracle_sql()
     out["user_resample_ffill"] = timeseries.resample_oracle_sql()
     out["order_cube"] = relational.ORDER_CUBE_ORACLE
+    out["user_funnel"] = relational.funnel_oracle_sql()
+    out["top_spenders_region"] = relational.top_spenders_oracle_sql()
+    from .operators import incremental
+
+    out["user_state_merge"] = incremental.MERGED_STATE_ORACLE
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
