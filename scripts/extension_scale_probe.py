@@ -110,6 +110,72 @@ def main() -> None:
     print(json.dumps(out), flush=True)
     e.unpersist()
 
+    # bucketed interval join: 1M points vs 50k intervals. The bucketed
+    # equi-join's work is linear; the naive theta-join on the same
+    # inputs is a nested-loop over 5*10^10 pairs (not run by default —
+    # pass --theta to demonstrate, slow by design).
+    from twitter_social_triangle_mapreduce_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    pts = spark.range(1_000_000).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.hash("id"), 30 * 86_400).alias("p"),
+    ).persist()
+    iv = spark.range(50_000).select(
+        F.col("id").alias("ivid"),
+        F.pmod(F.hash(F.col("id") * 7 + 3), 30 * 86_400).alias("s"),
+    ).withColumn("e", F.col("s") + 900).persist()
+    pts.count(), iv.count()
+    matches, sec_b = timed(
+        lambda: interval_join(pts, iv, "p", "s", "e", bucket_s=3600).count()
+    )
+    out = {
+        "probe": "range_join_1m",
+        "n_points": 1_000_000,
+        "n_intervals": 50_000,
+        "matches": matches,
+        "sec": sec_b,
+    }
+    if "--theta" in sys.argv:
+        naive = pts.join(
+            iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e"))
+        )
+        _, sec_t = timed(naive.count)
+        out["theta_sec"] = sec_t
+    print(json.dumps(out), flush=True)
+    pts.unpersist(), iv.unpersist()
+
+    # two-pass prefix-sum packing over 1M synthetic docs: must stay
+    # linear (the only ordered window runs over #buckets rows)
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        pack_sequences,
+    )
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(1, 5 + pmod(hash(id), 60)),"
+            " i -> 'w'), ' ')"
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    rows, sec_p = timed(
+        lambda: pack_sequences(docs, bucket_span=10_000).count()
+    )
+    print(
+        json.dumps(
+            {
+                "probe": "pack_1m",
+                "n_docs": 1_000_000,
+                "rows": rows,
+                "sec": sec_p,
+            }
+        ),
+        flush=True,
+    )
+    docs.unpersist()
+
 
 if __name__ == "__main__":
     main()
