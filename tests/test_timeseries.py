@@ -48,6 +48,32 @@ def test_interval_join_boundaries_and_multi_bucket_span(spark):
     assert got == [1, 2, 3, 4]
 
 
+def test_keyed_interval_join_is_half_open_and_key_scoped(spark):
+    """The keyed spelling (intervals.point_in_interval_join, default
+    closed_start=False): the anchor's own start instant must NOT match
+    (strict >), the end must (<=), and matches never cross keys."""
+    from twitter_social_triangle_mapreduce_spark.operators.intervals import (
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 200, 3), (2, 150, 4)],
+        "user_id long, us long, pid long",
+    )
+    iv = spark.createDataFrame(
+        [(1, 100, 200, 10)], "user_id long, s long, e long, ivid long"
+    )
+    got = sorted(
+        r["pid"]
+        for r in point_in_interval_join(
+            pts, iv, key="user_id", point_us="us",
+            start_us="s", end_us="e", granule_us=100,
+        ).collect()
+    )
+    # pid 1 excluded (== start, half-open), pid 4 excluded (other key)
+    assert got == [2, 3]
+
+
 def test_resample_windows_partition_by_user(spark):
     """Both windows (slot pick, forward fill) must partition by user —
     no single-partition global window may appear."""

@@ -32,16 +32,21 @@ HOUR_US = 3_600_000_000
 def point_in_interval_join(
     points: DataFrame,
     intervals: DataFrame,
-    key: str,
+    key: str | None,
     point_us: str,
     start_us: str,
     end_us: str,
     granule_us: int,
+    closed_start: bool = False,
 ) -> DataFrame:
-    """Inner-join ``points`` to every interval with
-    ``start_us < point_us <= end_us`` sharing ``key`` (half-open on the
-    left: an interval does not match its own start instant — the
-    convention that makes self-joins exclude the anchoring row).
+    """Inner-join ``points`` to every containing interval — by default
+    ``start_us < point_us <= end_us`` (half-open on the left: an
+    interval does not match its own start instant — the convention that
+    makes self-joins exclude the anchoring row); ``closed_start=True``
+    switches to the fully-closed ``[start_us, end_us]``. With ``key``
+    the match additionally requires equality on that column; ``key=None``
+    buckets on time alone (the global range-join shape —
+    ``timeseries.interval_join`` is that spelling).
 
     Columns of both inputs are preserved; callers project/aggregate on
     top. ``granule_us`` must be >= the widest interval for the 2-granule
@@ -54,21 +59,24 @@ def point_in_interval_join(
     p = points.withColumn(
         "__g", F.expr(f"{point_us} div {granule_us}")
     )
+    lo = start_us if closed_start else f"({start_us} + 1)"
     i = intervals.withColumn(
         "__g",
         F.explode(
             F.sequence(
-                F.expr(f"({start_us} + 1) div {granule_us}"),
+                F.expr(f"{lo} div {granule_us}"),
                 F.expr(f"{end_us} div {granule_us}"),
             )
         ),
     )
+    start_pred = (
+        F.col(point_us) >= F.col(start_us)
+        if closed_start
+        else F.col(point_us) > F.col(start_us)
+    )
     return (
-        p.join(i, [key, "__g"])
-        .where(
-            (F.col(point_us) > F.col(start_us))
-            & (F.col(point_us) <= F.col(end_us))
-        )
+        p.join(i, ([key] if key else []) + ["__g"])
+        .where(start_pred & (F.col(point_us) <= F.col(end_us)))
         .drop("__g")
     )
 

@@ -50,21 +50,23 @@ def interval_join(
     dedup step is needed. Shuffle volume is |points| + Σ interval
     spans — linear, never |points|·|intervals|. Hot buckets (a burst
     hour) are ordinary join skew: AQE skew-join or ``operators.skew``
-    salting applies unchanged."""
-    p = points.withColumn("__b", F.expr(f"{point_col} div {bucket_s}"))
-    iv = intervals.withColumn(
-        "__b",
-        F.explode(
-            F.expr(f"sequence({start_col} div {bucket_s}, {end_col} div {bucket_s})")
-        ),
-    )
-    return (
-        p.join(iv, "__b")
-        .where(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) <= F.col(end_col))
-        )
-        .drop("__b")
+    salting applies unchanged.
+
+    This is the unkeyed, fully-closed spelling of
+    ``intervals.point_in_interval_join`` (ONE bucketing core serves
+    both: the keyed half-open self-join of ``events_follow_count`` and
+    this global containment join)."""
+    from .intervals import point_in_interval_join
+
+    return point_in_interval_join(
+        points,
+        intervals,
+        key=None,
+        point_us=point_col,
+        start_us=start_col,
+        end_us=end_col,
+        granule_us=bucket_s,
+        closed_start=True,
     )
 
 

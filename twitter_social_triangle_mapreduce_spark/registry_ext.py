@@ -525,6 +525,12 @@ def q_user_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.merged_user_state(load_table(spark, sf_dir, "events"))
 
 
+def q_events_follow_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import intervals
+
+    return intervals.events_follow_count(load_table(spark, sf_dir, "events"))
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -570,6 +576,8 @@ EXT_EXTRA_QUERIES = {
     "top_spenders_region": q_top_spenders_region,
     # snapshot+delta additive-state merge vs direct recompute: exact oracle
     "user_state_merge": q_user_state_merge,
+    # keyed half-open interval self-join (retention/frequency-cap shape)
+    "events_follow_count": q_events_follow_count,
 }
 
 
@@ -1086,6 +1094,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import incremental
 
     out["user_state_merge"] = incremental.MERGED_STATE_ORACLE
+    from .operators import intervals as _intervals
+
+    out["events_follow_count"] = _intervals.events_follow_count_oracle_sql()
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
