@@ -110,6 +110,36 @@ def test_ann_bucketed_variants_are_hash_joins(spark):
         ), name
 
 
+def test_query_probe_cells_matches_ivf_internal_probes(spark):
+    """The standalone ``query_probe_cells`` utility must produce the
+    same (qid, cell) probe set that ``ann_topk_ivf`` derives internally
+    from the shared ranked relation (the docstring's identity claim)."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        _centroid_ranked,
+        query_probe_cells,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_queries, nprobe = 5, 2
+    standalone = sorted(
+        map(tuple, query_probe_cells(emb, n_queries, nprobe).collect())
+    )
+    ranked = _centroid_ranked(emb)
+    internal = sorted(
+        map(
+            tuple,
+            ranked.where(
+                (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
+            )
+            .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
+            .collect(),
+        )
+    )
+    assert standalone == internal and len(standalone) == n_queries * nprobe
+
+
 def test_ann_norms_computed_prejoin(spark):
     """Norms must be attached once per side BEFORE the scoring join. In the
     optimized plan the topmost (post-join, per-pair) Project may contain
