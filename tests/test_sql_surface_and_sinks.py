@@ -64,3 +64,29 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan
     want = ev.where(F.col("event_type") == "click").count()
     assert back.count() == want
+
+
+def test_dynamic_partition_pruning_fires_on_dim_join(spark, tmp_path):
+    """Dynamic partition pruning: when the partition key is only
+    constrained THROUGH a join (the dim side carries the filter), Spark
+    must inject a runtime subquery filter into the fact scan — at 100 TB
+    this is the difference between scanning one partition and scanning
+    the table. The partitioned-sink layout (`write_partitioned_parquet`)
+    is what makes the optimization available."""
+    ev = io.load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "dpp")
+    io.write_partitioned_parquet(
+        ev.select("event_id", "event_type", "value"), out, ["event_type"]
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("error", 0)],
+        "event_type string, wanted int",
+    )
+    joined = fact.join(dim.where(F.col("wanted") == 1), "event_type")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    want = ev.where(F.col("event_type") == "click").count()
+    assert joined.count() == want
