@@ -32,6 +32,51 @@ DOC_SCHEMA = StructType(
 )
 
 
+def test_dedup_within_watermark_suppresses_stream_duplicates(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark: a stream carrying each
+    event twice must emit each event_id exactly once (duplicates arrive
+    well inside the watermark horizon), converging to the batch
+    distinct."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        ntz_epoch_micros,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_dedup_within_watermark,
+        ts_ltz_from_nanos,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", (ntz_epoch_micros("ts") * 1000).cast("long")
+    )
+    doubled = ev.unionByName(ev)
+    json_dir = str(tmp_path / "dup_stream")
+    doubled.write.mode("overwrite").json(json_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .json(json_dir)
+        .withColumn("ts", ts_ltz_from_nanos("ts"))
+    )
+    name = "dd_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_dedup_within_watermark(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = spark.table(name).groupBy("event_id").count()
+    assert got.where(F.col("count") > 1).count() == 0, "duplicate emitted"
+    assert got.count() == ev.count(), "an event_id was lost"
+
+
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents")
     corpus_bands = dedup.minhash_bands(docs)

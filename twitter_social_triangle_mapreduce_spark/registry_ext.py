@@ -531,6 +531,26 @@ def q_events_follow_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intervals.events_follow_count(load_table(spark, sf_dir, "events"))
 
 
+def _event_z_sql() -> str:
+    """Shared z-value expression text (Spark == DuckDB): 16-bit Morton
+    interleave of quantized (user_id, value). Quantization bounds are
+    fixed constants so the curve is stable across scale factors (values
+    beyond them clamp to the edge cell)."""
+    from .functions.zorder import quantize_sql, zorder_sql
+
+    qu = quantize_sql("user_id", 0.0, 2000.0)
+    qv = quantize_sql("value", 0.0, 600.0)
+    return zorder_sql([f"({qu})", f"({qv})"])
+
+
+def q_event_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", _F.expr(_event_z_sql()).alias("zval")
+    )
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # sketch results are implementation-specific: rows-only by nature;
@@ -578,6 +598,9 @@ EXT_EXTRA_QUERIES = {
     "user_state_merge": q_user_state_merge,
     # keyed half-open interval self-join (retention/frequency-cap shape)
     "events_follow_count": q_events_follow_count,
+    # Morton-code scalar (the z-order layout's curve position): the
+    # oracle runs the IDENTICAL generated SQL text
+    "event_zorder": q_event_zorder,
 }
 
 
@@ -1097,6 +1120,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import intervals as _intervals
 
     out["events_follow_count"] = _intervals.events_follow_count_oracle_sql()
+    out["event_zorder"] = (
+        f"SELECT event_id, {_event_z_sql()} AS zval FROM events"
+    )
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,

@@ -215,6 +215,28 @@ def compact_parquet(
     return n
 
 
+def write_zordered_parquet(
+    df: DataFrame, path: str, z_sql: str, n_files: int = 8
+) -> None:
+    """Z-ordered parquet sink: attach the Morton code built by
+    ``functions.zorder`` (``z_sql``), range-partition on it, sort each
+    file by it, and write — rows close in EVERY curve dimension land in
+    the same file, so per-file min/max stats stay tight on all of them
+    and scans filtering on ANY dimension skip most files (a linear sort
+    serves only its leading column). ``repartitionByRange`` samples the
+    z-value distribution, so files are balanced even when the dimensions
+    are skewed. The written ``zval`` column is the curve position —
+    harmless to readers, useful for debugging and range-addressed
+    maintenance jobs."""
+    out = df.withColumn("zval", F.expr(z_sql))
+    (
+        out.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

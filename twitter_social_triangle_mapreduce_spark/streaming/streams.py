@@ -320,6 +320,24 @@ def streaming_dedup_against_corpus(
     )
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once-per-key event stream via the NATIVE
+    ``dropDuplicatesWithinWatermark``: duplicates of an ``event_id``
+    arriving within the watermark horizon are suppressed, and the
+    dedup state for ids older than the watermark is evicted — bounded
+    state, unlike a plain ``dropDuplicates`` on an unbounded stream
+    (whose key set grows forever). The at-least-once upstream →
+    exactly-once downstream repair step every ingestion pipeline needs;
+    complements the ``foreachBatch`` corpus-dedup pattern
+    (``streaming_dedup_against_corpus``), which dedups against a STATIC
+    reference rather than within the stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
