@@ -66,6 +66,25 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert back.count() == want
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source roundtrip; a filter on the read side must reach
+    the ORC scan as a pushed filter (same scan contract as parquet)."""
+    ev = io.load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "orc")
+    io.write_orc(ev, out)
+    back = io.read_orc_table(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+    filtered = back.where(F.col("user_id") == 3)
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)]" in plan
+
+
 def test_dynamic_partition_pruning_fires_on_dim_join(spark, tmp_path):
     """Dynamic partition pruning: when the partition key is only
     constrained THROUGH a join (the dim side carries the filter), Spark

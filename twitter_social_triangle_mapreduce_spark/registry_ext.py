@@ -543,6 +543,12 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    return sketches.heavy_hitter_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def q_event_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
@@ -601,6 +607,8 @@ EXT_EXTRA_QUERIES = {
     # Morton-code scalar (the z-order layout's curve position): the
     # oracle runs the IDENTICAL generated SQL text
     "event_zorder": q_event_zorder,
+    # Misra-Gries candidates + exact recount: exact threshold oracle
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }
 
 
@@ -1123,6 +1131,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["event_zorder"] = (
         f"SELECT event_id, {_event_z_sql()} AS zval FROM events"
     )
+    from .operators import sketches
+
+    out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,

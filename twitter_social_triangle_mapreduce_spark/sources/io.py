@@ -182,6 +182,19 @@ def read_json_table(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib, Spark-native vectorized writer) — the columnar
+    interchange format for Hive/Trino-adjacent consumers; same
+    predicate-pushdown and column-pruning behavior as parquet."""
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (vectorized, filters/pruning reach the scan exactly as
+    with parquet — asserted in tests/test_sql_surface_and_sinks.py)."""
+    return spark.read.orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str]
 ) -> None:
