@@ -123,6 +123,47 @@ def test_repetition_separates_looping_from_diverse_text(spark):
     assert got[2]["top2_e6"] == 1_000_000 * 1 // got[2]["n_2grams"]
 
 
+def test_pack_invariants_on_random_corpora(spark):
+    """Property check over random doc sets: offsets are the exclusive
+    prefix sums of token counts in doc_id order (conservation — no
+    token is lost or double-counted), pack ids are monotone, and every
+    doc's start lands inside its start pack."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(0, 150), min_size=1, max_size=40),
+        budget=st.integers(8, 128),
+    )
+    def check(sizes, budget):
+        rows = [
+            (i, " ".join(["w"] * n) if n else "") for i, n in enumerate(sizes)
+        ]
+        got = sorted(
+            corpus.pack_sequences(
+                _docs(spark, rows), budget=budget, bucket_span=7
+            ).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        # NB: splitting "" yields [""] -> 1 token, matching the oracle
+        expect_tokens = [max(n, 1) for n in sizes]
+        off = 0
+        for r, n in zip(got, expect_tokens):
+            assert r["n_tokens"] == n
+            assert r["start_off"] == off
+            assert r["pack_id"] == off // budget
+            assert r["end_pack"] == (off + max(n, 1) - 1) // budget
+            assert r["pack_id"] <= r["end_pack"]
+            off += n
+
+    check()
+
+
 def test_repetition_requires_trigram_surface(spark):
     """Docs with <3 words emit nothing (no repetition surface)."""
     got = corpus.repetition_stats(
