@@ -177,6 +177,32 @@ def test_streaming_triangle_closures_matches_batch(spark):
     assert got >= batch_total * 0.8
 
 
+def test_observed_quality_metrics_surface_in_progress(spark):
+    """observe() metrics must appear in the streaming progress events
+    and account for every input row (no second scan needed)."""
+    ev = st.with_quality_metrics(st.read_events_stream(spark, SF_SMOKE))
+    counted = ev.groupBy("event_type").count()
+    name = "obs_" + __import__("uuid").uuid4().hex[:8]
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    metrics = [
+        p["observedMetrics"]["quality"]
+        for p in q.recentProgress
+        if "quality" in p.get("observedMetrics", {})
+    ]
+    assert metrics, "no observed metrics reported"
+    total_rows = sum(m["n_rows"] for m in metrics)
+    want = load_table(spark, SF_SMOKE, "events").count()
+    assert total_rows == want
+    assert all(m["n_null_value"] == 0 for m in metrics)
+
+
 def test_streaming_stateful_running_counts(spark):
     ev = st.read_events_stream(spark, SF_SMOKE)
     sink = run_to_completion(

@@ -320,6 +320,25 @@ def streaming_dedup_against_corpus(
     )
 
 
+def with_quality_metrics(events: DataFrame, name: str = "quality") -> DataFrame:
+    """Attach ``observe()`` data-quality metrics to a (batch or
+    streaming) events relation: row count, null-value count, and max
+    event time flow OUT-OF-BAND per micro-batch — surfaced in
+    ``StreamingQueryProgress.observedMetrics[name]`` — so ingestion
+    health is monitored without a second scan or a separate counting
+    query. The Spark-native replacement for the reference's driver-side
+    stdout counters (``SocialTriangle_RS.java`` prints its scalar from
+    the driver; here the pipeline itself reports)."""
+    return events.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+            "n_null_value"
+        ),
+        F.max("ts").alias("max_ts"),
+    )
+
+
 def streaming_dedup_within_watermark(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
