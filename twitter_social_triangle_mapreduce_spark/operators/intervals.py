@@ -124,6 +124,63 @@ def events_follow_count(
     )
 
 
+def temporal_path2_counts(
+    events: DataFrame, horizon_us: int = HOUR_US
+) -> DataFrame:
+    """(x, n_paths) — TIME-RESPECTING length-2 paths in the event-derived
+    edge stream: X→Y at t₁ then Y→Z at t₂ with ``t₁ < t₂ <= t₁+horizon``
+    and X≠Z (the reference's path-2 exploration made temporal — a path
+    only counts if the second hop happens after the first, within the
+    horizon; reference ``ExactCardinality.java`` counts the static
+    version). Counts per source X.
+
+    Shape: the hop condition is the keyed half-open interval join on the
+    mid node — shuffle keyed on (mid, time-granule), never a per-key
+    sort of full adjacency; the same core as ``events_follow_count``."""
+    from ..sources.io import derive_edges
+
+    e = derive_edges(events, keep=["ts"]).select(
+        "src", "dst", ntz_epoch_micros("ts").alias("us")
+    )
+    hop1 = e.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("mid"),
+        F.col("us").alias("t1"),
+        (F.col("us") + horizon_us).alias("t1_end"),
+    )
+    hop2 = e.select(
+        F.col("src").alias("mid"),
+        F.col("dst").alias("z"),
+        F.col("us").alias("t2"),
+    )
+    paths = point_in_interval_join(
+        hop2,
+        hop1,
+        key="mid",
+        point_us="t2",
+        start_us="t1",
+        end_us="t1_end",
+        granule_us=horizon_us,
+    ).where(F.col("x") != F.col("z"))
+    return paths.groupBy("x").agg(F.count(F.lit(1)).alias("n_paths"))
+
+
+def temporal_path2_oracle_sql(horizon_us: int = HOUR_US) -> str:
+    """DuckDB twin of ``temporal_path2_counts``."""
+    return f"""
+        WITH e AS (SELECT user_id AS src,
+                          (user_id * 37 + event_id * 11 + 7) % 200 AS dst,
+                          epoch_us(ts) AS us
+                   FROM events)
+        SELECT a.src AS x, COUNT(*) AS n_paths
+        FROM e a JOIN e b
+          ON a.dst = b.src
+         AND b.us > a.us AND b.us <= a.us + {horizon_us}
+         AND a.src <> b.dst
+        GROUP BY a.src
+    """
+
+
 def events_follow_count_oracle_sql(horizon_us: int = HOUR_US) -> str:
     """DuckDB twin of ``events_follow_count`` — the direct inequality
     join (the oracle can afford the naive plan)."""

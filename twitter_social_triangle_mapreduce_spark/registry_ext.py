@@ -543,6 +543,12 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_temporal_path2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import intervals
+
+    return intervals.temporal_path2_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
@@ -609,6 +615,8 @@ EXT_EXTRA_QUERIES = {
     "event_zorder": q_event_zorder,
     # Misra-Gries candidates + exact recount: exact threshold oracle
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    # time-respecting path-2 (temporal twin of the reference core)
+    "temporal_path2": q_temporal_path2,
 }
 
 
@@ -1134,6 +1142,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import sketches
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
+    out["temporal_path2"] = _intervals.temporal_path2_oracle_sql()
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
