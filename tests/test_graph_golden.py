@@ -162,3 +162,43 @@ def test_strategies_agree_on_simple_graphs(spark):
         )
     )
     assert a == b
+
+
+def test_wedge_closure_golden_semantics(spark):
+    """Directed triangle closes its wedges; duplicate middle edges
+    multiply path-2 counts; 2-cycle round-trips (X==Z) never count; the
+    closing probe is existence (a duplicated closing edge must not
+    double n_closed)."""
+    from twitter_social_triangle_mapreduce_spark.operators.graph import (
+        wedge_closure_per_node,
+    )
+
+    e = edges_df(
+        spark,
+        [
+            (1, 2), (2, 3), (2, 3), (3, 1), (3, 1),  # dup hop + dup closer
+            (2, 1),  # 2-cycle with 1->2
+        ],
+    )
+    got = {r["x"]: r for r in wedge_closure_per_node(e).collect()}
+    # x=1: paths 1->2->3 (x2 via dup edge); both closed by existing 3->1
+    assert got[1]["n_path2"] == 2 and got[1]["n_closed"] == 2
+    assert got[1]["closure_e6"] == 1_000_000
+    # x=2: 2->3->1 (x4: dup hop x dup closer), all closed by 1->2;
+    # the 2->1->2 round-trip is excluded (X==Z)
+    assert got[2]["n_path2"] == 4 and got[2]["n_closed"] == 4
+    # x=3: 3->1->2 (x2 via dup 3->1), closed iff 2->3 exists (it does)
+    assert got[3]["n_path2"] == 2 and got[3]["n_closed"] == 2
+
+
+def test_degree_distribution_golden(spark):
+    from twitter_social_triangle_mapreduce_spark.operators.graph import (
+        degree_distribution,
+    )
+
+    e = edges_df(spark, [(1, 2), (1, 3), (1, 2), (2, 3), (4, 1)])
+    got = {
+        r["out_degree"]: r["n_nodes"]
+        for r in degree_distribution(e).collect()
+    }
+    assert got == {3: 1, 1: 2}

@@ -144,6 +144,63 @@ def path2_cardinality_total(
     )
 
 
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(out_degree, n_nodes) — the degree histogram, the first diagnostic
+    run on any production graph (power-law tails are exactly the skew
+    the `ordered` triangle strategy and the jaccard hub cap exist for).
+    Two chained aggregates, both with map-side partials."""
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .groupBy("out_degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def wedge_closure_per_node(edges: DataFrame) -> DataFrame:
+    """(x, n_path2, n_closed, closure_e6) — per-source wedge closure: of
+    the directed length-2 paths X→Y→Z (X≠Z, multiplicity semantics as in
+    `path2`), the fraction closed by an EXISTING edge Z→X (edge
+    existence, not multiplicity — the same closing-edge dedup the
+    reference's replicated join applies, `ReplicatedJoinDriver.java`
+    ``contains`` check). The local-clustering analog for the directed
+    multigraph.
+
+    Shape: the closing probe is a LEFT join against the DISTINCT edge
+    set (at most one match per (z,x), so counts are preserved), then one
+    aggregate per source. Path-2 tuples are materialized — this is the
+    enumeration-tier analytics query (like `triangle_enum`/`path2_enum`);
+    the pre-aggregated multiplicity algebra stays available for the
+    scalar variants."""
+    a = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    b = edges.select(F.col("src").alias("y2"), F.col("dst").alias("z"))
+    p = a.join(b, F.col("y") == F.col("y2")).where(
+        F.col("x") != F.col("z")
+    )
+    closing = edges.select(
+        F.col("src").alias("cz"), F.col("dst").alias("cx")
+    ).distinct()
+    flagged = p.join(
+        closing,
+        (F.col("z") == F.col("cz")) & (F.col("x") == F.col("cx")),
+        "left",
+    )
+    return (
+        flagged.groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("n_path2"),
+            F.sum(
+                F.when(F.col("cz").isNotNull(), 1).otherwise(0)
+            ).alias("n_closed"),
+        )
+        .withColumn(
+            "closure_e6",
+            F.floor(1_000_000 * F.col("n_closed") / F.col("n_path2"))
+            .cast("long"),
+        )
+    )
+
+
 def triangle_count_shuffle(
     edges: DataFrame, max_id: int | None = None, strict: bool = True
 ) -> DataFrame:

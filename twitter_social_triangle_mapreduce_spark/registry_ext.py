@@ -543,6 +543,18 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as _graph
+
+    return _graph.degree_distribution(edges_from_events(spark, sf_dir))
+
+
+def q_wedge_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as _graph
+
+    return _graph.wedge_closure_per_node(edges_from_events(spark, sf_dir))
+
+
 def q_temporal_path2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import intervals
 
@@ -617,6 +629,10 @@ EXT_EXTRA_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     # time-respecting path-2 (temporal twin of the reference core)
     "temporal_path2": q_temporal_path2,
+    # degree histogram (two chained partial-agg aggregates)
+    "degree_distribution": q_degree_distribution,
+    # per-source wedge closure with existence-checked closing edge
+    "wedge_closure": q_wedge_closure,
 }
 
 
@@ -1143,6 +1159,26 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
     out["temporal_path2"] = _intervals.temporal_path2_oracle_sql()
+    out["degree_distribution"] = f"""
+        WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
+        deg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src)
+        SELECT out_degree, COUNT(*) AS n_nodes FROM deg GROUP BY out_degree
+    """
+    out["wedge_closure"] = f"""
+        WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
+        p AS (SELECT a.src AS x, b.dst AS z
+              FROM edges a JOIN edges b ON a.dst = b.src
+              WHERE a.src <> b.dst),
+        cl AS (SELECT DISTINCT src AS cz, dst AS cx FROM edges),
+        f AS (SELECT p.x, (cl.cz IS NOT NULL) AS closed
+              FROM p LEFT JOIN cl ON cl.cz = p.z AND cl.cx = p.x)
+        SELECT x, COUNT(*) AS n_path2,
+               CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               CAST(FLOOR(1000000 * SUM(CASE WHEN closed THEN 1 ELSE 0 END)
+                          / COUNT(*)) AS BIGINT) AS closure_e6
+        FROM f GROUP BY x
+    """
     out["corpus_curation"] = f"""
         WITH toks AS ({_TOKS}),
         stats AS (SELECT doc_id, COUNT(*) AS n_tokens,
