@@ -109,6 +109,27 @@ def run_explain(spark, sf_dir: str, query_name: str) -> str:
     return plan
 
 
+def run_query(
+    spark, sf_dir: str, query_name: str, out_dir: str | None = None
+) -> None:
+    """``query`` subcommand: run ANY registered query (graph core +
+    every extension) against a testdata sf dir — parquet out when a
+    destination is given, table print otherwise. The reference exposes
+    four fixed programs; here the full registry is the program surface."""
+    from . import registry
+
+    queries = registry.all_queries(include_extra=True)
+    if query_name not in queries:
+        raise SystemExit(
+            f"unknown query {query_name!r}; one of: {', '.join(sorted(queries))}"
+        )
+    df = queries[query_name](spark, sf_dir)
+    if out_dir:
+        df.write.mode("overwrite").parquet(out_dir)
+    else:
+        df.show(50, truncate=False)
+
+
 def run_sql(spark, sf_dir: str, query: str, limit: int = 50) -> None:
     """``sql`` subcommand: register the testdata tables + ``edges`` as
     views and run one ad-hoc SQL statement — the interactive query surface
@@ -122,7 +143,7 @@ def main(argv: list[str] | None = None) -> None:
         prog="twitter_social_triangle_mapreduce_spark",
         description="PySpark-native equivalents of the reference MapReduce programs",
     )
-    p.add_argument("program", choices=(*PROGRAMS, "sql", "explain"))
+    p.add_argument("program", choices=(*PROGRAMS, "sql", "explain", "query"))
     p.add_argument(
         "input_dir",
         help="programs: directory of followerId,followeeId CSV files; "
@@ -155,6 +176,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.program == "explain":
         # input_dir = testdata dir, output_dir = the registered query name
         run_explain(spark, args.input_dir, args.output_dir)
+        return
+    if args.program == "query":
+        # input_dir = testdata dir, output_dir = "<name>[:<parquet_out>]"
+        name, _, dest = args.output_dir.partition(":")
+        run_query(spark, args.input_dir, name, dest or None)
         return
     run_program(
         spark,
