@@ -543,6 +543,28 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_user_pseudonymized_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import privacy
+
+    ev = privacy.pseudonymize(
+        load_table(spark, sf_dir, "events"), ["user_id"]
+    )
+    return ev.groupBy(F.col("user_id").alias("user_token")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import privacy
+
+    red = privacy.redact_text(load_table(spark, sf_dir, "documents"))
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("clean_md5")
+    )
+
+
 def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as _graph
 
@@ -633,6 +655,10 @@ EXT_EXTRA_QUERIES = {
     "degree_distribution": q_degree_distribution,
     # per-source wedge closure with existence-checked closing edge
     "wedge_closure": q_wedge_closure,
+    # sha256 key pseudonymization (referential integrity preserved)
+    "user_pseudonymized_counts": q_user_pseudonymized_counts,
+    # in-text PII redaction with audit counts: exact oracle
+    "doc_redaction": q_doc_redaction,
 }
 
 
@@ -1159,6 +1185,12 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
     out["temporal_path2"] = _intervals.temporal_path2_oracle_sql()
+    from .operators import privacy as _privacy
+
+    out["user_pseudonymized_counts"] = (
+        _privacy.pseudonymized_events_oracle_sql()
+    )
+    out["doc_redaction"] = _privacy.redacted_docs_oracle_sql()
     out["degree_distribution"] = f"""
         WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
         deg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src)
