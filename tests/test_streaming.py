@@ -224,3 +224,57 @@ def test_streaming_stateful_running_counts(spark):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_incremental_rollup_equals_direct_state(spark, tmp_path):
+    """The foreachBatch-maintained snapshot must equal the direct
+    additive state over all events after the stream drains, with
+    multiple micro-batches forcing at least one real merge."""
+    from twitter_social_triangle_mapreduce_spark.operators.incremental import (
+        additive_agg_state,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        streaming_incremental_rollup,
+    )
+
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        ntz_epoch_micros,
+    )
+
+    # split the events over 4 JSON files and feed them one per trigger,
+    # so the snapshot goes through several REAL merge rounds (a single
+    # parquet file would collapse to one batch and never merge)
+    raw = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", (ntz_epoch_micros("ts") * 1000).cast("long")
+    )
+    json_dir = str(tmp_path / "ev_json")
+    raw.repartition(4).write.mode("overwrite").json(json_dir)
+    ev_stream = st.read_events_stream_json(spark, json_dir)
+
+    snap = str(tmp_path / "snapshot")
+    q = streaming_incremental_rollup(
+        ev_stream, snap, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(timeout=180)
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["sum_value"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in additive_agg_state(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert got == want

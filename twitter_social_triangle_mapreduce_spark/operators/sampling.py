@@ -132,6 +132,38 @@ def stratified_oracle_sql(
     """
 
 
+def hash_topk_sample(
+    df: DataFrame, key: str, n: int, salt: str = "topk"
+) -> DataFrame:
+    """Fixed-SIZE deterministic sample: the ``n`` rows whose key digests
+    sort lowest (ties impossible — the digest is effectively unique per
+    key). The reservoir-sampling replacement for distributed engines:
+    uniform over keys, a pure function of (key set, salt, n), and
+    executed as TakeOrderedAndProject — each partition contributes its
+    local top-n candidates (O(n) memory), the driver merges; no global
+    sort is materialized. Complements ``hash_sample`` (fixed RATE)."""
+    return (
+        df.withColumn(
+            _DIGEST,
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#{salt}"))),
+        )
+        .orderBy(_DIGEST)
+        .limit(n)
+        .drop(_DIGEST)
+    )
+
+
+def topk_sample_oracle_sql(
+    table: str, key: str, n: int, salt: str = "topk", select: str = "*"
+) -> str:
+    """DuckDB twin of ``hash_topk_sample``."""
+    return f"""
+        SELECT {select} FROM {table}
+        ORDER BY md5(concat(CAST({key} AS VARCHAR), '#{salt}'))
+        LIMIT {n}
+    """
+
+
 def split_oracle_sql(
     table: str, key: str, test_frac: float = 0.1, salt: str = "split"
 ) -> str:

@@ -543,6 +543,14 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_doc_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_topk_sample
+
+    return hash_topk_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 100
+    ).select("doc_id", "lang")
+
+
 def q_user_pseudonymized_counts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -659,6 +667,8 @@ EXT_EXTRA_QUERIES = {
     "user_pseudonymized_counts": q_user_pseudonymized_counts,
     # in-text PII redaction with audit counts: exact oracle
     "doc_redaction": q_doc_redaction,
+    # fixed-size deterministic sample (TakeOrderedAndProject, no sort)
+    "doc_topk_sample": q_doc_topk_sample,
 }
 
 
@@ -1191,6 +1201,11 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         _privacy.pseudonymized_events_oracle_sql()
     )
     out["doc_redaction"] = _privacy.redacted_docs_oracle_sql()
+    from .operators.sampling import topk_sample_oracle_sql
+
+    out["doc_topk_sample"] = topk_sample_oracle_sql(
+        "documents", "doc_id", 100, select="doc_id, lang"
+    )
     out["degree_distribution"] = f"""
         WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
         deg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src)

