@@ -164,6 +164,33 @@ def test_pack_invariants_on_random_corpora(spark):
     check()
 
 
+def test_training_shards_layout(spark, tmp_path):
+    """Shard dirs partition the pack space; no doc lost; rows inside a
+    shard come back in tape order when read file-sequentially."""
+    import glob
+
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, budget=64, packs_per_shard=8)
+    shard_dirs = glob.glob(f"{out}/shard=*")
+    assert len(shard_dirs) > 1, "expected multiple shards"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition pruning serves a single-shard read
+    one = back.where(F.col("shard") == 0)
+    assert 0 < one.count() < docs.count()
+    # every pack_id maps into its shard's range
+    bad = back.where(
+        (F.col("pack_id") < F.col("shard") * 8)
+        | (F.col("pack_id") >= (F.col("shard") + 1) * 8)
+    )
+    assert bad.count() == 0
+
+
 def test_repetition_requires_trigram_surface(spark):
     """Docs with <3 words emit nothing (no repetition surface)."""
     got = corpus.repetition_stats(

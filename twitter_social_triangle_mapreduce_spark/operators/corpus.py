@@ -32,6 +32,42 @@ PACK_BUDGET = 64
 PACK_BUCKET_SPAN = 100
 
 
+#: packs per output shard for the shard writer
+PACKS_PER_SHARD = 16
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    budget: int = PACK_BUDGET,
+    packs_per_shard: int = PACKS_PER_SHARD,
+    bucket_span: int = PACK_BUCKET_SPAN,
+) -> None:
+    """Materialize the packing layout as training shards: assign every
+    document its pack via ``pack_sequences``, group ``packs_per_shard``
+    consecutive packs into one shard, and write hive-partitioned parquet
+    (``shard=K/``) with rows sorted by ``start_off`` inside each file —
+    a shard reader streams documents in exact tape order with zero
+    seeks, and a trainer pulls ``shard=K`` via partition pruning without
+    touching the rest of the corpus. One extra shuffle (repartition by
+    shard) beyond the packing itself."""
+    packed = pack_sequences(documents, budget, bucket_span).select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        "pack_id",
+        F.expr(f"pack_id div {packs_per_shard}").alias("shard"),
+    )
+    rows = documents.join(packed, "doc_id")
+    (
+        rows.repartition("shard")
+        .sortWithinPartitions("start_off")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def _shingle_cte(src_sql: str, n: int, rel: str) -> str:
     """DuckDB CTE body producing ``rel(doc_id, sh)`` — word ``n``-shingles
     of ``src_sql``'s (doc_id, text) rows; same guard as

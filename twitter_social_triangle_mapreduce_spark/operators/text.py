@@ -251,6 +251,81 @@ def cooccurrence_oracle_sql(
     """
 
 
+def source_token_divergence(documents: DataFrame) -> DataFrame:
+    """(source, n_tokens, chi2_e6) — how far each source's token
+    distribution sits from the corpus-wide distribution: the chi-square
+    statistic Σ_tok (o - e)²/e with e the count expected under the
+    corpus distribution — the mixture-diagnostics number a pretraining
+    pipeline watches when re-weighting sources (a source that drifts
+    from the mix shows a growing chi2).
+
+    Engine-exact formulation: with integer counts o (source×token),
+    tc (token), st (source), ct (corpus total), each term equals
+    (o·ct − tc·st)² / (ct·tc·st) — all-integer inputs pushed through
+    the same IEEE double ops in both engines, floored at 1e6 and
+    integer-summed, so no float-accumulation order can diverge.
+
+    Shape: one exploded-token pass feeds three partial-agg aggregates
+    (source×token, token, source); the term join is keyed on tok with
+    the tiny source/corpus relations broadcast. Includes the e>0-only
+    terms (every token in the vocabulary has tc>0 by construction)."""
+    t = tokens(documents.select("doc_id", "text")).join(
+        documents.select("doc_id", "source"), "doc_id"
+    )
+    st_tok = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("o"))
+    tok_tot = t.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    src_tot = t.groupBy("source").agg(F.count(F.lit(1)).alias("st"))
+    corpus = t.agg(F.count(F.lit(1)).alias("ct"))
+    term = (
+        st_tok.join(tok_tot, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "o",
+            F.expr(
+                "CAST(FLOOR(1000000.0"
+                " * (CAST(o AS DOUBLE) * ct - CAST(tc AS DOUBLE) * st)"
+                " * (CAST(o AS DOUBLE) * ct - CAST(tc AS DOUBLE) * st)"
+                " / (CAST(ct AS DOUBLE) * tc * st)) AS BIGINT)"
+            ).alias("term_e6"),
+        )
+    )
+    return term.groupBy("source").agg(
+        F.sum("o").cast("long").alias("n_tokens"),
+        F.sum("term_e6").cast("long").alias("chi2_e6"),
+    )
+
+
+def divergence_oracle_sql(toks_sql: str) -> str:
+    """DuckDB twin of ``source_token_divergence``."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        t AS (SELECT toks.doc_id, toks.tok, d.source
+              FROM toks JOIN documents d ON d.doc_id = toks.doc_id),
+        st_tok AS (SELECT source, tok, COUNT(*) AS o
+                   FROM t GROUP BY source, tok),
+        tok_tot AS (SELECT tok, COUNT(*) AS tc FROM t GROUP BY tok),
+        src_tot AS (SELECT source, COUNT(*) AS st FROM t GROUP BY source),
+        corpus AS (SELECT COUNT(*) AS ct FROM t),
+        term AS (
+            SELECT source, o,
+                   CAST(FLOOR(1000000.0
+                        * (CAST(o AS DOUBLE) * ct - CAST(tc AS DOUBLE) * st)
+                        * (CAST(o AS DOUBLE) * ct - CAST(tc AS DOUBLE) * st)
+                        / (CAST(ct AS DOUBLE) * tc * st)) AS BIGINT)
+                       AS term_e6
+            FROM st_tok
+            JOIN tok_tot USING (tok)
+            JOIN src_tot USING (source)
+            CROSS JOIN corpus
+        )
+        SELECT source, CAST(SUM(o) AS BIGINT) AS n_tokens,
+               CAST(SUM(term_e6) AS BIGINT) AS chi2_e6
+        FROM term GROUP BY source
+    """
+
+
 #: curation gates: minimum token count and minimum (English) stopword
 #: density — the classic cheap heuristics a pretraining pipeline applies
 #: before any model-based scoring

@@ -543,6 +543,12 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_token_divergence(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_doc_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import hash_topk_sample
 
@@ -669,6 +675,8 @@ EXT_EXTRA_QUERIES = {
     "doc_redaction": q_doc_redaction,
     # fixed-size deterministic sample (TakeOrderedAndProject, no sort)
     "doc_topk_sample": q_doc_topk_sample,
+    # per-source chi-square vs the corpus token mix: exact oracle
+    "source_divergence": q_source_divergence,
 }
 
 
@@ -1206,6 +1214,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["doc_topk_sample"] = topk_sample_oracle_sql(
         "documents", "doc_id", 100, select="doc_id, lang"
     )
+    out["source_divergence"] = text.divergence_oracle_sql(_TOKS)
     out["degree_distribution"] = f"""
         WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
         deg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src)
