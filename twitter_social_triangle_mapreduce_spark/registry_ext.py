@@ -543,6 +543,12 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_quantized(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_token_divergence(
         load_table(spark, sf_dir, "documents")
@@ -677,6 +683,8 @@ EXT_EXTRA_QUERIES = {
     "doc_topk_sample": q_doc_topk_sample,
     # per-source chi-square vs the corpus token mix: exact oracle
     "source_divergence": q_source_divergence,
+    # int8-quantized cosine top-k (integer dot/norms): exact oracle
+    "ann_topk_quantized": q_ann_topk_quantized,
 }
 
 
@@ -1215,6 +1223,41 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         "documents", "doc_id", 100, select="doc_id, lang"
     )
     out["source_divergence"] = text.divergence_oracle_sql(_TOKS)
+    out["ann_topk_quantized"] = """
+        WITH s AS (SELECT MAX(list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))))) AS s
+                   FROM embeddings),
+        qz AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(least(greatest(
+                              floor(CAST(x AS DOUBLE) / s * 127 + 0.5),
+                              -127), 127) AS BIGINT)) AS qemb
+               FROM embeddings CROSS JOIN s),
+        q AS (SELECT vec_id AS qid, qemb AS qe,
+                     CAST(list_sum(list_transform(qemb, x -> x * x))
+                          AS BIGINT) AS qn2
+              FROM qz WHERE vec_id < 5),
+        c AS (SELECT vec_id AS nid, qemb AS ce,
+                     CAST(list_sum(list_transform(qemb, x -> x * x))
+                          AS BIGINT) AS cn2
+              FROM qz),
+        scored AS (
+            SELECT qid, nid,
+                   CAST(list_sum(list_transform(range(1, len(qe) + 1),
+                            i -> qe[i] * ce[i])) AS DOUBLE)
+                   / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+                       AS sim
+            FROM c JOIN q ON qid <> nid
+        ),
+        ranked AS (SELECT qid, nid,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, nid ASC) AS rank,
+                          sim
+                   FROM scored)
+        SELECT qid, nid, CAST(rank AS BIGINT) AS rank,
+               CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+        FROM ranked WHERE rank <= 3
+    """
     out["degree_distribution"] = f"""
         WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
         deg AS (SELECT src, COUNT(*) AS out_degree FROM edges GROUP BY src)
