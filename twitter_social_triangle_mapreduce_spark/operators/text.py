@@ -251,6 +251,66 @@ def cooccurrence_oracle_sql(
     """
 
 
+#: vocabulary size for the OOV-rate query
+VOCAB_SIZE = 100
+
+
+def vocab_oov_rates(
+    documents: DataFrame, vocab_size: int = VOCAB_SIZE
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_e6) — build the corpus vocabulary
+    (top ``vocab_size`` tokens by count desc, token asc — deterministic)
+    and report each document's out-of-vocabulary token fraction — the
+    coverage check run before freezing any tokenizer vocabulary.
+
+    Shape: the vocabulary is a ``limit`` over the corpus token counts
+    (TakeOrderedAndProject) and BROADCASTS into a left join against the
+    exploded tokens — the corpus is never shuffled for membership; one
+    aggregate keyed on doc_id produces the rates."""
+    t = tokens(documents)
+    vocab = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_e6",
+            F.floor(1_000_000 * F.col("n_oov") / F.col("n_tokens"))
+            .cast("long"),
+        )
+    )
+
+
+def vocab_oov_oracle_sql(
+    toks_sql: str, vocab_size: int = VOCAB_SIZE
+) -> str:
+    """DuckDB twin of ``vocab_oov_rates``."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        vocab AS (SELECT tok FROM toks GROUP BY tok
+                  ORDER BY COUNT(*) DESC, tok ASC LIMIT {vocab_size}),
+        j AS (SELECT t.doc_id,
+                     CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+              FROM toks t LEFT JOIN vocab v ON v.tok = t.tok)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(FLOOR(1000000 * SUM(oov) / COUNT(*)) AS BIGINT)
+                   AS oov_e6
+        FROM j GROUP BY doc_id
+    """
+
+
 def source_token_divergence(documents: DataFrame) -> DataFrame:
     """(source, n_tokens, chi2_e6) — how far each source's token
     distribution sits from the corpus-wide distribution: the chi-square

@@ -543,6 +543,10 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_oov_rates(load_table(spark, sf_dir, "documents"))
+
+
 def q_ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_quantized(
         load_table(spark, sf_dir, "embeddings")
@@ -685,6 +689,8 @@ EXT_EXTRA_QUERIES = {
     "source_divergence": q_source_divergence,
     # int8-quantized cosine top-k (integer dot/norms): exact oracle
     "ann_topk_quantized": q_ann_topk_quantized,
+    # tokenizer-vocabulary coverage (broadcast membership): exact oracle
+    "doc_oov_rates": q_doc_oov_rates,
 }
 
 
@@ -1223,6 +1229,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         "documents", "doc_id", 100, select="doc_id, lang"
     )
     out["source_divergence"] = text.divergence_oracle_sql(_TOKS)
+    out["doc_oov_rates"] = text.vocab_oov_oracle_sql(_TOKS)
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
