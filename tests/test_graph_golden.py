@@ -202,3 +202,20 @@ def test_degree_distribution_golden(spark):
         for r in degree_distribution(e).collect()
     }
     assert got == {3: 1, 1: 2}
+
+
+def test_reciprocity_golden(spark):
+    """2-cycles are reciprocal, self-loops count as their own reverse,
+    duplicates collapse (distinct-edge semantics)."""
+    from twitter_social_triangle_mapreduce_spark.operators.graph import (
+        reciprocity,
+    )
+
+    e = edges_df(
+        spark,
+        [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)],
+    )
+    r = reciprocity(e).collect()[0]
+    # distinct edges: (1,2),(2,1),(3,3),(4,5) -> 4; reciprocal: first 3
+    assert r["n_edges"] == 4 and r["n_reciprocal"] == 3
+    assert r["reciprocity_e6"] == 750_000

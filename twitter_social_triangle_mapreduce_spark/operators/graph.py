@@ -157,6 +157,43 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row (n_edges, n_reciprocal, reciprocity_e6) — the fraction of
+    DISTINCT directed edges whose reverse also exists (self-loops count
+    as their own reverse, the standard convention). A fundamental
+    directed-graph statistic (mutual-follow rate on a social graph).
+    Shape: distinct once, one self-semi-join on the reversed key."""
+    d = edges.select("src", "dst").distinct()
+    rev = d.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = d.join(rev, ["src", "dst"], "left_semi")
+    n = d.agg(F.count(F.lit(1)).alias("n_edges"))
+    r = recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    return (
+        n.crossJoin(r)
+        .withColumn(
+            "reciprocity_e6",
+            F.floor(1_000_000 * F.col("n_reciprocal") / F.col("n_edges"))
+            .cast("long"),
+        )
+    )
+
+
+RECIPROCITY_ORACLE_TEMPLATE = """
+    WITH edges AS ({edges_sql}),
+    d AS (SELECT DISTINCT src, dst FROM edges),
+    r AS (SELECT COUNT(*) AS n_reciprocal FROM d
+          WHERE EXISTS (SELECT 1 FROM d d2
+                        WHERE d2.src = d.dst AND d2.dst = d.src)),
+    n AS (SELECT COUNT(*) AS n_edges FROM d)
+    SELECT n_edges, n_reciprocal,
+           CAST(FLOOR(1000000 * n_reciprocal / n_edges) AS BIGINT)
+               AS reciprocity_e6
+    FROM n CROSS JOIN r
+"""
+
+
 def wedge_closure_per_node(edges: DataFrame) -> DataFrame:
     """(x, n_path2, n_closed, closure_e6) — per-source wedge closure: of
     the directed length-2 paths X→Y→Z (X≠Z, multiplicity semantics as in

@@ -352,6 +352,71 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+#: fixed pivot column set — explicit values keep the pivot a single
+#: pass (no distinct-discovery job) and the output schema stable
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_type_pivot(events: DataFrame) -> DataFrame:
+    """(user_id, n_click, n_error, n_purchase, n_signup, n_view) —
+    long→wide reshape: per-user event counts, one column per type.
+    Passing the value list to ``pivot`` matters at scale: without it
+    Spark runs an extra distinct-discovery job over the corpus and the
+    output schema depends on the data. One shuffle, partial-agg."""
+    p = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def user_event_type_unpivot(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, n) — the inverse wide→long reshape via
+    ``unpivot`` (SQL ``stack``), dropping zero rows so the roundtrip
+    reproduces exactly the (user, type) pairs that occur. Pivot and
+    unpivot compose to the plain groupBy — asserted by the oracle,
+    which states the long form directly."""
+    wide = user_event_type_pivot(events)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n",
+        )
+        .where(F.col("n") > 0)
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+    )
+
+
+PIVOT_ORACLE = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""
+
+UNPIVOT_ORACLE = """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+"""
+
+
 #: ordered funnel steps for the conversion analysis
 FUNNEL_STEPS = ("signup", "click", "purchase")
 

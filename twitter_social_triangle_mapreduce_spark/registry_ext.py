@@ -543,6 +543,24 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_event_type_pivot(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_event_type_unpivot(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+def q_edge_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as _graph
+
+    return _graph.reciprocity(edges_from_events(spark, sf_dir))
+
+
 def q_doc_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_oov_rates(load_table(spark, sf_dir, "documents"))
 
@@ -691,6 +709,11 @@ EXT_EXTRA_QUERIES = {
     "ann_topk_quantized": q_ann_topk_quantized,
     # tokenizer-vocabulary coverage (broadcast membership): exact oracle
     "doc_oov_rates": q_doc_oov_rates,
+    # long->wide / wide->long reshape (explicit pivot values): exact
+    "user_event_pivot": q_user_event_pivot,
+    "user_event_unpivot": q_user_event_unpivot,
+    # mutual-edge fraction (distinct + reversed self-semi-join): exact
+    "edge_reciprocity": q_edge_reciprocity,
 }
 
 
@@ -1230,6 +1253,13 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     )
     out["source_divergence"] = text.divergence_oracle_sql(_TOKS)
     out["doc_oov_rates"] = text.vocab_oov_oracle_sql(_TOKS)
+    out["user_event_pivot"] = relational.PIVOT_ORACLE
+    out["user_event_unpivot"] = relational.UNPIVOT_ORACLE
+    from .operators.graph import RECIPROCITY_ORACLE_TEMPLATE
+
+    out["edge_reciprocity"] = RECIPROCITY_ORACLE_TEMPLATE.format(
+        edges_sql=EDGES_FROM_EVENTS_SQL
+    )
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
