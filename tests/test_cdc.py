@@ -104,3 +104,36 @@ def test_latest_plan_is_partial_agg_not_window(spark):
     assert "partial_max" in plan or "partial, " in plan.lower() or (
         "HashAggregate" in plan and "partial" in plan.lower()
     )
+
+
+def test_scd2_collapses_unchanged_and_chains_validity(spark):
+    """Consecutive updates with identical attributes collapse into one
+    version; valid_to of version k equals valid_from of version k+1;
+    exactly one current row per key."""
+    from twitter_social_triangle_mapreduce_spark.operators.cdc import (
+        scd2_history,
+    )
+
+    up = spark.createDataFrame(
+        [
+            (1, 10, "bronze"),
+            (1, 20, "bronze"),   # unchanged -> collapses into v1
+            (1, 30, "silver"),
+            (1, 40, "gold"),
+            (2, 15, "bronze"),
+        ],
+        "user_id long, seq long, tier string",
+    )
+    hist = scd2_history(
+        up, key_cols=["user_id"], seq_col="seq", attr_cols=["tier"]
+    ).collect()
+    u1 = sorted(
+        [r for r in hist if r["user_id"] == 1],
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["tier"], r["valid_from"], r["valid_to"]) for r in u1] == [
+        ("bronze", 10, 30),
+        ("silver", 30, 40),
+        ("gold", 40, None),
+    ]
+    assert sum(r["is_current"] for r in hist) == 2  # one per key

@@ -96,3 +96,92 @@ def user_latest_event_oracle_sql() -> str:
                CAST(FLOOR(1000000 * value) AS BIGINT) AS last_value_e6
         FROM r WHERE rn = 1
     """
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: one validity interval
+    per CHANGE of the tracked attributes — consecutive updates with
+    identical attributes collapse into one row. Columns: the keys, the
+    attributes, ``valid_from`` (this version's sequence value),
+    ``valid_to`` (the next version's, NULL while current), and
+    ``is_current``.
+
+    Shape: everything is windowed PARTITION BY key ORDER BY seq —
+    change detection (``lag`` over the attribute struct), then
+    ``lead`` for the closing bound over the surviving version rows.
+    Two window passes over the same key partitioning (one exchange,
+    Spark reuses it); no self-join of the update log. The warehouse
+    history-table primitive, expressed shuffle-minimally."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(seq_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changed = F.lag(attrs).over(w).isNull() | (
+        F.lag(attrs).over(w) != attrs
+    )
+    versions = (
+        updates.select(*key_cols, seq_col, *attr_cols)
+        .withColumn("__chg", changed)
+        .where(F.col("__chg"))
+        .drop("__chg")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(seq_col)
+    return (
+        versions.withColumn(
+            "valid_from", F.col(seq_col)
+        )
+        .withColumn("valid_to", F.lead(seq_col).over(w2))
+        .withColumn(
+            "is_current", F.col("valid_to").isNull().cast("long")
+        )
+        .drop(seq_col)
+    )
+
+
+def user_type_scd2(events: DataFrame) -> DataFrame:
+    """Registry demo: the SCD2 history of each user's ``event_type``
+    attribute over the event log (sequence = epoch µs of ts, unique per
+    user in the testdata at µs resolution — verified by the oracle's
+    identical windows)."""
+    from ..sources.io import ntz_epoch_micros
+
+    up = events.select(
+        "user_id",
+        ntz_epoch_micros("ts").alias("seq_us"),
+        "event_type",
+    )
+    return scd2_history(
+        up, key_cols=["user_id"], seq_col="seq_us",
+        attr_cols=["event_type"],
+    )
+
+
+def user_type_scd2_oracle_sql() -> str:
+    """DuckDB twin of ``user_type_scd2``."""
+    return """
+        WITH up AS (SELECT user_id, epoch_us(ts) AS seq_us, event_type
+                    FROM events),
+        flagged AS (
+            SELECT user_id, seq_us, event_type,
+                   (lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY seq_us) IS DISTINCT
+                    FROM event_type) AS chg
+            FROM up
+        ),
+        versions AS (SELECT user_id, seq_us, event_type
+                     FROM flagged WHERE chg)
+        SELECT user_id, event_type,
+               seq_us AS valid_from,
+               lead(seq_us) OVER (PARTITION BY user_id ORDER BY seq_us)
+                   AS valid_to,
+               CAST(CASE WHEN lead(seq_us) OVER (PARTITION BY user_id
+                                                 ORDER BY seq_us)
+                          IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_current
+        FROM versions
+    """

@@ -289,3 +289,63 @@ def near_dup_clusters(
             (F.col("doc_id") == F.col("cluster_id")).cast("long"),
         )
     )
+
+
+#: minimum token length for typo-pair mining (short strings are all
+#: within distance 1 of each other — pure noise)
+TYPO_MIN_LEN = 4
+
+
+def token_typo_pairs(
+    documents: DataFrame, min_len: int = TYPO_MIN_LEN
+) -> DataFrame:
+    """(tok_a, tok_b) — distinct vocabulary token pairs at Levenshtein
+    distance EXACTLY 1 (tok_a < tok_b): the typo/variant-mining
+    primitive behind fuzzy dedup and query normalization.
+
+    Scale shape (FastSS deletion neighborhoods): every distance-1 pair
+    — substitution, insertion, or deletion — shares at least one
+    single-character-deletion variant, so candidates come from an
+    equi-join on the exploded variant strings (|tok|+1 rows per
+    vocabulary token, shuffle keyed on short strings), then the exact
+    ``levenshtein`` check filters. The quadratic all-pairs comparison
+    never happens; the oracle states it directly (affordable on the
+    oracle's vocabulary)."""
+    vocab = (
+        tokens(documents)
+        .select("tok")
+        .where(F.length("tok") >= min_len)
+        .distinct()
+    )
+    variants = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_union(array(tok), transform(sequence(1, length(tok)),"
+                " i -> concat(substring(tok, 1, i - 1),"
+                " substring(tok, i + 1, length(tok) - i))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "v")
+    b = variants.select(F.col("tok").alias("tok_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .where(F.levenshtein("tok_a", "tok_b") == 1)
+    )
+
+
+def typo_pairs_oracle_sql(toks_sql: str, min_len: int = TYPO_MIN_LEN) -> str:
+    """DuckDB twin of ``token_typo_pairs`` — the direct quadratic
+    formulation over the (small) vocabulary."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        vocab AS (SELECT DISTINCT tok FROM toks
+                  WHERE length(tok) >= {min_len})
+        SELECT a.tok AS tok_a, b.tok AS tok_b
+        FROM vocab a JOIN vocab b ON a.tok < b.tok
+        WHERE levenshtein(a.tok, b.tok) = 1
+    """

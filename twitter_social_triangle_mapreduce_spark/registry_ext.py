@@ -543,6 +543,16 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.token_typo_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import cdc
+
+    return cdc.user_type_scd2(load_table(spark, sf_dir, "events"))
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_event_type_pivot(
         load_table(spark, sf_dir, "events")
@@ -714,6 +724,12 @@ EXT_EXTRA_QUERIES = {
     "user_event_unpivot": q_user_event_unpivot,
     # mutual-edge fraction (distinct + reversed self-semi-join): exact
     "edge_reciprocity": q_edge_reciprocity,
+    # SCD2 attribute history (change-collapse + validity intervals)
+    "user_type_scd2": q_user_type_scd2,
+    # distance-1 typo pairs via deletion-neighborhood blocking (the
+    # synthetic vocabulary contains none — the check pins the empty
+    # result + schema; planted-typo semantics live in pytest)
+    "token_typo_pairs": q_token_typo_pairs,
 }
 
 
@@ -1260,6 +1276,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["edge_reciprocity"] = RECIPROCITY_ORACLE_TEMPLATE.format(
         edges_sql=EDGES_FROM_EVENTS_SQL
     )
+    from .operators import cdc as _cdc
+
+    out["user_type_scd2"] = _cdc.user_type_scd2_oracle_sql()
+    out["token_typo_pairs"] = dedup.typo_pairs_oracle_sql(_TOKS)
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
