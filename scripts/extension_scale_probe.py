@@ -146,6 +146,37 @@ def main() -> None:
     print(json.dumps(out), flush=True)
     pts.unpersist(), iv.unpersist()
 
+    # heavy hitters over ~10M tokens with a huge distinct tail: the MG
+    # candidate pass must stay linear and emit bounded candidates
+    from twitter_social_triangle_mapreduce_spark.operators.sketches import (
+        heavy_hitter_tokens,
+    )
+
+    hh_docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat(array_join(transform(sequence(1, 40),"
+            " i -> concat('r', CAST(id AS STRING), '_', CAST(i AS STRING))),"
+            " ' '), CASE WHEN id % 2 = 0 THEN ' hot hot hot hot hot hot"
+            " hot hot hot hot' ELSE '' END)"
+        ).alias("text"),
+    ).persist()
+    hh_docs.count()
+    hh, sec_h = timed(lambda: heavy_hitter_tokens(hh_docs, k=50).collect())
+    print(
+        json.dumps(
+            {
+                "probe": "heavy_hitters_10m",
+                "n_tokens": 200_000 * 40 + 100_000 * 10,
+                "n_distinct": 200_000 * 40 + 1,
+                "hitters": [r["tok"] for r in hh],
+                "sec": sec_h,
+            }
+        ),
+        flush=True,
+    )
+    hh_docs.unpersist()
+
     # two-pass prefix-sum packing over 1M synthetic docs: must stay
     # linear (the only ordered window runs over #buckets rows)
     from twitter_social_triangle_mapreduce_spark.operators.corpus import (
