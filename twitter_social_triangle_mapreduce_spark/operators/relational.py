@@ -352,6 +352,75 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+#: seconds per cohort bucket (weekly)
+COHORT_WEEK_S = 7 * 86_400
+
+
+def retention_cohorts(
+    events: DataFrame, bucket_s: int = COHORT_WEEK_S
+) -> DataFrame:
+    """(cohort, week_offset, n_active, n_cohort, retention_e6) — cohort
+    retention: users grouped by the week of their FIRST event; for each
+    later week offset, the fraction of the cohort active that week.
+    Offset 0 is 1.0 by construction (the anchoring event). All time
+    math is integer epoch-week buckets (``epoch_s div bucket_s``) — no
+    date functions, so the DuckDB twin is bit-exact.
+
+    Shape: first-event week via one min-aggregate on user_id; activity
+    de-duplicated to (user, week) before joining the (tiny, broadcast)
+    cohort sizes; every shuffle keys on user_id or the compact
+    (cohort, offset) pair. The standard product-analytics matrix,
+    linear in events."""
+    weeks = events.select(
+        "user_id",
+        (ntz_epoch_seconds("ts") / bucket_s).cast("long").alias("wk"),
+    )
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = (
+        weeks.distinct()
+        .join(first, "user_id")
+        .select(
+            "cohort", (F.col("wk") - F.col("cohort")).alias("week_offset")
+        )
+    )
+    cohort_sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        active.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort")
+        .withColumn(
+            "retention_e6",
+            F.floor(1_000_000 * F.col("n_active") / F.col("n_cohort"))
+            .cast("long"),
+        )
+    )
+
+
+def retention_oracle_sql(bucket_s: int = COHORT_WEEK_S) -> str:
+    """DuckDB twin of ``retention_cohorts``."""
+    return f"""
+        WITH weeks AS (SELECT user_id,
+                              CAST(floor(epoch(ts)) AS BIGINT)
+                                  // {bucket_s} AS wk
+                       FROM events),
+        first AS (SELECT user_id, MIN(wk) AS cohort
+                  FROM weeks GROUP BY user_id),
+        active AS (SELECT DISTINCT w.user_id, f.cohort,
+                          w.wk - f.cohort AS week_offset
+                   FROM weeks w JOIN first f USING (user_id)),
+        sizes AS (SELECT cohort, COUNT(*) AS n_cohort
+                  FROM first GROUP BY cohort)
+        SELECT a.cohort, a.week_offset, COUNT(*) AS n_active,
+               s.n_cohort,
+               CAST(FLOOR(1000000 * COUNT(*) / s.n_cohort) AS BIGINT)
+                   AS retention_e6
+        FROM active a JOIN sizes s ON s.cohort = a.cohort
+        GROUP BY a.cohort, a.week_offset, s.n_cohort
+    """
+
+
 #: fixed pivot column set — explicit values keep the pivot a single
 #: pass (no distinct-discovery job) and the output schema stable
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

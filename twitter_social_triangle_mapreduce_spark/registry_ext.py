@@ -543,6 +543,10 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.token_typo_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -730,6 +734,8 @@ EXT_EXTRA_QUERIES = {
     # synthetic vocabulary contains none — the check pins the empty
     # result + schema; planted-typo semantics live in pytest)
     "token_typo_pairs": q_token_typo_pairs,
+    # weekly cohort retention matrix (integer epoch-week buckets)
+    "retention_cohorts": q_retention_cohorts,
 }
 
 
@@ -1280,6 +1286,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["user_type_scd2"] = _cdc.user_type_scd2_oracle_sql()
     out["token_typo_pairs"] = dedup.typo_pairs_oracle_sql(_TOKS)
+    out["retention_cohorts"] = relational.retention_oracle_sql()
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
