@@ -352,6 +352,142 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+#: Q3-style parameters: market segment and the order/ship date cut
+SHIP_SEGMENT = "BUILDING"
+SHIP_CUT = "1998-06-30"
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = SHIP_SEGMENT,
+    cut: str = SHIP_CUT,
+    k: int = 10,
+) -> DataFrame:
+    """(l_orderkey, revenue, o_orderdate_s, o_orderpriority) — the
+    TPC-H Q3 shape: unshipped-revenue per order for one market segment
+    (orders placed before the cut whose items ship after it), top ``k``
+    by (revenue desc, orderdate asc, orderkey asc — fully
+    deterministic). Classic 3-way join + agg + sort/limit:
+
+    - the segment filter prunes ``customer`` BEFORE the join and the
+      date predicates push into both scans (PushedFilters);
+    - customer (post-filter) broadcasts; the orders↔lineitem join is
+      the only wide shuffle, keyed on the orderkey;
+    - revenue folds in DECIMAL (exact) and the top-k is a
+      TakeOrderedAndProject, never a global sort.
+
+    Dates surface as epoch seconds (TZ-free) for engine-exact compare."""
+    cut_ntz = F.lit(cut).cast("timestamp_ntz")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < cut_ntz).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > cut_ntz).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    return (
+        li.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            ntz_epoch_seconds("o_orderdate").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate_s").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def shipping_priority_oracle_sql(
+    segment: str = SHIP_SEGMENT, cut: str = SHIP_CUT, k: int = 10
+) -> str:
+    """DuckDB twin of ``shipping_priority``."""
+    return f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = '{segment}'
+          AND o_orderdate < TIMESTAMP '{cut} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{cut} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate_s ASC, l_orderkey ASC
+        LIMIT {k}
+    """
+
+
+#: trailing window length for the rolling per-user sum
+ROLLING_RANGE_S = 7 * 86_400
+
+
+def user_value_rolling(
+    events: DataFrame, range_s: int = ROLLING_RANGE_S
+) -> DataFrame:
+    """(user_id, event_id, roll_sum_e6) — per event, the sum of the
+    user's ``value`` over the trailing ``range_s`` seconds INCLUDING
+    the current event: a RANGE-framed window (frame bounds in event-time
+    units, not row counts — the frame no ordinary groupBy can express).
+    DECIMAL accumulation keeps the sum exact under any within-frame
+    order; output scaled to BIGINT."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ntz_epoch_seconds("ts"))
+        .rangeBetween(-range_s, 0)
+    )
+    return (
+        events.withColumn(
+            "__roll",
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(1_000_000 * F.col("__roll").cast("double"))
+            .cast("long")
+            .alias("roll_sum_e6"),
+        )
+    )
+
+
+def rolling_oracle_sql(range_s: int = ROLLING_RANGE_S) -> str:
+    """DuckDB twin of ``user_value_rolling``."""
+    return f"""
+        WITH e AS (SELECT user_id, event_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                          CAST(value AS DECIMAL(28,6)) AS v
+                   FROM events)
+        SELECT user_id, event_id,
+               CAST(FLOOR(1000000 * CAST(SUM(v) OVER (
+                   PARTITION BY user_id ORDER BY ep
+                   RANGE BETWEEN {range_s} PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)) AS BIGINT) AS roll_sum_e6
+        FROM e
+    """
+
+
 #: seconds per cohort bucket (weekly)
 COHORT_WEEK_S = 7 * 86_400
 

@@ -543,6 +543,18 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_user_value_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_value_rolling(load_table(spark, sf_dir, "events"))
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.retention_cohorts(load_table(spark, sf_dir, "events"))
 
@@ -736,6 +748,10 @@ EXT_EXTRA_QUERIES = {
     "token_typo_pairs": q_token_typo_pairs,
     # weekly cohort retention matrix (integer epoch-week buckets)
     "retention_cohorts": q_retention_cohorts,
+    # TPC-H Q3 shape: pruned 3-way join + decimal agg + top-k
+    "shipping_priority": q_shipping_priority,
+    # RANGE-framed event-time window (trailing 7d per-user sum)
+    "user_value_rolling": q_user_value_rolling,
 }
 
 
@@ -1287,6 +1303,8 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["user_type_scd2"] = _cdc.user_type_scd2_oracle_sql()
     out["token_typo_pairs"] = dedup.typo_pairs_oracle_sql(_TOKS)
     out["retention_cohorts"] = relational.retention_oracle_sql()
+    out["shipping_priority"] = relational.shipping_priority_oracle_sql()
+    out["user_value_rolling"] = relational.rolling_oracle_sql()
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
