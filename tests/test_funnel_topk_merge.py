@@ -111,3 +111,30 @@ def test_merge_is_associative_across_three_splits(spark):
         for r in df.collect()
     }
     assert as_map(merged) == as_map(direct)
+
+
+def test_spend_percentiles_two_pass_rank_uneven_ntile(spark):
+    """7 customers, 3 tiles -> NTILE sizes 3,2,2; percent_rank bounds
+    0 and 1e6; the two-pass global rank must reproduce the SQL window
+    definitions exactly (the sf tables are evenly divisible, so only
+    this fixture exercises the uneven split)."""
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        customer_spend_percentiles,
+    )
+
+    customer = spark.createDataFrame(
+        [(i, "s") for i in range(1, 8)], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(100 + i, i, float(i * 10)) for i in range(1, 7)],  # cust 7: none
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    rows = sorted(
+        customer_spend_percentiles(customer, orders, n_tiles=3).collect(),
+        key=lambda r: (r["spent"], r["c_custkey"]),
+    )
+    # cust 7 spends 0 -> lowest rank
+    assert rows[0]["c_custkey"] == 7 and rows[0]["pct_rank_e6"] == 0
+    assert rows[-1]["pct_rank_e6"] == 1_000_000
+    tiles = [r["decile"] for r in rows]
+    assert tiles == [1, 1, 1, 2, 2, 3, 3]

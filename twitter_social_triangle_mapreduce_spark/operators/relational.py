@@ -352,6 +352,184 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def customer_spend_percentiles(
+    customer: DataFrame, orders: DataFrame, n_tiles: int = 10
+) -> DataFrame:
+    """(c_custkey, spent, pct_rank_e6, decile) — each customer's total
+    spend with their percentile rank and decile bucket over the whole
+    population (customers without orders rank with zero spend).
+
+    Scale shape — a naive ``percent_rank() OVER (ORDER BY spent)`` is a
+    SINGLE-PARTITION window over every customer; instead the global
+    rank comes from the same two-pass decomposition as
+    ``corpus.pack_sequences``: ``repartitionByRange`` on the sort key
+    gives ordered disjoint partitions, an intra-partition ``row_number``
+    plus broadcast per-partition offsets (a #partitions-row relation)
+    yields the exact global rank, and ``percent_rank``/``ntile`` are
+    then pure integer arithmetic on (rank, N): pct = (r-1)/(N-1),
+    tile = floor((r-1)·n/N)+1 — both identical to the SQL window
+    definitions, which the DuckDB oracle uses verbatim."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spent")
+    )
+    pop = (
+        customer.select("c_custkey")
+        .join(spend, customer.c_custkey == spend.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.col("__spent"), F.lit(0).cast("decimal(18,2)")
+            ).alias("__spent"),
+        )
+    )
+    ranged = pop.repartitionByRange(
+        16, F.col("__spent").asc(), F.col("c_custkey").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    intra_w = Window.partitionBy("__pid").orderBy(
+        F.col("__spent").asc(), F.col("c_custkey").asc()
+    )
+    with_intra = ranged.withColumn(
+        "__intra", F.row_number().over(intra_w)
+    )
+    off_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pn"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__pn").over(off_w), F.lit(0))
+        )
+        .select("__pid", "__off")
+    )
+    total = pop.agg(F.count(F.lit(1)).alias("__N"))
+    return (
+        with_intra.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            F.col("__spent").cast("double").alias("spent"),
+            F.floor(
+                1_000_000
+                * (F.col("__off") + F.col("__intra") - 1)
+                / (F.col("__N") - 1)
+            )
+            .cast("long")
+            .alias("pct_rank_e6"),
+            (
+                F.floor(
+                    (F.col("__off") + F.col("__intra") - 1)
+                    * n_tiles
+                    / F.col("__N")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("decile"),
+        )
+    )
+
+
+def spend_percentiles_oracle_sql(n_tiles: int = 10) -> str:
+    """DuckDB twin of ``customer_spend_percentiles``."""
+    return f"""
+        WITH spend AS (SELECT o_custkey,
+                              SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS spent
+                       FROM orders GROUP BY o_custkey),
+        pop AS (SELECT c.c_custkey,
+                       COALESCE(s.spent, CAST(0 AS DECIMAL(18,2)))
+                           AS spent
+                FROM customer c LEFT JOIN spend s
+                  ON s.o_custkey = c.c_custkey)
+        SELECT c_custkey, CAST(spent AS DOUBLE) AS spent,
+               CAST(FLOOR(1000000 * percent_rank() OVER
+                    (ORDER BY spent ASC, c_custkey ASC)) AS BIGINT)
+                   AS pct_rank_e6,
+               CAST(ntile({n_tiles}) OVER
+                    (ORDER BY spent ASC, c_custkey ASC) AS BIGINT)
+                   AS decile
+        FROM pop
+    """
+
+
+def referential_integrity_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """1-row (orphan_orders, orphan_lineitems, orphan_part_refs,
+    childless_customers) — the referential-integrity audit a pipeline
+    runs after every load: anti-join counts of dangling foreign keys in
+    each direction. Anti-joins build a hash of the (smaller) key side —
+    at 100 TB each check is one broadcast-or-shuffled hash probe, no
+    sort. All four checks share scans where possible and reduce to one
+    row."""
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    checks = [
+        cnt(
+            orders.join(
+                customer.select("c_custkey"),
+                orders.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+            "orphan_orders",
+        ),
+        cnt(
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            "orphan_lineitems",
+        ),
+        cnt(
+            lineitem.join(
+                part.select("p_partkey"),
+                lineitem.l_partkey == F.col("p_partkey"),
+                "left_anti",
+            ),
+            "orphan_part_refs",
+        ),
+        cnt(
+            customer.join(
+                orders.select("o_custkey"),
+                customer.c_custkey == F.col("o_custkey"),
+                "left_anti",
+            ),
+            "childless_customers",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:  # 1-row × 1-row cross joins — fully lazy
+        out = out.crossJoin(c)
+    return out
+
+
+INTEGRITY_ORACLE = """
+    SELECT
+        (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            AS orphan_orders,
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lineitems,
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+            AS orphan_part_refs,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))
+            AS childless_customers
+"""
+
+
 #: Q3-style parameters: market segment and the order/ship date cut
 SHIP_SEGMENT = "BUILDING"
 SHIP_CUT = "1998-06-30"

@@ -543,6 +543,24 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_customer_spend_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return relational.customer_spend_percentiles(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.referential_integrity_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.shipping_priority(
         load_table(spark, sf_dir, "customer"),
@@ -752,6 +770,10 @@ EXT_EXTRA_QUERIES = {
     "shipping_priority": q_shipping_priority,
     # RANGE-framed event-time window (trailing 7d per-user sum)
     "user_value_rolling": q_user_value_rolling,
+    # rank-family windows over pre-aggregated spend: exact oracle
+    "customer_spend_percentiles": q_customer_spend_percentiles,
+    # anti-join referential-integrity audit (1 row): exact oracle
+    "integrity_audit": q_integrity_audit,
 }
 
 
@@ -1305,6 +1327,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["retention_cohorts"] = relational.retention_oracle_sql()
     out["shipping_priority"] = relational.shipping_priority_oracle_sql()
     out["user_value_rolling"] = relational.rolling_oracle_sql()
+    out["customer_spend_percentiles"] = (
+        relational.spend_percentiles_oracle_sql()
+    )
+    out["integrity_audit"] = relational.INTEGRITY_ORACLE
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
