@@ -352,6 +352,63 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n, p_e6) — the per-user next-event
+    transition matrix: for each consecutive event pair in a user's
+    ts-ordered stream (ties broken by event_id), count transitions and
+    the row-normalized probability — the first-order-Markov view of
+    behavior (what users do after an error, what precedes a purchase).
+
+    One window pass (lead over the user_id partition — shuffle keyed on
+    the natural key), one compact aggregate on the 5×5 type pairs, and
+    the normalizing row totals join back on the tiny from_type
+    relation."""
+    w = Window.partitionBy("user_id").orderBy(
+        ntz_epoch_micros("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        events.withColumn("__next", F.lead("event_type").over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.floor(1_000_000 * F.col("n") / F.col("__tot"))
+            .cast("long")
+            .alias("p_e6"),
+        )
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) ASC,
+                                               event_id ASC) AS next_type
+        FROM events
+    ),
+    pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+                     COUNT(*) AS n
+              FROM ordered WHERE next_type IS NOT NULL
+              GROUP BY event_type, next_type),
+    totals AS (SELECT from_type, SUM(n) AS tot FROM pairs
+               GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(FLOOR(1000000 * p.n / t.tot) AS BIGINT) AS p_e6
+    FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
 def customer_spend_percentiles(
     customer: DataFrame, orders: DataFrame, n_tiles: int = 10
 ) -> DataFrame:

@@ -543,6 +543,10 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.event_transitions(load_table(spark, sf_dir, "events"))
+
+
 def q_customer_spend_percentiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -774,6 +778,8 @@ EXT_EXTRA_QUERIES = {
     "customer_spend_percentiles": q_customer_spend_percentiles,
     # anti-join referential-integrity audit (1 row): exact oracle
     "integrity_audit": q_integrity_audit,
+    # first-order Markov next-event matrix (lead window): exact oracle
+    "event_transitions": q_event_transitions,
 }
 
 
@@ -1331,6 +1337,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         relational.spend_percentiles_oracle_sql()
     )
     out["integrity_audit"] = relational.INTEGRITY_ORACLE
+    out["event_transitions"] = relational.EVENT_TRANSITIONS_ORACLE
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
