@@ -352,6 +352,147 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """(ship_month, promo_rev, total_rev, promo_share_e6) — TPC-H
+    Q14's shape: per ship month, the share of revenue from PROMO parts.
+    The part dimension broadcasts (projected to key + a boolean flag,
+    so the hash table carries 9 bytes/row, not the part payload);
+    months are integer (year·12 + month) from TZ-free NTZ fields;
+    conditional aggregation replaces the second scan Q14's CASE already
+    implies. DECIMAL money, double only at the output boundary."""
+    flag = part.select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("__promo")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(flag),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            (
+                F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+            ).alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("__promo"), rev).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )).alias("__promo_rev"),
+            F.sum(rev).alias("__total_rev"),
+        )
+        .select(
+            "ship_month",
+            F.col("__promo_rev").cast("double").alias("promo_rev"),
+            F.col("__total_rev").cast("double").alias("total_rev"),
+            F.floor(
+                1_000_000
+                * F.col("__promo_rev").cast("double")
+                / F.col("__total_rev").cast("double")
+            )
+            .cast("long")
+            .alias("promo_share_e6"),
+        )
+    )
+
+
+PROMO_SHARE_ORACLE = """
+    SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+               AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS promo_rev,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_rev,
+           CAST(FLOOR(1000000
+                * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (CAST(1 AS DECIMAL(18,2))
+                                       - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(18,2))
+                              - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DOUBLE)) AS BIGINT) AS promo_share_e6
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY ship_month
+"""
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """(n_name, revenue) — TPC-H Q5's shape: revenue from lineitems
+    whose supplier and ordering customer sit in the SAME nation, rolled
+    up by nation. The 5-way star: lineitem is the only wide relation —
+    orders pre-projects to (orderkey, custkey) for the one wide join;
+    customer, supplier, nation all broadcast; the same-nation predicate
+    applies after the dimension hops. DECIMAL revenue, deterministic."""
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("__rev"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_nationkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("__rev").cast("double").alias("revenue"))
+    )
+
+
+LOCAL_SUPPLIER_ORACLE = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+"""
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """(from_type, to_type, n, p_e6) — the per-user next-event
     transition matrix: for each consecutive event pair in a user's

@@ -543,6 +543,23 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.event_transitions(load_table(spark, sf_dir, "events"))
 
@@ -780,6 +797,10 @@ EXT_EXTRA_QUERIES = {
     "integrity_audit": q_integrity_audit,
     # first-order Markov next-event matrix (lead window): exact oracle
     "event_transitions": q_event_transitions,
+    # TPC-H Q14 shape: promo revenue share by ship month: exact oracle
+    "promo_revenue_share": q_promo_revenue_share,
+    # TPC-H Q5 shape: same-nation supplier revenue, 5-way star: exact
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 
@@ -1338,6 +1359,8 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     )
     out["integrity_audit"] = relational.INTEGRITY_ORACLE
     out["event_transitions"] = relational.EVENT_TRANSITIONS_ORACLE
+    out["promo_revenue_share"] = relational.PROMO_SHARE_ORACLE
+    out["local_supplier_volume"] = relational.LOCAL_SUPPLIER_ORACLE
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
