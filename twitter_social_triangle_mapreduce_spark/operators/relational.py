@@ -352,6 +352,67 @@ def events_last_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
+def cogrouped_user_activity(
+    events: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """(user_id, n_events, n_orders, events_per_order_e6) — per-user
+    activity joined across TWO grouped relations via
+    ``cogroup().applyInPandas`` — the cogrouped member of the
+    Pandas-UDF taxonomy (both sides of a key arrive as pandas frames in
+    one function call; the escape hatch for per-key merge logic no join
+    can express, e.g. custom as-of/interleaving rules). The logic here
+    is deliberately simple so the DuckDB oracle can state it exactly —
+    the point under test is the cogrouped Arrow plumbing: keys present
+    on either side must appear (empty frame on the absent side), and
+    both inputs arrive keyed consistently.
+
+    user_id plays the custkey role (FIXTURES.md §1 convention, as in
+    the as-of join demo)."""
+    ev = events.select("user_id", "event_id")
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+
+    def merge(key, ev_pdf, od_pdf):
+        import pandas as pd
+
+        n_ev, n_od = len(ev_pdf), len(od_pdf)
+        ratio = (1_000_000 * n_ev) // n_od if n_od else -1
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_ev],
+                "n_orders": [n_od],
+                "events_per_order_e6": [ratio],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, n_orders long,"
+            " events_per_order_e6 long",
+        )
+    )
+
+
+COGROUP_ACTIVITY_ORACLE = """
+    WITH ev AS (SELECT user_id, COUNT(*) AS n_events FROM events
+                GROUP BY user_id),
+    od AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders FROM orders
+           GROUP BY o_custkey)
+    SELECT COALESCE(ev.user_id, od.user_id) AS user_id,
+           COALESCE(ev.n_events, 0) AS n_events,
+           COALESCE(od.n_orders, 0) AS n_orders,
+           CASE WHEN COALESCE(od.n_orders, 0) = 0 THEN -1
+                ELSE (1000000 * COALESCE(ev.n_events, 0))
+                     // od.n_orders END AS events_per_order_e6
+    FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+"""
+
+
 def promo_revenue_share(
     lineitem: DataFrame, part: DataFrame
 ) -> DataFrame:

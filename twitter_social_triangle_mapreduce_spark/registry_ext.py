@@ -543,6 +543,13 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.cogrouped_user_activity(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.promo_revenue_share(
         load_table(spark, sf_dir, "lineitem"),
@@ -801,6 +808,8 @@ EXT_EXTRA_QUERIES = {
     "promo_revenue_share": q_promo_revenue_share,
     # TPC-H Q5 shape: same-nation supplier revenue, 5-way star: exact
     "local_supplier_volume": q_local_supplier_volume,
+    # cogrouped applyInPandas (two grouped relations, one UDF): exact
+    "cogroup_user_activity": q_cogroup_user_activity,
 }
 
 
@@ -1361,6 +1370,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["event_transitions"] = relational.EVENT_TRANSITIONS_ORACLE
     out["promo_revenue_share"] = relational.PROMO_SHARE_ORACLE
     out["local_supplier_volume"] = relational.LOCAL_SUPPLIER_ORACLE
+    out["cogroup_user_activity"] = relational.COGROUP_ACTIVITY_ORACLE
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
