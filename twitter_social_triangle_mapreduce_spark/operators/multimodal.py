@@ -196,3 +196,41 @@ def decode_media_features(documents: DataFrame) -> DataFrame:
             )
 
     return m.mapInPandas(decode_batches, FEATURE_SCHEMA)
+
+
+def media_dedup_exact(documents: DataFrame) -> DataFrame:
+    """(payload_hash, keep_doc_id, n_copies, media_type) — exact
+    duplicate detection over the OPAQUE BINARY payload: md5 of the raw
+    bytes (no decode), canonical = lowest doc_id, per media type. The
+    binary twin of ``dedup.exact_dedup_groups`` — at 100 TB this is the
+    first pass over any crawled media corpus (hashes shuffle, payloads
+    never do: the aggregate carries the 16-byte digest + key only)."""
+    m = media_table(documents)
+    return (
+        m.select(
+            "doc_id",
+            "media_type",
+            F.md5(F.col("payload")).alias("payload_hash"),
+        )
+        .groupBy("media_type", "payload_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("payload_hash", "keep_doc_id", "n_copies", "media_type")
+    )
+
+
+MEDIA_DEDUP_ORACLE = """
+    WITH m AS (SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                           ELSE 'audio/wav' END AS media_type,
+                      -- DuckDB md5 takes VARCHAR; the payload IS the
+                      -- UTF-8 encoding of text, so md5(text) hashes
+                      -- the identical bytes the Spark side hashes
+                      md5(text) AS payload_hash
+               FROM documents)
+    SELECT payload_hash, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies, media_type
+    FROM m GROUP BY media_type, payload_hash
+"""

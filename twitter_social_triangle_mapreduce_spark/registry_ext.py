@@ -543,6 +543,12 @@ def _event_z_sql() -> str:
     return zorder_sql([f"({qu})", f"({qv})"])
 
 
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_dedup_exact(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.cogrouped_user_activity(
         load_table(spark, sf_dir, "events"),
@@ -810,6 +816,8 @@ EXT_EXTRA_QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     # cogrouped applyInPandas (two grouped relations, one UDF): exact
     "cogroup_user_activity": q_cogroup_user_activity,
+    # exact dedup over opaque binary payloads (md5, no decode): exact
+    "media_dedup_exact": q_media_dedup_exact,
 }
 
 
@@ -1371,6 +1379,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["promo_revenue_share"] = relational.PROMO_SHARE_ORACLE
     out["local_supplier_volume"] = relational.LOCAL_SUPPLIER_ORACLE
     out["cogroup_user_activity"] = relational.COGROUP_ACTIVITY_ORACLE
+    out["media_dedup_exact"] = multimodal.MEDIA_DEDUP_ORACLE
     out["ann_topk_quantized"] = """
         WITH s AS (SELECT MAX(list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))))) AS s
