@@ -191,6 +191,55 @@ def test_training_shards_layout(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_prepare_training_corpus_end_to_end(spark, tmp_path):
+    """Capstone composition: the audit covers every document exactly
+    once, the shard output contains exactly the kept docs, and each
+    drop verdict agrees with its stage operator run standalone."""
+    import glob
+
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from twitter_social_triangle_mapreduce_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+    from twitter_social_triangle_mapreduce_spark.operators.text import (
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.where("doc_id % 17 = 0")
+    out = str(tmp_path / "corpus")
+    audit = prepare_training_corpus(docs, ev, out)
+    rows = audit.collect()
+    assert len(rows) == docs.count()
+    verdicts = {r["doc_id"]: r["verdict"] for r in rows}
+
+    kept_ids = {d for d, v in verdicts.items() if v == "kept"}
+    assert kept_ids, "pipeline kept nothing"
+    shard_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert shard_ids == kept_ids
+    assert glob.glob(f"{out}/shard=*")
+
+    # stage agreement on a sample of dropped docs
+    cur = {
+        r["doc_id"]: r["reason"] for r in curate_corpus(docs).collect()
+    }
+    nd = {
+        r["doc_id"]: r["is_canonical"]
+        for r in near_dup_clusters(docs).collect()
+    }
+    for d, v in verdicts.items():
+        if v in ("exact_dup", "lang_unknown", "too_short", "low_stopword"):
+            assert cur[d] == v, (d, v)
+        elif v == "near_dup":
+            assert cur[d] == "kept" and nd[d] == 0
+        elif v == "kept":
+            assert cur[d] == "kept" and nd[d] == 1
+
+
 def test_repetition_requires_trigram_surface(spark):
     """Docs with <3 words emit nothing (no repetition surface)."""
     got = corpus.repetition_stats(

@@ -32,6 +32,65 @@ PACK_BUDGET = 64
 PACK_BUCKET_SPAN = 100
 
 
+def prepare_training_corpus(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    path: str,
+    budget: int = 64,
+    packs_per_shard: int = 16,
+) -> DataFrame:
+    """The capstone composition — the full corpus-prep pipeline as ONE
+    lazy dataflow ending in training shards:
+
+    1. curation gates (``text.curate_corpus``: exact-dup / language /
+       length / stopword) keep only clean documents;
+    2. near-dup clusters (``dedup.near_dup_clusters``: LSH → transitive
+       closure) keep one canonical per cluster;
+    3. eval-set decontamination (``decontaminate``) drops contaminated
+       survivors;
+    4. the survivors pack onto the token tape and land as
+       hive-partitioned shards (``write_training_shards``).
+
+    Returns the per-document audit relation (doc_id, verdict) — every
+    input document with the FIRST gate that dropped it, or ``kept``;
+    the judge of record for "why is doc X (not) in the corpus". Each
+    stage is the already-oracled operator — the composition adds no new
+    semantics, only the joins between verdicts; everything stays one
+    Catalyst plan per output (audit, shards) with the compact verdict
+    relations joined on doc_id."""
+    from .dedup import near_dup_clusters
+    from .text import curate_corpus
+
+    cur = curate_corpus(documents).select(
+        "doc_id", F.col("reason").alias("__cur_reason")
+    )
+    nd = near_dup_clusters(documents).select("doc_id", "is_canonical")
+    decon = decontaminate(documents, eval_docs).select(
+        "doc_id", F.col("contaminated").alias("__contam")
+    )
+    verdict = (
+        F.when(F.col("__cur_reason") != "kept", F.col("__cur_reason"))
+        .when(F.col("is_canonical") == 0, F.lit("near_dup"))
+        .when(F.coalesce(F.col("__contam"), F.lit(0)) == 1,
+              F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    audit = (
+        documents.select("doc_id")
+        .join(cur, "doc_id")
+        .join(nd, "doc_id")
+        .join(decon, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+    )
+    kept = documents.join(
+        audit.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
+    )
+    write_training_shards(
+        kept, path, budget=budget, packs_per_shard=packs_per_shard
+    )
+    return audit
+
+
 #: packs per output shard for the shard writer
 PACKS_PER_SHARD = 16
 
