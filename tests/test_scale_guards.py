@@ -221,3 +221,31 @@ def test_quantized_ann_recall_vs_exact(spark):
     qz = quantized_embeddings(emb).limit(5).collect()
     for r in qz:
         assert all(-127 <= v <= 127 for v in r["qemb"])
+
+
+def test_lloyd_refinement_lowers_objective(spark):
+    """One recenter step must not increase the within-cluster sum of
+    squares for the SAME assignment (Lloyd monotonicity), and the
+    refined centroids keep the embedding width."""
+    from pyspark.sql import functions as F
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ivf_cells,
+        refine_centroids,
+        wcss,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old_cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    new_cents = refine_centroids(emb)
+    before = wcss(emb, old_cents).collect()[0]["wcss"]
+    after = wcss(emb, new_cents).collect()[0]["wcss"]
+    assert after <= before + 1e-9, (before, after)
+    widths = {len(r["centroid"]) for r in new_cents.collect()}
+    assert widths == {64}
+    members = {r["cid"]: r["n_members"] for r in new_cents.collect()}
+    assert sum(members.values()) == emb.count()

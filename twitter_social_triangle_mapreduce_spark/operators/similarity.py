@@ -485,3 +485,73 @@ def ann_topk_lsh(
             F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
         )
     )
+
+
+def refine_centroids(
+    embeddings: DataFrame, k: int = IVF_CELLS
+) -> DataFrame:
+    """(cid, centroid, n_members) — ONE Lloyd iteration for the IVF
+    coarse quantizer: assign every vector to its nearest current
+    centroid (``ivf_cells``), then recenter each cell at the
+    element-wise mean of its members — the k-means training step the
+    static first-k-vectors centroids stand in for. Iterating this
+    function IS distributed k-means; each round is one broadcast-scored
+    assignment plus one (cell, dimension)-keyed aggregate — never a
+    vector×vector stage.
+
+    Shape note: the mean is computed per (cell, position) after a
+    ``posexplode`` (shuffle keyed on tiny composite keys with full
+    partial aggregation) and the centroid array is rebuilt with an
+    order-pinned ``array_agg`` over the sorted positions; empty cells
+    (possible after a bad init) simply vanish — standard Lloyd."""
+    assign = ivf_cells(embeddings, k)
+    member_dims = (
+        embeddings.join(assign, "vec_id")
+        .select(
+            "cell", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.avg(F.col("val").cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        member_dims.groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid"),
+            (F.max("__n")).alias("n_members"),
+        )
+        .select(F.col("cell").alias("cid"), "centroid", "n_members")
+    )
+
+
+def wcss(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """1-row (wcss) — within-cluster sum of squared Euclidean distance
+    of every vector to its ASSIGNED (current-quantizer) centroid under
+    the given centroid table: the Lloyd objective. Used by the
+    monotonicity test: recentering can only lower this value for the
+    same assignment."""
+    assign = ivf_cells(embeddings)
+    joined = (
+        embeddings.join(assign, "vec_id")
+        .join(
+            F.broadcast(
+                centroids.select(
+                    F.col("cid").alias("cell"), "centroid"
+                )
+            ),
+            "cell",
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(embedding, centroid,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return joined.agg(F.sum(d2).alias("wcss"))
