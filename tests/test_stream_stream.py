@@ -59,3 +59,69 @@ def test_stream_stream_path2_matches_batch(spark):
     )
     assert got == want
     assert got > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark):
+    """Left-outer stream-stream: every left edge appears exactly once
+    per match, plus once with a null right side when it matched
+    nothing; totals must reconcile with the batch inner join."""
+    left = st.read_events_stream(spark, SF_SMOKE)
+    right = st.read_events_stream(spark, SF_SMOKE)
+    joined = st.streaming_path2_stream_stream(
+        left, right, join_type="left_outer"
+    )
+    name = "sso_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+    out = spark.table(name)
+    n_rows = out.count()
+    n_unmatched = out.where(F.col("z").isNull()).count()
+    n_matched = n_rows - n_unmatched
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    n_edges = ev.count()
+    edge = lambda i: ev.select(  # noqa: E731
+        F.col("event_id").alias(f"id{i}"),
+        F.col("user_id").alias(f"src{i}"),
+        ((F.col("user_id") * 37 + F.col("event_id") * 11 + 7) % 200).alias(
+            f"dst{i}"
+        ),
+        F.col("ts").cast("timestamp").alias(f"ts{i}"),
+    )
+    inner = (
+        edge(1)
+        .join(
+            edge(2),
+            (F.col("dst1") == F.col("src2"))
+            & (F.col("src1") != F.col("dst2"))
+            & (F.col("ts2") >= F.col("ts1") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 30 minutes")),
+        )
+    )
+    want_matched = inner.count()
+    # unmatched accounting is per left ROW (duplicate edge triples are
+    # separate rows) and gated by FINALIZATION: a left row only emits
+    # null-matched once the final watermark proves it can never match —
+    # rows within (watermark + window) of the stream's end stay in
+    # state. So: never MORE than the true unmatched count, and at least
+    # every unmatched row older than the conservative 2h horizon.
+    matched_ids = {r["id1"] for r in inner.select("id1").collect()}
+    want_unmatched = n_edges - len(matched_ids)
+    assert n_matched == want_matched
+    assert n_unmatched <= want_unmatched
+    from datetime import timedelta
+
+    max_ts = ev.agg(F.max(F.col("ts"))).collect()[0][0]
+    old_enough = ev.where(
+        F.col("ts") <= F.lit(max_ts - timedelta(hours=2))
+    )
+    finalizable_unmatched = old_enough.where(
+        ~F.col("event_id").isin(*matched_ids)
+    ).count()
+    assert n_unmatched >= finalizable_unmatched > 0

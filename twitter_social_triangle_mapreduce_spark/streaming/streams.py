@@ -176,6 +176,7 @@ def streaming_path2_stream_stream(
     right_events: DataFrame,
     join_window: str = "30 minutes",
     watermark: str = "1 hour",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-stream self-join: length-2 paths where BOTH edges arrive on
     the stream and fall within ``join_window`` of each other. Each side
@@ -185,6 +186,13 @@ def streaming_path2_stream_stream(
 
     Pass two separately-constructed readers of the same source for the
     self-join (Structured Streaming requires distinct source instances).
+
+    ``join_type='left_outer'`` emits edges that closed NO path-2 within
+    the window with a null right side — but only once the watermark
+    passes their join horizon (state for them can then be finalized):
+    the dead-letter / coverage-analysis variant of the same join, and
+    the semantics outer stream-stream joins are specifically tricky
+    about (a row is unmatched only when it can never match again).
     """
     e1 = (
         derive_edges(left_events, keep=["ts"])
@@ -216,7 +224,7 @@ def streaming_path2_stream_stream(
             F.col("ts2")
             <= F.col("ts1") + F.expr(f"INTERVAL {join_window}")
         ),
-        "inner",
+        join_type,
     ).select(
         F.col("src1").alias("x"),
         F.col("dst1").alias("y"),
