@@ -38,3 +38,21 @@ def test_run_query_rejects_unknown_name(spark):
 
     with pytest.raises(SystemExit):
         run_query(spark, SF_SMOKE, "no_such_query")
+
+
+def test_run_explain_prints_plan(spark, capsys):
+    from twitter_social_triangle_mapreduce_spark.cli import run_explain
+
+    plan = run_explain(spark, SF_SMOKE, "exact_cardinality")
+    out = capsys.readouterr().out
+    assert "HashAggregate" in plan or "Physical Plan" in plan
+    assert plan in out or out  # printed to stdout
+
+
+def test_run_explain_rejects_unknown_query(spark):
+    import pytest
+
+    from twitter_social_triangle_mapreduce_spark.cli import run_explain
+
+    with pytest.raises(SystemExit):
+        run_explain(spark, SF_SMOKE, "nope")
