@@ -278,3 +278,64 @@ def test_streaming_incremental_rollup_equals_direct_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_checkpoint_resume_no_double_count(
+    spark, tmp_path
+):
+    """Exactly-once across restarts: drain the stream, then add NEW
+    files and restart with the SAME checkpoint — the snapshot must
+    equal the direct state over everything, never double-counting the
+    already-processed files."""
+    from twitter_social_triangle_mapreduce_spark.operators.incremental import (
+        additive_agg_state,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        ntz_epoch_micros,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        streaming_incremental_rollup,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", (ntz_epoch_micros("ts") * 1000).cast("long")
+    )
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 != 0)
+    json_dir = str(tmp_path / "feed")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.repartition(2).write.mode("append").json(json_dir)
+    q = streaming_incremental_rollup(
+        st.read_events_stream_json(spark, json_dir), snap, ckpt
+    )
+    q.awaitTermination(timeout=120)
+    mid = {
+        r["user_id"]: r["n_events"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert sum(mid.values()) == first.count()
+
+    # "restart": new files arrive, same checkpoint
+    second.repartition(2).write.mode("append").json(json_dir)
+    q2 = streaming_incremental_rollup(
+        st.read_events_stream_json(spark, json_dir), snap, ckpt
+    )
+    q2.awaitTermination(timeout=120)
+
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in additive_agg_state(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert got == want
