@@ -38,6 +38,12 @@ def _norm(v):
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--include-extra"]
     include_extra = "--include-extra" in sys.argv[1:]
+    only: set[str] | None = None
+    for i, a in enumerate(list(args)):
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            args.pop(i)
+            break
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -59,6 +65,8 @@ def main() -> int:
         oracles = registry.all_oracles(include_extra=True)
     else:
         queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if only is not None:
+        queries = {k: v for k, v in queries.items() if k in only}
     n_pass = n_rows_only = 0
     failures: list[str] = []
     for name, fn in queries.items():

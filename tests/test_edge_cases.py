@@ -54,14 +54,14 @@ def test_apply_in_pandas_trend_matches_regr_slope(spark):
     least-squares slope must agree with Spark's built-in regr_slope within
     float tolerance."""
     from twitter_social_triangle_mapreduce_spark.operators.relational import (
-        user_value_trend,
+        user_value_trend_pandas,
     )
     from twitter_social_triangle_mapreduce_spark.sources.io import load_table
 
     ev = load_table(spark, SF_SMOKE, "events")
     got = {
         r["user_id"]: r["slope_e9"]
-        for r in user_value_trend(ev).collect()
+        for r in user_value_trend_pandas(ev).collect()
     }
     want = {
         r["user_id"]: r["s"]
@@ -77,6 +77,33 @@ def test_apply_in_pandas_trend_matches_regr_slope(spark):
     assert set(got) == set(want)
     for u, s in want.items():
         assert abs(got[u] - 1e9 * s) <= 10, (u, got[u], s)
+
+
+def test_builtin_trend_matches_pandas_trend(spark):
+    """The driver-tier exact-decimal ``user_value_trend`` and the
+    pytest-tier ``applyInPandas`` twin compute the same per-user slope
+    (cent quantization + float formulation can move floor(1e9·slope) by
+    at most a few units)."""
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        user_value_trend,
+        user_value_trend_pandas,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    builtin = {
+        r["user_id"]: (r["n"], r["slope_e9"])
+        for r in user_value_trend(ev).collect()
+    }
+    pandas_ = {
+        r["user_id"]: (r["n"], r["slope_e9"])
+        for r in user_value_trend_pandas(ev).collect()
+    }
+    assert set(builtin) == set(pandas_)
+    for u, (n, s) in builtin.items():
+        pn, ps = pandas_[u]
+        assert n == pn
+        assert abs(s - ps) <= 10, (u, s, ps)
 
 
 def test_scalar_pandas_udf_matches_jvm_expression(spark):

@@ -114,9 +114,81 @@ def top_customers(
 
 def user_value_trend(events: DataFrame) -> DataFrame:
     """(user_id, n, slope_e9) — per-user least-squares slope of ``value``
+    over event time, fully built-in (no Python in the plan) and
+    engine-exact:
+
+    - x = whole epoch seconds (BIGINT, exact), y = value in cents
+      (``round(value*100)`` — the synthetic values are 2-decimal, and
+      round-on-double is deterministic in Spark AND DuckDB);
+    - the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are summed as
+      DECIMAL(38,0) — exact and order-insensitive, so the shuffle
+      reduction order can't perturb the result;
+    - numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² are formed
+      still in DECIMAL (no catastrophic cancellation in doubles), then a
+      single double division + ``floor(1e9·slope)`` at the end — the same
+      two IEEE operations in both engines → hash-exact oracle.
+
+    Scale shape: one partial-agg groupBy; 5 numbers of state per user.
+    The grouped-``applyInPandas`` formulation of the same query is kept
+    as ``user_value_trend_pandas`` (pytest tier) as the batch
+    split-apply-combine UDF taxonomy demo."""
+    dec = "decimal(38,0)"
+    x = ntz_epoch_seconds("ts").cast(dec)
+    y = F.round(F.col("value") * 100).cast("long").cast(dec)
+    agg = (
+        events.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    nn = F.col("n").cast(dec)
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    # y is in cents (100·value), so slope_of_value = ratio/100 and
+    # 1e9·slope_of_value = 1e7·ratio — the SAME two IEEE double ops
+    # (divide, multiply) in the oracle text below.
+    slope_e9 = (
+        F.when(den == F.lit(0).cast(dec), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(F.lit(1e7) * (num.cast("double") / den.cast("double")))
+        )
+        .alias("slope_e9")
+    )
+    return agg.select("user_id", "n", slope_e9)
+
+
+USER_VALUE_TREND_SQL = """
+    WITH prep AS (
+        SELECT user_id,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT) AS x,
+               CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+        FROM events
+    ), agg AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM prep GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE CAST(floor(1e7 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                                       / CAST(n * sxx - sx * sx AS DOUBLE)))
+                          AS BIGINT)
+           END AS slope_e9
+    FROM agg
+"""
+
+
+def user_value_trend_pandas(events: DataFrame) -> DataFrame:
+    """(user_id, n, slope_e9) — per-user least-squares slope of ``value``
     over event time via grouped ``applyInPandas`` — the batch
     split-apply-combine UDF shape (Arrow batch per group, closed-form
-    numpy math inside). Registered rows-only: the float slope is
+    numpy math inside). Pytest tier (rows-only): the float slope is
     formulation-sensitive; the test asserts agreement with Spark's own
     ``regr_slope`` within tolerance. Self-contained closure (workers need
     no package import)."""
@@ -239,6 +311,18 @@ def user_event_setops(events: DataFrame) -> DataFrame:
     )
     return ud("click").intersect(ud("purchase")).exceptAll(
         ud("error").distinct()
+    )
+
+
+def user_counts_by_type(events: DataFrame) -> DataFrame:
+    """(event_type, n_users, n_events) — exact distinct-user and event
+    counts per event type. The driver-tier exact twin of ``user_counts``:
+    ``count_distinct`` plans as a two-stage partial aggregation
+    (expand→partial distinct→final), fully oracle-able; the HLL variant
+    (engine-specific values) lives in the pytest tier."""
+    return events.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

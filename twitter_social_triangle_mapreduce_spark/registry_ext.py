@@ -246,12 +246,27 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.connected_components(edges_from_events(spark, sf_dir))
 
 
+#: BFS source for the registered k-hop query (vertex 0 is always present:
+#: dst = (...)%200 covers 0..199 on the testdata graph)
+BFS_SOURCE = 0
+
+
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.bfs_levels(edges_from_events(spark, sf_dir), BFS_SOURCE)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.pagerank(edges_from_events(spark, sf_dir))
 
 
 def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_value_trend(load_table(spark, sf_dir, "events"))
+
+
+def q_user_value_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_value_trend_pandas(
+        load_table(spark, sf_dir, "events")
+    )
 
 
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,6 +299,10 @@ def q_user_event_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.user_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_user_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.user_counts_by_type(load_table(spark, sf_dir, "events"))
 
 
 def q_events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +369,7 @@ EXT_QUERIES = {
     "sessionize": q_sessionize,
     "value_percentiles": q_value_percentiles,
     "value_histogram": q_value_histogram,
-    "user_value_trend": q_user_value_trend,  # applyInPandas: rows-only
+    "user_value_trend": q_user_value_trend,  # exact-decimal regression
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "revenue_by_region": q_revenue_by_region,
@@ -359,12 +378,12 @@ EXT_QUERIES = {
     "media_resize": q_media_resize,
     "media_frames": q_media_frames,
     "connected_components": q_connected_components,
-    "pagerank": q_pagerank,  # float-valued iterative: rows-only check
+    "bfs_levels": q_bfs_levels,  # k-hop BFS, exact unrolled oracle
     "order_status_rollup": q_order_status_rollup,
     "customers_with_orders": q_customers_with_orders,
     "customers_without_orders": q_customers_without_orders,
     "user_event_setops": q_user_event_setops,
-    "user_counts": q_user_counts,  # HLL value engine-specific: rows-only
+    "user_counts_by_type": q_user_counts_by_type,  # exact countDistinct
     "events_last_order_asof": q_events_last_order_asof,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "ivf_cells": q_ivf_cells,
@@ -387,15 +406,6 @@ def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.value_percentiles_approx(
         load_table(spark, sf_dir, "events")
     )
-
-
-#: BFS source for the registered k-hop query (vertex 0 is always present:
-#: dst = (...)%200 covers 0..199 on the testdata graph)
-BFS_SOURCE = 0
-
-
-def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return components.bfs_levels(edges_from_events(spark, sf_dir), BFS_SOURCE)
 
 
 def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -723,8 +733,15 @@ EXT_EXTRA_QUERIES = {
     # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
     "value_percentiles_approx": q_value_percentiles_approx,
-    # k-hop BFS: exact unrolled oracle, hash-checked in pytest
-    "bfs_levels": q_bfs_levels,
+    # float-valued iterative fixpoint: rows-only by nature; tolerance
+    # + degree-algebra invariants asserted in pytest instead
+    "pagerank": q_pagerank,
+    # exact + HLL columns in one row; HLL value engine-specific:
+    # rows-only (exact twin user_counts_by_type is driver-oracled)
+    "user_counts": q_user_counts,
+    # grouped applyInPandas split-apply-combine taxonomy demo; float
+    # slope formulation-sensitive → pytest tolerance vs regr_slope
+    "user_value_trend_pandas": q_user_value_trend_pandas,
     # deterministic hash split: exact oracle, hash-checked in pytest
     "doc_train_test_split": q_doc_train_test_split,
     # one-pass data-quality profile: exact oracle, hash-checked in pytest
@@ -1130,6 +1147,15 @@ EXT_ORACLES["value_percentiles"] = """
 EXT_ORACLES["value_histogram"] = """
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
     FROM events GROUP BY CAST(FLOOR(value / 50.0) AS BIGINT)
+"""
+
+EXT_ORACLES["user_value_trend"] = relational.USER_VALUE_TREND_SQL
+
+EXT_ORACLES["user_counts_by_type"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
 """
 
 EXT_ORACLES["order_status_rollup"] = """
