@@ -264,7 +264,7 @@ def test_streaming_incremental_rollup_equals_direct_state(spark, tmp_path):
             r["min_value"],
             r["max_value"],
         )
-        for r in spark.read.parquet(snap).collect()
+        for r in st.read_rollup_snapshot(spark, snap).collect()
     }
     want = {
         r["user_id"]: (
@@ -313,7 +313,7 @@ def test_incremental_rollup_checkpoint_resume_no_double_count(
     q.awaitTermination(timeout=120)
     mid = {
         r["user_id"]: r["n_events"]
-        for r in spark.read.parquet(snap).collect()
+        for r in st.read_rollup_snapshot(spark, snap).collect()
     }
     assert sum(mid.values()) == first.count()
 
@@ -328,7 +328,7 @@ def test_incremental_rollup_checkpoint_resume_no_double_count(
         r["user_id"]: (
             r["n_events"], r["sum_value"], r["min_value"], r["max_value"]
         )
-        for r in spark.read.parquet(snap).collect()
+        for r in st.read_rollup_snapshot(spark, snap).collect()
     }
     want = {
         r["user_id"]: (
@@ -339,3 +339,99 @@ def test_incremental_rollup_checkpoint_resume_no_double_count(
         ).collect()
     }
     assert got == want
+
+
+def test_fold_rollup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is only at-least-once: a batch whose fold committed
+    but whose CHECKPOINT commit was lost gets replayed with the same
+    batch_id on restart. The fold must skip it — never double-count."""
+    from twitter_social_triangle_mapreduce_spark.operators.incremental import (
+        additive_agg_state,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 != 0)
+    snap = str(tmp_path / "snapshot")
+
+    st.fold_rollup_batch(b0, 0, snap)
+    st.fold_rollup_batch(b1, 1, snap)
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in st.read_rollup_snapshot(spark, snap).collect()
+    }
+    # replay both batches (same ids) — state must not move
+    st.fold_rollup_batch(b0, 0, snap)
+    st.fold_rollup_batch(b1, 1, snap)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in st.read_rollup_snapshot(spark, snap).collect()
+    }
+    assert got == want
+    direct = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in additive_agg_state(ev).collect()
+    }
+    assert got == direct
+
+
+def test_fold_rollup_batch_aborted_write_recovers(spark, tmp_path):
+    """A crash mid-write leaves a version directory WITHOUT the commit
+    marker: readers must keep serving the previous committed state, and
+    the replayed batch must fold cleanly over the half-written junk."""
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.incremental import (
+        additive_agg_state,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 != 0)
+    snap = str(tmp_path / "snapshot")
+
+    st.fold_rollup_batch(b0, 0, snap)
+    committed = {
+        r["user_id"]: r["n_events"]
+        for r in st.read_rollup_snapshot(spark, snap).collect()
+    }
+
+    # simulate a crash DURING batch 1's write: parquet files exist but
+    # the _APPLIED marker was never created
+    aborted = str(tmp_path / "snapshot" / f"v_{1:020d}")
+    b1.limit(3).write.mode("overwrite").parquet(aborted)
+    marker = os.path.join(aborted, st.streams.ROLLUP_APPLIED_MARKER)
+    assert not os.path.exists(marker)
+
+    # reader still serves the batch-0 state
+    assert st.rollup_committed_versions(spark, snap) == [0]
+    still = {
+        r["user_id"]: r["n_events"]
+        for r in st.read_rollup_snapshot(spark, snap).collect()
+    }
+    assert still == committed
+
+    # the replay of batch 1 overwrites the junk and commits
+    st.fold_rollup_batch(b1, 1, snap)
+    assert st.rollup_committed_versions(spark, snap) == [0, 1]
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in st.read_rollup_snapshot(spark, snap).collect()
+    }
+    direct = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in additive_agg_state(ev).collect()
+    }
+    assert got == direct
+
+
+def test_fold_rollup_prunes_old_versions(spark, tmp_path):
+    """Version GC keeps the newest keep_versions committed snapshots and
+    never the one currently being served."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    snap = str(tmp_path / "snapshot")
+    for i in range(4):
+        st.fold_rollup_batch(
+            ev.where(F.col("event_id") % 4 == i), i, snap
+        )
+    assert st.rollup_committed_versions(spark, snap) == [2, 3]

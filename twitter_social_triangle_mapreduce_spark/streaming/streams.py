@@ -365,6 +365,105 @@ def streaming_dedup_within_watermark(
     )
 
 
+#: commit marker created (single atomic file create) inside a version
+#: directory AFTER its parquet write completes; a version without it is
+#: an aborted attempt and is ignored by readers and recovery
+ROLLUP_APPLIED_MARKER = "_APPLIED"
+
+
+def _rollup_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _rollup_version_dir(snapshot_path: str, batch_id: int) -> str:
+    return f"{snapshot_path}/v_{batch_id:020d}"
+
+
+def rollup_committed_versions(spark, snapshot_path: str) -> list[int]:
+    """Batch ids of all COMMITTED snapshot versions (marker present),
+    ascending. Aborted writes (no marker) are invisible."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(snapshot_path)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if not (st_.isDirectory() and name.startswith("v_")):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            st_.getPath(), ROLLUP_APPLIED_MARKER
+        )
+        if fs.exists(marker):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_rollup_snapshot(spark, snapshot_path: str) -> DataFrame:
+    """The latest COMMITTED rollup state. Raises if no version has been
+    committed yet (same contract as reading a missing parquet path)."""
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed rollup snapshot under {snapshot_path}")
+    return spark.read.parquet(_rollup_version_dir(snapshot_path, versions[-1]))
+
+
+def fold_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    keep_versions: int = 2,
+) -> None:
+    """Fold one micro-batch into the versioned rollup snapshot.
+    Safe under ``foreachBatch``'s at-least-once delivery:
+
+    - **Idempotent replay**: a batch id ≤ the newest committed version
+      (retry after a crash that lost only the checkpoint commit) is
+      skipped — the fold never applies twice.
+    - **Atomic commit, monotonic history**: each fold writes a NEW
+      directory ``v_<batch_id>`` and commits it by creating the
+      ``_APPLIED`` marker (one atomic file create). The previous
+      committed version is never deleted or renamed mid-flight, so a
+      crash at ANY point leaves the latest committed version intact and
+      readable; a half-written ``v_<id>`` has no marker and is
+      overwritten by the retry.
+    - **First-batch detection is explicit** (committed-version listing),
+      not an exception guard — a genuinely corrupt snapshot read now
+      surfaces instead of silently resetting history.
+
+    Old committed versions beyond ``keep_versions`` are pruned only
+    AFTER the new commit succeeds."""
+    from ..operators.incremental import additive_agg_state, merge_agg_states
+
+    spark = batch_df.sparkSession
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if versions and versions[-1] >= batch_id:
+        return  # replayed batch: already folded and committed
+    delta = additive_agg_state(batch_df)
+    if versions:
+        prev = spark.read.parquet(
+            _rollup_version_dir(snapshot_path, versions[-1])
+        )
+        merged = merge_agg_states(prev, delta)
+    else:
+        merged = delta
+    vdir = _rollup_version_dir(snapshot_path, batch_id)
+    merged.write.mode("overwrite").parquet(vdir)
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/{ROLLUP_APPLIED_MARKER}"), True
+    ).close()
+    for old in versions[: max(0, len(versions) + 1 - keep_versions)]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                _rollup_version_dir(snapshot_path, old)
+            ),
+            True,
+        )
+
+
 def streaming_incremental_rollup(
     events_stream: DataFrame, snapshot_path: str, checkpoint_path: str
 ):
@@ -373,31 +472,16 @@ def streaming_incremental_rollup(
     ``operators.incremental.merge_agg_states`` — the materialized-view
     maintenance loop (state(snapshot ∪ batch) == state(all events seen),
     proven by the merge algebra, so the snapshot equals a full recompute
-    at every point without ever rescanning history). ``foreachBatch``
-    supplies exactly-once batch semantics through the checkpoint; the
-    snapshot is swapped atomically (write new, then replace) so readers
-    never see a half-merged state.
+    at every point without ever rescanning history). ``foreachBatch`` is
+    only at-least-once per batch, so the fold itself
+    (``fold_rollup_batch``) is idempotent and commits each version
+    atomically — see its docstring for the crash-safety contract. Read
+    the current state with ``read_rollup_snapshot``.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
-    from ..operators.incremental import additive_agg_state, merge_agg_states
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        delta = additive_agg_state(batch_df)
-        try:
-            snap = spark.read.parquet(snapshot_path)
-            merged = merge_agg_states(snap, delta)
-        except Exception:  # first batch: no snapshot yet
-            merged = delta
-        tmp = snapshot_path + f".__stage_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        dst = jvm.org.apache.hadoop.fs.Path(snapshot_path)
-        fs = dst.getFileSystem(conf)
-        if fs.exists(dst):
-            fs.delete(dst, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst)
+        fold_rollup_batch(batch_df, batch_id, snapshot_path)
 
     return (
         events_stream.writeStream.foreachBatch(fold_batch)
