@@ -142,3 +142,43 @@ def test_stratified_stable_under_other_stratum_growth(spark):
         .collect()
     }
     assert full == without_de
+
+
+def test_hash_topk_tiebreak_total_order(spark):
+    """Duplicate key values share a digest; without a tiebreaker the
+    limit boundary is nondeterministic. With one, the selection is a
+    pure function of the data: stable across reruns and equal to the
+    explicitly-sorted head."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        hash_topk_sample,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id"
+    )
+    # key on user_id (150 distinct over 10k rows — heavy duplication)
+    a = sorted(
+        (r["event_id"], r["user_id"])
+        for r in hash_topk_sample(
+            ev, "user_id", 37, tiebreak="event_id"
+        ).collect()
+    )
+    b = sorted(
+        (r["event_id"], r["user_id"])
+        for r in hash_topk_sample(
+            ev, "user_id", 37, tiebreak="event_id"
+        ).collect()
+    )
+    assert a == b and len(a) == 37
+    want = sorted(
+        (r["event_id"], r["user_id"])
+        for r in ev.withColumn(
+            "__dg",
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit("#topk"))),
+        )
+        .orderBy("__dg", "event_id")
+        .limit(37)
+        .drop("__dg")
+        .collect()
+    )
+    assert a == want

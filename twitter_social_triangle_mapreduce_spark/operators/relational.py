@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..sources.io import ntz_epoch_micros, ntz_epoch_seconds
+from ..sources.io import ntz_epoch_div, ntz_epoch_micros, ntz_epoch_seconds
 
 #: session gap threshold (seconds) for sessionization
 SESSION_GAP_S = 1800
@@ -725,9 +725,21 @@ def customer_spend_percentiles(
             ).alias("__spent"),
         )
     )
-    ranged = pop.repartitionByRange(
-        16, F.col("__spent").asc(), F.col("c_custkey").asc()
-    ).withColumn("__pid", F.spark_partition_id())
+    # Both the intra-partition ranks and the per-partition offsets key on
+    # spark_partition_id() of THIS exchange, so both branches must observe
+    # the identical physical partitioning. repartitionByRange boundaries
+    # come from sampling — if the two branches ever re-planned separately
+    # (AQE replan, lost exchange reuse) they could disagree silently.
+    # persist() pins one materialization: RDD cache blocks are computed
+    # once under a per-partition lock and every downstream branch reads
+    # the same bytes (tiny relation: one row per customer, two columns).
+    ranged = (
+        pop.repartitionByRange(
+            16, F.col("__spent").asc(), F.col("c_custkey").asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
     intra_w = Window.partitionBy("__pid").orderBy(
         F.col("__spent").asc(), F.col("c_custkey").asc()
     )
@@ -1030,7 +1042,10 @@ def retention_cohorts(
     linear in events."""
     weeks = events.select(
         "user_id",
-        (ntz_epoch_seconds("ts") / bucket_s).cast("long").alias("wk"),
+        # all-integer `div`, identical to the oracle's `//` (both
+        # truncate toward zero) — the old true-division-then-cast
+        # routed integers through doubles, inviting precision drift
+        ntz_epoch_div("ts", bucket_s).alias("wk"),
     )
     first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     active = (

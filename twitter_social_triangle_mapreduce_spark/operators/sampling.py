@@ -133,33 +133,52 @@ def stratified_oracle_sql(
 
 
 def hash_topk_sample(
-    df: DataFrame, key: str, n: int, salt: str = "topk"
+    df: DataFrame,
+    key: str,
+    n: int,
+    salt: str = "topk",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Fixed-SIZE deterministic sample: the ``n`` rows whose key digests
-    sort lowest (ties impossible — the digest is effectively unique per
-    key). The reservoir-sampling replacement for distributed engines:
-    uniform over keys, a pure function of (key set, salt, n), and
-    executed as TakeOrderedAndProject — each partition contributes its
-    local top-n candidates (O(n) memory), the driver merges; no global
-    sort is materialized. Complements ``hash_sample`` (fixed RATE)."""
+    sort lowest. The reservoir-sampling replacement for distributed
+    engines: uniform over keys, a pure function of (key set, salt, n),
+    and executed as TakeOrderedAndProject — each partition contributes
+    its local top-n candidates (O(n) memory), the driver merges; no
+    global sort is materialized. Complements ``hash_sample`` (fixed
+    RATE).
+
+    Determinism contract: ``key`` must be UNIQUE per row — duplicate key
+    values share a digest, and rows tied at the limit boundary would
+    then be selected nondeterministically. For non-unique keys pass
+    ``tiebreak``, a column that makes (key, tiebreak) unique; it is
+    appended to the sort to restore a total order."""
+    order = [F.col(_DIGEST)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
     return (
         df.withColumn(
             _DIGEST,
             F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#{salt}"))),
         )
-        .orderBy(_DIGEST)
+        .orderBy(*order)
         .limit(n)
         .drop(_DIGEST)
     )
 
 
 def topk_sample_oracle_sql(
-    table: str, key: str, n: int, salt: str = "topk", select: str = "*"
+    table: str,
+    key: str,
+    n: int,
+    salt: str = "topk",
+    select: str = "*",
+    tiebreak: str | None = None,
 ) -> str:
     """DuckDB twin of ``hash_topk_sample``."""
+    tb = f", {tiebreak}" if tiebreak is not None else ""
     return f"""
         SELECT {select} FROM {table}
-        ORDER BY md5(concat(CAST({key} AS VARCHAR), '#{salt}'))
+        ORDER BY md5(concat(CAST({key} AS VARCHAR), '#{salt}')){tb}
         LIMIT {n}
     """
 

@@ -72,6 +72,16 @@ def ntz_epoch_micros(col: str):
     return F.expr(f"timestampdiff(MICROSECOND, {NTZ_EPOCH}, {col})")
 
 
+def ntz_epoch_div(col: str, divisor: int):
+    """TZ-free epoch seconds integer-divided by ``divisor`` — all-integer
+    (`div`), never routed through doubles. Spark's ``div`` and DuckDB's
+    ``//`` both truncate toward zero (-7 div 2 == -7 // 2 == -3), so the
+    two engines agree for ALL epochs, pre-1970 included."""
+    return F.expr(
+        f"timestampdiff(SECOND, {NTZ_EPOCH}, {col}) div {divisor}"
+    )
+
+
 def ts_ltz_from_ntz(col: str = "ts"):
     """TimestampNTZ wall clock → TIMESTAMP instant whose UTC wall clock
     equals the NTZ value, with NO session-timezone involvement: TZ-free
