@@ -39,7 +39,13 @@ def synth_edges(spark, n_edges: int, n_nodes: int):
 
 
 def main() -> None:
-    sizes = [int(s) for s in sys.argv[1:]] or [1_000_000, 10_000_000]
+    argv = list(sys.argv[1:])
+    skip: set[str] = set()
+    for a in list(argv):
+        if a.startswith("--skip="):
+            skip = set(a.split("=", 1)[1].split(","))
+            argv.remove(a)
+    sizes = [int(s) for s in argv] or [1_000_000, 10_000_000]
     spark = get_spark(
         app_name="tstm-scale-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -62,7 +68,14 @@ def main() -> None:
                 # reference's MAX cutoff: filter to the low-id quarter
                 lambda: graph.triangle_count_broadcast(e, max_id=n_nodes // 4),
             ),
+            (
+                "triangle_ordered",
+                # hub-safe O(E^1.5) wedge strategy, full graph (no cutoff)
+                lambda: graph.triangle_count_ordered(e),
+            ),
         ]:
+            if name in skip:
+                continue
             t0 = time.perf_counter()
             val = fn().collect()[0][0]
             out[name] = {"value": int(val), "sec": round(time.perf_counter() - t0, 2)}

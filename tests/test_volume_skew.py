@@ -81,3 +81,47 @@ def test_cardinality_equals_enumeration_at_volume(spark, skewed_edges):
     enumerated = graph.path2(skewed_edges, exclude_closed=False).count()
     assert total == enumerated
     assert total > N_EDGES  # hubs amplify path counts
+
+
+def test_aqe_skew_join_engages_on_hub_partitions(spark, skewed_edges):
+    """The 100 TB design claim for the shuffle strategies leans on AQE
+    skew-join splitting to absorb residual hub skew (graph.py module
+    docstring). This pins the claim: with thresholds scaled to the
+    fixture, the final adaptive plan of the path-2 self-join must carry
+    a skew-split join (``skew=true``). If the operator shape ever stops
+    being skew-splittable (e.g. a manual repartition or a non-SMJ hint
+    sneaks in), this fails."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        # execute THIS DataFrame's own queryExecution (df.count() would
+        # build a separate one and leave this plan unexecuted)
+        cnt = graph.path2(skewed_edges).groupBy().count()
+        assert cnt.collect()[0][0] > 0
+        final_plan = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, (
+            "AQE skew-join did not engage on the hub-skewed self-join:\n"
+            + final_plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

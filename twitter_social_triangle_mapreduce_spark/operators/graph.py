@@ -445,7 +445,19 @@ def triangle_count_ordered(
     )
     # wedges at the lowest-ranked vertex w: pairs (u, v) of its oriented
     # out-neighbors (u < v by id for a canonical pair), closed by the
-    # support edge {u, v}
+    # support edge {u, v}. The per-pair triangle sum factors as
+    #   Σ_w m_wu·m_uv·m_vw + m_wv·m_vu·m_uw
+    #     = m_uv·(m_wu·m_vw) + m_vu·(m_wv·m_uw)   summed over w,
+    # so each wedge row carries only the two PRE-MULTIPLIED products —
+    # (u, v, p_fwd, p_rev), 4 longs instead of the naive 7 columns —
+    # into the closing join, the ONE shuffle proportional to the wedge
+    # count (O(E^1.5); everything else here is O(E)). The closing side
+    # reuses ``und``'s (a, b) hash partitioning (alias-tracked through
+    # the rename), so only the wedge side exchanges; AQE converts the
+    # join to broadcast at runtime when the closing relation is small.
+    # (A groupBy(u, v) pre-aggregation before the join was measured
+    # SLOWER at 1M/10M edges: wedges/distinct-pair ≈ 1.7, so the extra
+    # shuffle outweighed the dedup.)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(
@@ -454,13 +466,10 @@ def triangle_count_ordered(
         & (F.col("e1.hi") < F.col("e2.hi")),
         "inner",
     ).select(
-        F.col("e1.lo").alias("w"),
         F.col("e1.hi").alias("u"),
         F.col("e2.hi").alias("v"),
-        F.col("e1.m_lh").alias("m_wu"),
-        F.col("e1.m_hl").alias("m_uw"),
-        F.col("e2.m_lh").alias("m_wv"),
-        F.col("e2.m_hl").alias("m_vw"),
+        (F.col("e1.m_lh") * F.col("e2.m_hl")).alias("p_fwd"),  # m_wu·m_vw
+        (F.col("e2.m_lh") * F.col("e1.m_hl")).alias("p_rev"),  # m_wv·m_uw
     )
     closing = und.select(
         F.col("a").alias("u"),
@@ -468,13 +477,17 @@ def triangle_count_ordered(
         F.col("m_ab").alias("m_uv"),
         F.col("m_ba").alias("m_vu"),
     )
+    # SHUFFLE_HASH on the closing side: its (u, v) keys are UNIQUE (one
+    # row per distinct support pair), so the build side is skew-free and
+    # bounded by E/num_partitions rows — and the O(E^1.5) wedge side
+    # streams through without the sort an SMJ would impose on it.
     tri_distinct = (
-        wedges.join(closing, ["u", "v"], "inner")
+        wedges.join(closing.hint("shuffle_hash"), ["u", "v"], "inner")
         .agg(
             F.coalesce(
                 F.sum(
-                    F.col("m_wu") * F.col("m_uv") * F.col("m_vw")
-                    + F.col("m_wv") * F.col("m_vu") * F.col("m_uw")
+                    F.col("p_fwd") * F.col("m_uv")
+                    + F.col("p_rev") * F.col("m_vu")
                 ),
                 F.lit(0),
             ).alias("s")
