@@ -39,6 +39,17 @@ HEADLINE = [
     "pricing_summary",
 ]
 
+#: second section: the expensive extension pipelines (regressions here
+#: were invisible to BENCH_rN before round 3). Separate from HEADLINE so
+#: the stable 12-query total stays comparable across rounds.
+#: prepare_training_corpus is special-cased in main() — it eagerly
+#: writes training shards, so its fn() call is inside the timer.
+EXTENSION = [
+    "ann_topk_ivf",
+    "doc_pack_sequences",
+    "prepare_training_corpus",
+]
+
 WARMUP_RUNS = 1
 TIMED_RUNS = 3
 
@@ -79,6 +90,46 @@ def main() -> None:
         per_query[name] = round(statistics.median(times), 4)
 
     total = round(sum(per_query.values()), 4)
+
+    # ---- extension section (timer wraps fn(): the capstone's call
+    # eagerly writes its training shards) ----
+    import shutil
+    import tempfile
+
+    def capstone(spark_, sf_dir_):
+        from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+            prepare_training_corpus,
+        )
+        from twitter_social_triangle_mapreduce_spark.sources.io import (
+            load_table,
+        )
+
+        docs = load_table(spark_, sf_dir_, "documents")
+        ev = docs.where("doc_id % 17 = 0")
+        out = tempfile.mkdtemp(prefix="bench_shards_")
+        try:
+            return prepare_training_corpus(docs, ev, out)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    ext_queries = dict(registry.all_queries(include_extra=True))
+    ext_queries["prepare_training_corpus"] = capstone
+    per_ext: dict[str, float] = {}
+    plans_ext: dict[str, str] = {}
+    for name in EXTENSION:
+        fn = ext_queries[name]
+        plans_ext[name] = plan_digest(fn(spark, sf_dir))
+
+        def run_full() -> float:
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
+            return time.perf_counter() - t0
+
+        for _ in range(WARMUP_RUNS):
+            run_full()
+        times = [run_full() for _ in range(TIMED_RUNS)]
+        per_ext[name] = round(statistics.median(times), 4)
+
     print(
         json.dumps(
             {
@@ -88,6 +139,9 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf),
                 "plans": plans,
+                "queries_ext": per_ext,
+                "ext_total": round(sum(per_ext.values()), 4),
+                "plans_ext": plans_ext,
             }
         )
     )
