@@ -22,6 +22,34 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+#: Spark's RocksDB state store provider (bundled since 3.2). The default
+#: HDFS-backed store keeps every streaming-state key on the JVM heap —
+#: fine locally, lethal for 100 TB stream-stream joins / dedup whose
+#: bounded-event-time state still reaches tens of GB per executor.
+#: RocksDB keeps state off-heap on local disk with incremental
+#: (changelog) checkpointing to the checkpoint location.
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf() -> dict[str, str]:
+    """Session confs that move streaming state to RocksDB. Pass to
+    ``get_spark(extra_conf=...)`` at session build, or set via
+    ``spark.conf.set`` before ``start()`` — the provider is read per
+    streaming query at start time."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            ROCKSDB_STATE_STORE_PROVIDER
+        ),
+        # incremental state commits per batch instead of full snapshot
+        # uploads — the difference between O(delta) and O(state) per
+        # micro-batch at scale
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }
+
 
 def get_spark(
     app_name: str = "twitter-social-triangle-spark",
