@@ -66,7 +66,121 @@ def timed(fn):
     return v, round(time.perf_counter() - t0, 2)
 
 
+def _ui_stage_stats(spark) -> dict:
+    """Shuffle totals + top stages from the local UI REST API (the probe
+    session runs with the UI enabled for exactly this)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+        app_id = json.load(r)[0]["id"]
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    tot_w = sum(s["shuffleWriteBytes"] for s in stages)
+    tot_r = sum(s["shuffleReadBytes"] for s in stages)
+    top = sorted(stages, key=lambda s: -s["shuffleWriteBytes"])[:5]
+    return {
+        "n_stages": len(stages),
+        "shuffle_write_mb": round(tot_w / 1e6, 1),
+        "shuffle_read_mb": round(tot_r / 1e6, 1),
+        "top_stage_writes_mb": [
+            round(s["shuffleWriteBytes"] / 1e6, 1) for s in top
+        ],
+        "max_task_peak_exec_mem_mb": round(
+            max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+            / 1e6,
+            1,
+        ),
+    }
+
+
+def probe_capstone(mult: int = 10) -> None:
+    """prepare_training_corpus at ``mult``× sf0.1 (50k docs at 10×):
+    the five-stage capstone is the likeliest place a hidden barrier or
+    driver-proportional state hides. Replication is EXACT (new doc_ids,
+    same text): curation, minhash/LSH banding, clustering and
+    decontamination all process the full multiplied volume — and the
+    replica groups stress the LSH collision path maximally (every band
+    bucket collides ≥ mult ways). Packing/shard-write intentionally see
+    only the canonical survivors; the 1M-doc ``pack_1m`` probe covers
+    that stage's scaling separately."""
+    import shutil
+    import tempfile
+
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    spark = get_spark(
+        app_name="tstm-capstone-probe",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "true",  # REST stage metrics
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    big = (
+        docs.crossJoin(spark.range(mult).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .persist()
+    )
+    n_in = big.count()
+    ev = big.where(F.col("doc_id") % 17 == 0)
+    out_dir = tempfile.mkdtemp(prefix="capstone_probe_")
+    try:
+        t0 = time.perf_counter()
+        audit = prepare_training_corpus(big, ev, out_dir)
+        verdicts = {
+            r["verdict"]: r["n"]
+            for r in audit.groupBy("verdict")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wall = round(time.perf_counter() - t0, 2)
+        # every kept doc lands in a shard; the dir is empty (unreadable)
+        # when the gates drop everything, which the verdict mix records
+        if verdicts.get("kept"):
+            n_shard_rows = spark.read.parquet(out_dir).count()
+        else:
+            n_shard_rows = 0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    big.unpersist()
+    print(
+        json.dumps(
+            {
+                "probe": f"capstone_{mult}x_sf0.1",
+                "n_docs_in": n_in,
+                "verdicts": verdicts,
+                "n_shard_rows": n_shard_rows,
+                "sec": wall,
+                **_ui_stage_stats(spark),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
+    if "--capstone" in sys.argv:
+        mult = next(
+            (int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--mult=")),
+            10,
+        )
+        probe_capstone(mult)
+        return
     spark = get_spark(
         app_name="tstm-ext-scale-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
