@@ -9,6 +9,7 @@ import random
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from twitter_social_triangle_mapreduce_spark.operators import graph
 
@@ -144,3 +145,53 @@ def test_lsh_signature_matches_python_reference(spark, vecs, bits):
             if proj > 0:
                 sig |= 1 << b
         assert got[vid] == sig, (vid, bits)
+
+
+def _near_dup_corpus(spark, n_clusters: int, members: int = 4):
+    """Adversarial near-dup-heavy corpus: ``n_clusters`` groups of
+    ``members`` docs each; members share a 30-word base with ONE word
+    swapped per member (3-shingle Jaccard ~ 0.8 — right of the (8,2)
+    s-curve threshold 0.5), and clusters share no words at all."""
+    rows = []
+    for c in range(n_clusters):
+        base = [f"w{c}_{i}" for i in range(30)]
+        for m in range(members):
+            ws = list(base)
+            ws[(m * 7) % 30] = f"x{c}_{m}"
+            rows.append((c * members + m, " ".join(ws)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_candidates_subquadratic_on_near_dup_heavy_corpus(spark):
+    """The s-curve math documented at dedup.NUM_HASHES/BAND_SIZE, pinned
+    empirically: on a corpus that is ALL near-duplicates (the collision-
+    adversarial case), the band join's candidate set must stay at the
+    within-cluster scale (linear in docs), nowhere near the quadratic
+    doc×doc space — and doubling the corpus must ~double it, not
+    quadruple it. Recall stays high (P(cand | j≈0.8) ≈ 0.98)."""
+    from twitter_social_triangle_mapreduce_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    members = 4
+    counts = {}
+    for n_clusters in (100, 200):
+        docs = _near_dup_corpus(spark, n_clusters, members)
+        pairs = minhash_candidate_pairs(docs)
+        n_docs = n_clusters * members
+        n_pairs = pairs.count()
+        counts[n_clusters] = n_pairs
+        within = n_clusters * members * (members - 1) // 2
+        quadratic = n_docs * (n_docs - 1) // 2
+        # sub-quadratic: bounded by a small multiple of the true
+        # near-dup pair count, far under doc×doc
+        assert n_pairs <= 3 * within, (n_pairs, within)
+        assert n_pairs < quadratic // 20, (n_pairs, quadratic)
+        # recall: collisions find nearly all true within-cluster pairs
+        same_cluster = pairs.where(
+            (F.col("doc_a") / members).cast("long")
+            == (F.col("doc_b") / members).cast("long")
+        ).count()
+        assert same_cluster >= int(0.8 * within), (same_cluster, within)
+    # doubling the corpus ~doubles candidates (quadratic would be 4x)
+    assert counts[200] <= 3 * counts[100], counts

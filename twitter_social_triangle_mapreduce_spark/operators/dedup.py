@@ -28,6 +28,36 @@ NUM_HASHES = 8
 #: rows per LSH band (NUM_HASHES/BAND_SIZE bands)
 BAND_SIZE = 2
 
+# ---------------------------------------------------------------------------
+# The (NUM_HASHES, BAND_SIZE) s-curve — how the knobs control collisions
+#
+# With b = NUM_HASHES/BAND_SIZE bands of r = BAND_SIZE minhash rows each,
+# a pair with shingle-Jaccard s collides in one band with probability s^r
+# (all r minhashes agree), so
+#
+#     P(candidate | s) = 1 - (1 - s^r)^b
+#
+# an s-shaped curve whose inflection ("threshold") sits near
+# t ≈ (1/b)^(1/r). The shipped (8, 2) → b=4, r=2 → t ≈ 0.5:
+#
+#     s        0.2    0.4    0.5    0.6    0.8    0.9
+#     P(cand)  0.15   0.50   0.68   0.83   0.983  0.9996
+#
+# Tuning at 100 TB: the band-bucket join is the ONLY shuffle whose size
+# depends on collision rate. Raising r sharpens the curve and cuts
+# false-positive candidates exponentially (cost: more hashes for the
+# same t, because b must grow as t^-r); raising b with fixed r shifts t
+# left (more recall, more candidates). The candidate count is
+# Σ_buckets C(|bucket|, 2): sub-quadratic as long as buckets stay small,
+# which holds when distinct signatures ≫ docs-per-near-dup-cluster —
+# pinned by the adversarial property test
+# (tests/test_properties.py::test_lsh_candidates_subquadratic...).
+# EXACT duplicates share every bucket by construction; dedup them FIRST
+# (exact_dedup_groups) or bucket sizes grow with the duplication factor
+# (the capstone pipeline's gate order does exactly this at the audit
+# level; the 10× capstone probe measures the collision worst case).
+# ---------------------------------------------------------------------------
+
 #: hex chars per integer minhash: 7 → 28-bit values, so BAND_SIZE of them
 #: pack into one signed BIGINT without overflow
 MINHASH_HEX_CHARS = 7
