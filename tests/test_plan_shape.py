@@ -54,6 +54,27 @@ def test_triangle_replicated_is_broadcast_only(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_ordered_triangle_closing_strategy_is_size_adaptive(spark):
+    """The ordered strategy's closing join must pick its physical form from
+    Catalyst's plan-time estimate (graph._shuffle_hash_unless_broadcastable):
+    under the broadcast threshold the closing side broadcasts (the O(E^1.5)
+    wedge side never exchanges); with broadcasting disabled the fallback
+    must be a shuffled HASH join — never a sort-merge join, whose sort of
+    the wedge side costs 2× at the 10M-edge probe (BASELINE.md)."""
+    e = edges_from_events(spark, SF_SMOKE)
+    plan = plan_of(graph.triangle_count_ordered(e, 50000))
+    assert "BroadcastHashJoin" in plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(graph.triangle_count_ordered(e, 50000))
+        # the wedge-closing join takes the hash-join fallback (other,
+        # unhinted joins in the operator may legitimately fall to SMJ)
+        assert "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """The id-cutoff on the src endpoint (a direct parquet column upstream)
     must reach the scan as a pushed filter — the reference hand-codes this

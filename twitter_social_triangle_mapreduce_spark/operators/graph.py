@@ -46,6 +46,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Parse a Spark byte-string conf value ("67108864", "10m", "1GB",
+    "-1" for disabled) into bytes; negative means disabled."""
+    s = s.strip().lower()
+    for suf, mult in (
+        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
+        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(float(s))
+
+
+def _shuffle_hash_unless_broadcastable(side: DataFrame) -> DataFrame:
+    """Plan-time join-strategy guard for a build side whose keys are known
+    unique (skew-free): return ``side`` unchanged when Catalyst's OWN size
+    estimate already fits the broadcast threshold (the planner then picks a
+    broadcast hash join — zero exchange on the big probe side), otherwise
+    hint SHUFFLE_HASH so the non-broadcast fallback is a hash join that
+    streams the probe side instead of a sort-merge join that would sort it.
+
+    Reads only the optimized-plan statistics — no job runs. The estimate is
+    an upper bound for post-aggregation relations (Catalyst propagates the
+    child's size through aggregates without CBO), so the guard errs toward
+    SHUFFLE_HASH, never toward an over-threshold broadcast. An unparseable
+    conf or stats failure also degrades to the hint (the scale-safe arm)."""
+    try:
+        thresh = _parse_byte_conf(
+            side.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        est = int(
+            side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 < thresh and 0 <= est <= thresh:
+            return side
+    except Exception:
+        pass
+    return side.hint("shuffle_hash")
+
+
 def filter_edges(
     edges: DataFrame, max_id: int | None, strict: bool = True
 ) -> DataFrame:
@@ -477,12 +519,18 @@ def triangle_count_ordered(
         F.col("m_ab").alias("m_uv"),
         F.col("m_ba").alias("m_vu"),
     )
-    # SHUFFLE_HASH on the closing side: its (u, v) keys are UNIQUE (one
-    # row per distinct support pair), so the build side is skew-free and
-    # bounded by E/num_partitions rows — and the O(E^1.5) wedge side
-    # streams through without the sort an SMJ would impose on it.
+    # Closing-side strategy: its (u, v) keys are UNIQUE (one row per
+    # distinct support pair), so as a build side it is skew-free and
+    # bounded by E/num_partitions rows. When Catalyst's plan-time estimate
+    # says it fits the broadcast threshold, leave it unhinted and the
+    # planner broadcasts — the O(E^1.5) wedge side then never exchanges at
+    # all. Above the threshold, hint SHUFFLE_HASH so the fallback streams
+    # the wedge side through a hash probe instead of SMJ-sorting it
+    # (measured 2× at the 10M-edge probe, BASELINE.md).
     tri_distinct = (
-        wedges.join(closing.hint("shuffle_hash"), ["u", "v"], "inner")
+        wedges.join(
+            _shuffle_hash_unless_broadcastable(closing), ["u", "v"], "inner"
+        )
         .agg(
             F.coalesce(
                 F.sum(
