@@ -38,6 +38,7 @@ def prepare_training_corpus(
     path: str,
     budget: int = 64,
     packs_per_shard: int = 16,
+    persist_audit: bool = True,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -57,7 +58,21 @@ def prepare_training_corpus(
     stage is the already-oracled operator — the composition adds no new
     semantics, only the joins between verdicts; everything stays one
     Catalyst plan per output (audit, shards) with the compact verdict
-    relations joined on doc_id."""
+    relations joined on doc_id.
+
+    ``persist_audit`` (default on) persists the audit relation before the
+    shard write — without it, Spark replans the whole gate pipeline
+    (curation scan + LSH band pipeline + CC closure + decontamination)
+    for the packing stats, again for the shard rows, and again when the
+    caller evaluates the returned audit: 3+ full corpus scans of pure
+    recompute. The audit is doc_id + a short verdict — ~1000× smaller
+    than the corpus — so persisting it is exactly the manifest
+    materialization a 100 TB deployment performs (MEMORY_AND_DISK:
+    spills, never OOMs). Callers that stream the audit elsewhere can
+    ``.unpersist()`` it when done, or pass ``persist_audit=False`` to
+    keep the composition fully lazy."""
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import near_dup_clusters
     from .text import curate_corpus
 
@@ -82,6 +97,8 @@ def prepare_training_corpus(
         .join(decon, "doc_id", "left")
         .select("doc_id", verdict.alias("verdict"))
     )
+    if persist_audit:
+        audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
     kept = documents.join(
         audit.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
     )
