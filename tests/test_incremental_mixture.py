@@ -1,0 +1,167 @@
+"""Semantics tests for the round-3 ingest-pipeline additions:
+data-driven mixture sampling (`sampling.mixture_rates/mixture_sample`)
+and incremental dedup against the corpus band index
+(`dedup.incremental_dedup`). Registry oracle parity is covered by the
+differential tier; these pin the operator-level invariants on planted
+fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import dedup, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    """Three sources with known token totals: web 60, code 20, ref 10."""
+    rows = []
+    did = 0
+    for src, n_docs, words in (("web", 6, 10), ("code", 4, 5), ("ref", 2, 5)):
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(f"w{did}x{j}" for j in range(words))))
+            did += 1
+    return _docs(spark, rows)
+
+
+def test_mixture_rates_equalize_token_counts(mix_docs):
+    """Uniform parts: K = min stratum tokens (10), so the smallest
+    stratum keeps everything (rate exactly 1e6) and every other stratum
+    is rated to its exact integer formula (1e6*K) div n_tokens."""
+    r = {
+        row["strata"]: row
+        for row in sampling.mixture_rates(mix_docs).collect()
+    }
+    assert r["web"]["n_tokens"] == 60
+    assert r["code"]["n_tokens"] == 20
+    assert r["ref"]["n_tokens"] == 10
+    assert r["ref"]["rate_e6"] == 1_000_000
+    assert r["code"]["rate_e6"] == (1_000_000 * 10) // 20
+    assert r["web"]["rate_e6"] == (1_000_000 * 10) // 60
+
+
+def test_mixture_rates_weighted_parts_and_exclusion(mix_docs):
+    """parts {web: 2, code: 1}: K = min(60 div 2, 20 div 1) = 20; web
+    targets 40 of 60 tokens, code all 20; 'ref' (absent from parts) is
+    excluded entirely."""
+    r = {
+        row["strata"]: row
+        for row in sampling.mixture_rates(
+            mix_docs, parts={"web": 2, "code": 1}
+        ).collect()
+    }
+    assert set(r) == {"web", "code"}
+    assert r["code"]["rate_e6"] == 1_000_000
+    assert r["web"]["rate_e6"] == (1_000_000 * 2 * 20) // 60
+
+
+def test_mixture_sample_membership_is_deterministic_hash(mix_docs):
+    """Kept set: exactly the docs whose split-bucket hash falls under
+    their stratum's rate — a pure function of (doc_id, salt), so two
+    evaluations agree row-for-row, and the full-rate stratum is kept
+    whole."""
+    kept1 = sorted(
+        (row["doc_id"], row["source"])
+        for row in sampling.mixture_sample(mix_docs, "doc_id").collect()
+    )
+    kept2 = sorted(
+        (row["doc_id"], row["source"])
+        for row in sampling.mixture_sample(mix_docs, "doc_id").collect()
+    )
+    assert kept1 == kept2
+    ref_ids = {
+        row["doc_id"]
+        for row in mix_docs.where("source = 'ref'").select("doc_id").collect()
+    }
+    assert ref_ids <= {d for d, _ in kept1}
+    # membership matches the first-principles recomputation of the
+    # bucket predicate for every document
+    rates = {
+        row["strata"]: row["rate_e6"]
+        for row in sampling.mixture_rates(mix_docs).collect()
+    }
+    buckets = {
+        row["doc_id"]: (row["b"], row["source"])
+        for row in sampling._with_bucket(mix_docs, "doc_id", "mix")
+        .select("doc_id", "source", F.col("__tstm_bucket").alias("b"))
+        .collect()
+    }
+    expected = sorted(
+        (d, src) for d, (b, src) in buckets.items() if b < rates[src]
+    )
+    assert kept1 == expected
+
+
+@pytest.fixture(scope="module")
+def ingest_docs(spark):
+    """Corpus of 3 docs; a new batch holding an exact copy of corpus
+    doc 0, a fresh document, and a too-short-to-shingle document."""
+    corpus = _docs(
+        spark,
+        [
+            (0, "web", "alpha beta gamma delta epsilon zeta"),
+            (1, "web", "one two three four five six seven"),
+            (2, "web", "lorem ipsum dolor sit amet elit"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (100, "web", "alpha beta gamma delta epsilon zeta"),
+            (101, "web", "completely novel content nothing shared here"),
+            (102, "web", "tiny doc"),
+        ],
+    )
+    return new, corpus
+
+
+def test_incremental_dedup_flags_copies_and_passes_novel(ingest_docs):
+    new, corpus = ingest_docs
+    got = {
+        row["doc_id"]: (row["n_dup_of"], row["is_new"])
+        for row in dedup.incremental_dedup(new, corpus).collect()
+    }
+    assert set(got) == {100, 101, 102}  # every new doc gets a verdict
+    # identical text -> identical minhash signature -> collides with
+    # its corpus twin in every band
+    assert got[100][0] >= 1 and got[100][1] == 0
+    assert got[101] == (0, 1)
+    # < SHINGLE_N words: no bands, conservatively new
+    assert got[102] == (0, 1)
+
+
+def test_incremental_dedup_agrees_with_batch_pairs(spark):
+    """Splitting the smoke corpus in two, the incremental screen's
+    collision set must equal the batch pair generator's pairs restricted
+    to (new, corpus) — the incremental path adds no and loses no
+    collisions versus recomputing from scratch."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new, corpus = docs.where("doc_id % 5 = 0"), docs.where("doc_id % 5 <> 0")
+    inc = {
+        row["doc_id"]
+        for row in dedup.incremental_dedup(new, corpus)
+        .where("is_new = 0")
+        .collect()
+    }
+    pairs = dedup.minhash_candidate_pairs(docs)
+    # a new doc must be flagged iff some batch pair links it to a
+    # corpus doc
+    flagged = {
+        r["x"]
+        for r in pairs.selectExpr(
+            "CASE WHEN doc_a % 5 = 0 AND doc_b % 5 <> 0 THEN doc_a "
+            "     WHEN doc_b % 5 = 0 AND doc_a % 5 <> 0 THEN doc_b END AS x"
+        )
+        .where("x IS NOT NULL")
+        .collect()
+    }
+    assert inc == flagged

@@ -321,6 +321,52 @@ def near_dup_clusters(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """(doc_id, n_dup_of, is_new) — near-dup screening of an INCOMING
+    batch against the EXISTING corpus: every new document with the count
+    of distinct existing documents it LSH-collides with, and
+    ``is_new = 1`` when it collides with none (safe to ingest).
+
+    This is the daily-ingest shape of dedup at 100 TB: the corpus's band
+    signatures are computed ONCE and kept as a materialized relation
+    (append new batches' bands after ingest — ``minhash_bands`` output
+    is exactly that table); each incoming batch computes only ITS OWN
+    signatures and equi-joins the index on (band, bh). The batch side is
+    orders of magnitude smaller than the corpus, so the planner
+    broadcasts it and the index is probed in place — per-batch cost is
+    batch-sized, never corpus-sized, and the quadratic new×corpus
+    comparison never exists. Docs too short to shingle produce no bands
+    and are conservatively ``is_new = 1`` (nothing to collide on).
+
+    Reference analogy: the replicated-join driver's cached side
+    (ReplicatedJoinDriver.java:63) — a small relation probed against a
+    big streamed one — applied to the dedup domain."""
+    nb = minhash_bands(new_docs).select(
+        F.col("doc_id").alias("new_id"), "band", "bh"
+    )
+    cb = minhash_bands(corpus_docs).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bh"
+    )
+    hits = (
+        nb.join(cb, ["band", "bh"])
+        .select("new_id", "corpus_id")
+        .distinct()
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_of"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, new_docs.doc_id == hits.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_of"), F.lit(0)).alias("n_dup_of"),
+        )
+        .withColumn("is_new", (F.col("n_dup_of") == 0).cast("long"))
+    )
+
+
 #: minimum token length for typo-pair mining (short strings are all
 #: within distance 1 of each other — pure noise)
 TYPO_MIN_LEN = 4

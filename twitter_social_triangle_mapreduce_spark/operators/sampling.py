@@ -132,6 +132,123 @@ def stratified_oracle_sql(
     """
 
 
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    parts: dict[str, int] | None = None,
+) -> DataFrame:
+    """(strata, n_tokens, parts, rate_e6) — DATA-DRIVEN per-stratum
+    sampling rates that realize a target token MIXTURE: the data-mixing
+    step of an LLM training pipeline ("20 parts web, 3 parts code, 1
+    part reference"), where ``stratified_sample`` takes rates as given,
+    this derives them from what the corpus actually contains.
+
+    ``parts`` gives each stratum's integer weight in the target mixture
+    (default: every observed stratum weight 1, i.e. equalize token
+    counts); strata absent from a non-None ``parts`` get rate 0. With
+    K = min_s(n_tokens_s div parts_s) tokens per part, the realized
+    corpus targets parts_s·K tokens from stratum s — the LARGEST corpus
+    achieving the exact mixture with no upsampling — via
+    rate_e6 = (1e6·parts_s·K) div n_tokens_s ≤ 1e6.
+
+    All arithmetic is integer (products in DECIMAL(38,0), so a
+    100 TB-scale 1e13-token stratum stays exact); the DuckDB twin
+    (``mixture_oracle_sql``) reproduces every rate bit-for-bit. Scale
+    shape: one partial-agg token count per stratum, then all planning on
+    the #strata-row relation — the corpus is scanned once and never
+    shuffled (token counts aggregate map-side)."""
+    toks = F.sum(F.size(F.split(F.col(text_col), " ")).cast("long"))
+    tc = df.groupBy(F.col(strata_col).alias("strata")).agg(
+        toks.alias("n_tokens")
+    )
+    if parts is None:
+        p = tc.withColumn("parts", F.lit(1).cast("long"))
+    else:
+        expr = F.lit(0).cast("long")
+        for value, w in sorted(parts.items()):
+            expr = F.when(F.col("strata") == value, w).otherwise(expr)
+        p = tc.withColumn("parts", expr).where(F.col("parts") > 0)
+    per = p.withColumn("__kper", F.expr("n_tokens div parts"))
+    kmin = per.agg(F.min("__kper").alias("__k"))
+    return (
+        per.crossJoin(F.broadcast(kmin))
+        .select(
+            "strata",
+            "n_tokens",
+            "parts",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * parts * __k)"
+                " div n_tokens AS BIGINT)"
+            ).alias("rate_e6"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str = "source",
+    text_col: str = "text",
+    parts: dict[str, int] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """(key, strata) — the rows kept by applying ``mixture_rates``:
+    deterministic hash membership (same contract as ``hash_sample``)
+    at the data-derived per-stratum rate. The rates relation is
+    #strata rows and broadcast; the corpus side is scanned for the
+    token census and once more for the membership filter — no shuffle
+    of corpus rows anywhere."""
+    rates = mixture_rates(df, strata_col, text_col, parts).select(
+        "strata", "rate_e6"
+    )
+    return (
+        _with_bucket(df, key, salt)
+        .join(
+            F.broadcast(rates),
+            F.col(strata_col) == F.col("strata"),
+        )
+        .where(F.col("__tstm_bucket") < F.col("rate_e6"))
+        .select(F.col(key), F.col(strata_col))
+    )
+
+
+def mixture_oracle_sql(
+    table: str,
+    key: str,
+    strata_col: str = "source",
+    text_col: str = "text",
+    salt: str = "mix",
+    rates_only: bool = False,
+) -> str:
+    """DuckDB twin of ``mixture_rates`` (``rates_only=True``) /
+    ``mixture_sample`` — uniform parts (the registry configuration)."""
+    bucket = hex_prefix_to_long_sql("dg", 7)
+    rates = f"""
+        tc AS (SELECT {strata_col} AS strata,
+                      CAST(SUM(len(string_split({text_col}, ' ')))
+                           AS BIGINT) AS n_tokens
+               FROM {table} GROUP BY {strata_col}),
+        p AS (SELECT strata, n_tokens, CAST(1 AS BIGINT) AS parts FROM tc),
+        k AS (SELECT MIN(n_tokens // parts) AS kk FROM p),
+        r AS (SELECT strata, n_tokens, parts,
+                     CAST((1000000::HUGEINT * parts * kk) // n_tokens
+                          AS BIGINT) AS rate_e6
+              FROM p, k)
+    """
+    if rates_only:
+        return f"WITH {rates} SELECT strata, n_tokens, parts, rate_e6 FROM r"
+    return f"""
+        WITH {rates}
+        SELECT d.{key}, d.{strata_col}
+        FROM (SELECT {key}, {strata_col},
+                     md5(concat(CAST({key} AS VARCHAR), '#{salt}')) AS dg
+              FROM {table}) d
+        JOIN r ON r.strata = d.{strata_col}
+        WHERE ({bucket} % {SPLIT_BUCKETS}) < r.rate_e6
+    """
+
+
 def hash_topk_sample(
     df: DataFrame,
     key: str,

@@ -727,8 +727,37 @@ def q_event_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling
+
+    return sampling.mixture_rates(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling
+
+    return sampling.mixture_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.incremental_dedup(
+        docs.where("doc_id % 5 = 0"), docs.where("doc_id % 5 <> 0")
+    )
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
+    # data-mixing: token census -> exact integer per-source rates
+    "source_mixture_rates": q_source_mixture_rates,
+    # deterministic membership at the data-derived mixture rates
+    "doc_mixture_sample": q_doc_mixture_sample,
+    # incoming batch screened against the corpus band index: exact
+    "dedup_incremental": q_dedup_incremental,
     # sketch results are implementation-specific: rows-only by nature;
     # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
@@ -1311,9 +1340,27 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["bfs_levels"] = components.bfs_levels_oracle_sql(
         EDGES_FROM_EVENTS_SQL, BFS_SOURCE
     )
-    from .operators.sampling import split_oracle_sql
+    from .operators.sampling import mixture_oracle_sql, split_oracle_sql
 
     out["doc_train_test_split"] = split_oracle_sql("documents", "doc_id")
+    out["source_mixture_rates"] = mixture_oracle_sql(
+        "documents", "doc_id", rates_only=True
+    )
+    out["doc_mixture_sample"] = mixture_oracle_sql("documents", "doc_id")
+    out["dedup_incremental"] = f"""
+        {_BANDS},
+        np AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+               FROM bands a
+               JOIN bands b ON a.band = b.band AND a.bh = b.bh
+               WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        hits AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM np GROUP BY new_id)
+        SELECT d.doc_id, COALESCE(hits.n, 0) AS n_dup_of,
+               CAST(CASE WHEN COALESCE(hits.n, 0) = 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        LEFT JOIN hits ON hits.new_id = d.doc_id
+    """
     from .operators.profile import profile_oracle_sql
 
     out["doc_profile"] = profile_oracle_sql("documents", PROFILE_COLS)
