@@ -246,3 +246,51 @@ def test_repetition_requires_trigram_surface(spark):
         _docs(spark, [(1, "two words"), (2, "a b c")])
     ).collect()
     assert {r["doc_id"] for r in got} == {2}
+
+
+def test_chunk_documents_window_boundaries(spark):
+    """chunk=4/stride=3 over a 7-token doc: starts 0/3/6, overlapping
+    by one token, tail kept short; a 1-token doc yields one 1-token
+    chunk; chunk ids are the start ordinals."""
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in corpus.chunk_documents(
+            _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "solo")]),
+            chunk=4,
+            stride=3,
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 1, "t6"),
+        (2, 0, 1, "solo"),
+    ]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Non-overlapping config (stride == chunk): chunk texts concatenate
+    back to the original document for every smoke doc — no token lost or
+    duplicated."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rebuilt = (
+        corpus.chunk_documents(docs, chunk=8, stride=8)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    diff = (
+        docs.join(rebuilt, "doc_id")
+        .where(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert diff == 0

@@ -335,6 +335,71 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     return g2.join(g3, "doc_id")
 
 
+#: tokens per chunk for document chunking
+CHUNK_TOKENS = 32
+#: chunk start stride (stride < chunk ⇒ overlapping context windows)
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — sliding token-window
+    chunking: windows of ``chunk`` tokens starting every ``stride``
+    tokens (overlapping when stride < chunk — the context-window
+    preparation step for training or retrieval indexing; the final
+    window keeps its short tail). ``chunk_id`` is the window ordinal
+    (start div stride).
+
+    Scale shape: pure per-row array arithmetic — tokenize once, generate
+    the start offsets with ``sequence``, explode, slice. No shuffle, no
+    join, no state; Catalyst pipelines it into the scan, and output
+    partitioning follows input partitioning (a downstream
+    ``groupBy(doc_id)`` re-aggregates chunk rows of one doc that stayed
+    in one partition before AQE splits). Docs produce
+    ceil(n_tokens/stride) chunks — output volume is corpus-linear with
+    factor chunk/stride."""
+    ws = documents.select("doc_id", F.split("text", " ").alias("ws"))
+    return ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, size(ws) - 1, {stride})")
+        ).alias("__start"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.expr(f"__start div {stride}").alias("chunk_id"),
+        F.least(F.lit(chunk), F.size("ws") - F.col("__start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(f"array_join(slice(ws, __start + 1, {chunk}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunks_oracle_sql(
+    src_sql: str = "SELECT * FROM documents",
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    """DuckDB twin of ``chunk_documents``."""
+    return f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM ({src_sql})),
+        s AS (SELECT doc_id, ws,
+                     unnest(range(0, len(ws), {stride})) AS st
+              FROM w)
+        SELECT doc_id,
+               CAST(st // {stride} AS BIGINT) AS chunk_id,
+               CAST(least({chunk}, len(ws) - st) AS BIGINT) AS n_tokens,
+               array_to_string(ws[st + 1:st + {chunk}], ' ') AS chunk_text
+        FROM s
+    """
+
+
 def pack_sequences(
     documents: DataFrame,
     budget: int = PACK_BUDGET,

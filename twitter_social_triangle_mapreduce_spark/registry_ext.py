@@ -741,6 +741,12 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus
+
+    return corpus.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup as _dedup
 
@@ -758,6 +764,8 @@ EXT_EXTRA_QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     # incoming batch screened against the corpus band index: exact
     "dedup_incremental": q_dedup_incremental,
+    # sliding token-window chunking (pure array arithmetic, no shuffle)
+    "doc_chunks": q_doc_chunks,
     # sketch results are implementation-specific: rows-only by nature;
     # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
@@ -1347,6 +1355,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         "documents", "doc_id", rates_only=True
     )
     out["doc_mixture_sample"] = mixture_oracle_sql("documents", "doc_id")
+    from .operators.corpus import chunks_oracle_sql
+
+    out["doc_chunks"] = chunks_oracle_sql()
     out["dedup_incremental"] = f"""
         {_BANDS},
         np AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
