@@ -49,9 +49,21 @@ def test_triangle_replicated_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
-    # the probe side must never shuffle: no hash-partitioned exchange
-    # (the only exchanges are broadcasts + the final 1-row agg)
-    assert "Exchange hashpartitioning" not in plan
+    # The probe side must never shuffle. Both joins being BHJ already
+    # guarantees it (a broadcast hash join streams its probe input
+    # in place — only SMJ/SHJ impose a hash exchange on it), so the
+    # only hash exchange allowed in the whole plan is the CACHE-side
+    # closing-edge distinct that runs before its broadcast — the
+    # reference dedups the same relation driver-side via
+    # ArrayList.contains (ReplicatedJoinDriver.java:103). Formatted
+    # explain carries exchange args on "Arguments:" lines.
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "hashpartitioning(src" in hash_exchanges[0]  # (src, dst) dedup
 
 
 def test_ordered_triangle_closing_strategy_is_size_adaptive(spark):

@@ -249,3 +249,42 @@ def test_lloyd_refinement_lowers_objective(spark):
     assert widths == {64}
     members = {r["cid"]: r["n_members"] for r in new_cents.collect()}
     assert sum(members.values()) == emb.count()
+
+
+def test_chunking_is_shuffle_free(spark):
+    """chunk_documents is pure per-row array arithmetic — its plan must
+    contain NO exchange of any kind (it pipelines into the scan; at
+    100 TB any shuffle here would move the whole corpus for nothing)."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        chunk_documents,
+    )
+    from twitter_social_triangle_mapreduce_spark.plans.explain import plan_of
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    plan = plan_of(chunk_documents(load_table(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_never_shuffles_corpus_rows(spark):
+    """mixture_sample's only join is the broadcast of the #strata rates
+    relation; the corpus side must reach the membership filter without a
+    row-level hash exchange (the single hashpartitioning exchange in the
+    plan is the token census's partial-agg reduction, which carries
+    per-stratum partials, not corpus rows)."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        mixture_sample,
+    )
+    from twitter_social_triangle_mapreduce_spark.plans.explain import plan_of
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(mixture_sample(docs, "doc_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exactly one hash exchange (the census reduction keyed on the
+    # stratum column) and one SinglePartition exchange (the
+    # min-over-strata window on the #strata-row relation); the corpus
+    # itself is scanned once per side and never exchanged
+    assert plan.count("Arguments: hashpartitioning(source") == 1
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("Arguments: SinglePartition") == 1

@@ -169,19 +169,23 @@ def mixture_rates(
         for value, w in sorted(parts.items()):
             expr = F.when(F.col("strata") == value, w).otherwise(expr)
         p = tc.withColumn("parts", expr).where(F.col("parts") > 0)
-    per = p.withColumn("__kper", F.expr("n_tokens div parts"))
-    kmin = per.agg(F.min("__kper").alias("__k"))
-    return (
-        per.crossJoin(F.broadcast(kmin))
-        .select(
-            "strata",
-            "n_tokens",
-            "parts",
-            F.expr(
-                "CAST((CAST(1000000 AS DECIMAL(38,0)) * parts * __k)"
-                " div n_tokens AS BIGINT)"
-            ).alias("rate_e6"),
-        )
+    from pyspark.sql.window import Window
+
+    # the min-over-strata comes from an unpartitioned window — over the
+    # POST-AGGREGATION #strata-row relation only (a handful of rows), so
+    # the corpus is scanned exactly once; a separate agg + join would
+    # re-run the token census for the second branch
+    per = p.withColumn("__kper", F.expr("n_tokens div parts")).withColumn(
+        "__k", F.min("__kper").over(Window.partitionBy())
+    )
+    return per.select(
+        "strata",
+        "n_tokens",
+        "parts",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * parts * __k)"
+            " div n_tokens AS BIGINT)"
+        ).alias("rate_e6"),
     )
 
 
