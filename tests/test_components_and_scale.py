@@ -137,6 +137,10 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         plan = joined._sc._jvm.PythonSQLUtils.explainString(
             joined._jdf.queryExecution(), "formatted"
         )
+        # formatted-mode explain puts exchange args on "Arguments:"
+        # lines — match those, not the simple-mode spelling, or the
+        # assertion is vacuous
+        assert "Arguments: hashpartitioning" not in plan
         assert "Exchange hashpartitioning" not in plan
         assert "SortMergeJoin" in plan
         # and the result is right
