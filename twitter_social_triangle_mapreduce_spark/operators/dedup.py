@@ -63,8 +63,37 @@ BAND_SIZE = 2
 MINHASH_HEX_CHARS = 7
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism before CPU-heavy per-row derivation
+    (shingling, the 2-digest minhash fold) when the source provides far
+    fewer splits than the cluster has slots — a sub-MB parquet file
+    arrives as ONE partition and would hash single-threaded. No-op when
+    the input is already parallel: at corpus scale the scan has plenty
+    of splits and a round-robin repartition there would pointlessly
+    shuffle the whole corpus. The shuffled bytes in the firing case are
+    by construction small (few-splits input). Plan-time check only —
+    ``getNumPartitions`` needs the physical plan, not a job."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if df.rdd.getNumPartitions() * 4 <= target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def tokens(documents: DataFrame) -> DataFrame:
-    """(doc_id, tok) — whitespace tokenization, one row per occurrence."""
+    """(doc_id, tok) — whitespace tokenization, one row per occurrence.
+
+    Deliberately NOT spread via ``_spread_small_input``: tokenization is
+    cheap relative to the aggregation shuffle that always follows it, and
+    the measured bench effect of a pre-spread here was negative (the
+    extra exchange + stage latency outweighed the map parallelism —
+    simhash 0.34→0.43 s, text_stats 0.34→0.44 s at sf0.1). The
+    shingle pipeline IS spread: its per-row cost is ~n_words string
+    builds plus two md5 digests per shingle, where the spread measured
+    2.6× (``shingles``)."""
     return documents.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -74,9 +103,9 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh) — overlapping word ``n``-shingles, one row per
     occurrence. Docs shorter than ``n`` words produce no shingles (the
     oracle applies the same guard)."""
-    ws = documents.select("doc_id", F.split("text", " ").alias("ws")).where(
-        F.size("ws") >= n
-    )
+    ws = _spread_small_input(documents).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    ).where(F.size("ws") >= n)
     return ws.select(
         "doc_id",
         F.explode(
@@ -342,7 +371,10 @@ def incremental_dedup(
 
     Reference analogy: the replicated-join driver's cached side
     (ReplicatedJoinDriver.java:63) — a small relation probed against a
-    big streamed one — applied to the dedup domain."""
+    big streamed one — applied to the dedup domain. Streaming twin:
+    ``streaming.streams.streaming_dedup_against_corpus`` runs the same
+    screen per micro-batch via ``foreachBatch`` (batch/streaming parity
+    pinned in tests/test_streaming_dedup.py)."""
     nb = minhash_bands(new_docs).select(
         F.col("doc_id").alias("new_id"), "band", "bh"
     )
