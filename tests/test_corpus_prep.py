@@ -294,3 +294,28 @@ def test_chunk_documents_covers_every_token(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_prepare_training_corpus_lazy_matches_persisted(spark, tmp_path):
+    """persist_audit=False (the fully lazy composition) must produce the
+    identical audit and shard set as the default persisted path — the
+    persist is a pure execution-strategy choice, never a semantic one."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.where("doc_id % 17 = 0")
+    out_p = str(tmp_path / "persisted")
+    out_l = str(tmp_path / "lazy")
+    audit_p = prepare_training_corpus(docs, ev, out_p)
+    got_p = {(r["doc_id"], r["verdict"]) for r in audit_p.collect()}
+    audit_p.unpersist()
+    audit_l = prepare_training_corpus(
+        docs, ev, out_l, persist_audit=False
+    )
+    got_l = {(r["doc_id"], r["verdict"]) for r in audit_l.collect()}
+    assert got_p == got_l
+    shards_p = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
+    shards_l = {r["doc_id"] for r in spark.read.parquet(out_l).collect()}
+    assert shards_p == shards_l
