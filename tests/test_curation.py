@@ -90,3 +90,67 @@ def test_curate_corpus_keep_matches_reason(spark):
     # thresholds chosen to produce real variety on the synthetic corpus
     reasons = {r["reason"] for r in out}
     assert "kept" in reasons and len(reasons) >= 2
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), s, t) for i, s, t in rows],
+        "doc_id long, source string, text string",
+    )
+
+
+def test_quality_gate_quota_and_whole_bucket_semantics(spark):
+    """Per-source top-q gate: 10 docs in source A with distinct scores
+    (stopword counts 0..9 over 10 tokens) at q=0.3 keeps exactly the 3
+    best; source B's 4 equal-score docs (one bucket of 4 > quota 1) are
+    dropped ENTIRELY — whole-bucket all-or-nothing, never a tie split."""
+    fill = ["w{}".format(j) for j in range(10)]
+    rows = []
+    for i in range(10):  # source A: i stopwords, 10 - i fillers
+        toks = (["the"] * i + fill)[:10]
+        rows.append((i, "A", " ".join(toks)))
+    for i in range(4):  # source B: all score 100000 (1 stopword / 10)
+        rows.append((100 + i, "B", " ".join(["the"] + fill[:9])))
+    got = {
+        r["doc_id"]: (r["score_e6"], r["keep"])
+        for r in text.quality_threshold_gate(
+            _src_docs(spark, rows), q_e6=300_000
+        ).collect()
+    }
+    assert len(got) == 14  # every doc gets a verdict
+    kept_a = {d for d, (_, k) in got.items() if k == 1 and d < 100}
+    assert kept_a == {9, 8, 7}  # the 3 highest stopword densities
+    assert all(got[100 + i][1] == 0 for i in range(4))  # B: bucket > quota
+    assert got[100][0] == 100_000  # sanity on the score itself
+
+
+def test_quality_gate_never_exceeds_quota_on_real_docs(spark):
+    """On the smoke corpus, each source keeps at most floor(q * n_s)
+    documents, and verdicts are a pure function of (source, score)."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMOKE
+
+    q_e6 = 250_000
+    docs = load_table(spark, SF_SMOKE, "documents")
+    g = text.quality_threshold_gate(docs, q_e6=q_e6)
+    agg = {
+        r["source"]: (r["kept"], r["n"])
+        for r in g.groupBy("source")
+        .agg(
+            F.sum("keep").alias("kept"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert agg, "no sources"
+    for src, (kept, n) in agg.items():
+        assert kept <= (q_e6 * n) // 1_000_000, (src, kept, n)
+    # same (source, score) -> same verdict everywhere
+    assert (
+        g.groupBy("source", "score_e6")
+        .agg(F.count_distinct("keep").alias("v"))
+        .where("v > 1")
+        .count()
+        == 0
+    )

@@ -288,3 +288,28 @@ def test_mixture_sample_never_shuffles_corpus_rows(spark):
     assert plan.count("Arguments: hashpartitioning(source") == 1
     assert plan.count("Arguments: hashpartitioning") == 1
     assert plan.count("Arguments: SinglePartition") == 1
+
+
+def test_quality_gate_windows_score_domain_not_corpus(spark):
+    """quality_threshold_gate must broadcast its verdict relation back
+    onto the corpus (no SMJ/SHJ of corpus rows), and its Window must run
+    over the score-domain histogram — visible as Window operating after
+    the histogram aggregate, never directly over the scan."""
+    from twitter_social_triangle_mapreduce_spark.operators.text import (
+        quality_threshold_gate,
+    )
+    from twitter_social_triangle_mapreduce_spark.plans.explain import plan_of
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = plan_of(quality_threshold_gate(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" in plan
+    # the window's input is the (source, score) aggregate: the tree shows
+    # Window above HashAggregate, and the corpus-side scan feeds the
+    # broadcast join probe directly (no Window between scan and join)
+    tree = plan.split("\n\n")[0]
+    win_idx = tree.index("Window")
+    agg_idx = tree.index("HashAggregate")
+    assert win_idx < agg_idx, "window must sit above the histogram agg"

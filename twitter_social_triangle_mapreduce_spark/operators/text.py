@@ -386,6 +386,101 @@ def divergence_oracle_sql(toks_sql: str) -> str:
     """
 
 
+#: top-fraction kept by the per-source quality gate (1e6-scaled)
+QUALITY_TOPQ_E6 = 250_000
+
+
+def quality_threshold_gate(
+    documents: DataFrame,
+    q_e6: int = QUALITY_TOPQ_E6,
+    strata_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, score_e6, keep) — per-source TOP-q% quality gate
+    ("keep the best quarter of every domain"): a document is kept when
+    its whole score bucket fits inside the source's quota
+    floor(q·n_source) counting from the best score down. Whole-bucket
+    semantics make the gate deterministic and rank-free — boundary-score
+    documents are all-or-nothing, so the kept count is AT MOST the quota
+    (never a nondeterministic tie split).
+
+    Score: stopword density (floor 1e6, the same C4-style prose proxy
+    ``curate_corpus`` thresholds absolutely; here the cut adapts per
+    source instead of being a global constant).
+
+    Scale shape — deliberately NOT a percent_rank window over the
+    corpus: a 100 TB source would funnel into one window task. Instead
+    (1) the score is a pure row expression (no token explode), (2) a
+    histogram groupBy(source, score) reduces the corpus map-side to at
+    most |sources|·1e6 rows, (3) the cumulative quota walk windows over
+    that SCORE-DOMAIN-bounded relation (never corpus-sized), and (4)
+    verdicts broadcast back. Corpus rows are never shuffled."""
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    scored = documents.select(
+        "doc_id",
+        F.col(strata_col).alias("source"),
+        F.expr(
+            f"CAST(floor(1000000 * size(filter(split(text, ' '),"
+            f" w -> w IN ({stop_set}))) / size(split(text, ' ')))"
+            " AS BIGINT)"
+        ).alias("score_e6"),
+    )
+    from pyspark.sql.window import Window
+
+    hist = scored.groupBy("source", "score_e6").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("source")
+    verdicts = (
+        hist.withColumn("__ns", F.sum("__n").over(tot_w))
+        .withColumn("__cum", F.sum("__n").over(cum_w))
+        .select(
+            "source",
+            "score_e6",
+            (F.col("__cum") <= F.expr(f"({q_e6} * __ns) div 1000000"))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+    return scored.join(F.broadcast(verdicts), ["source", "score_e6"]).select(
+        "doc_id", "source", "score_e6", "keep"
+    )
+
+
+def quality_gate_oracle_sql(
+    src_sql: str = "SELECT * FROM documents",
+    q_e6: int = QUALITY_TOPQ_E6,
+    strata_col: str = "source",
+) -> str:
+    """DuckDB twin of ``quality_threshold_gate``."""
+    stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH s AS (SELECT doc_id, {strata_col} AS source,
+                          CAST(FLOOR(1000000 *
+                               len(list_filter(string_split(text, ' '),
+                                               w -> w IN ({stop_set})))
+                               / len(string_split(text, ' ')))
+                               AS BIGINT) AS score_e6
+                   FROM ({src_sql})),
+        h AS (SELECT source, score_e6, COUNT(*) AS n
+              FROM s GROUP BY source, score_e6),
+        w AS (SELECT source, score_e6,
+                     SUM(n) OVER (PARTITION BY source
+                                  ORDER BY score_e6 DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n) OVER (PARTITION BY source) AS ns
+              FROM h)
+        SELECT s.doc_id, s.source, s.score_e6,
+               CAST(CASE WHEN w.cum <= ({q_e6} * w.ns) // 1000000
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM s JOIN w USING (source, score_e6)
+    """
+
+
 #: curation gates: minimum token count and minimum (English) stopword
 #: density — the classic cheap heuristics a pretraining pipeline applies
 #: before any model-based scoring

@@ -741,6 +741,14 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as _text
+
+    return _text.quality_threshold_gate(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import corpus
 
@@ -766,6 +774,8 @@ EXT_EXTRA_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     # sliding token-window chunking (pure array arithmetic, no shuffle)
     "doc_chunks": q_doc_chunks,
+    # per-source top-q% quality gate via score-domain histogram: exact
+    "doc_quality_gate": q_doc_quality_gate,
     # sketch results are implementation-specific: rows-only by nature;
     # merge-losslessness / error bounds asserted in pytest instead
     "user_sketch_rollup": q_user_sketch_rollup,
@@ -1358,6 +1368,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators.corpus import chunks_oracle_sql
 
     out["doc_chunks"] = chunks_oracle_sql()
+    from .operators.text import quality_gate_oracle_sql
+
+    out["doc_quality_gate"] = quality_gate_oracle_sql()
     out["dedup_incremental"] = f"""
         {_BANDS},
         np AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
