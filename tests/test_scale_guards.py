@@ -309,7 +309,9 @@ def test_quality_gate_windows_score_domain_not_corpus(spark):
     # the window's input is the (source, score) aggregate: the tree shows
     # Window above HashAggregate, and the corpus-side scan feeds the
     # broadcast join probe directly (no Window between scan and join)
+    # (the per-source threshold collapse adds a min-aggregate ABOVE the
+    # window, so compare against the LAST HashAggregate — the histogram)
     tree = plan.split("\n\n")[0]
     win_idx = tree.index("Window")
-    agg_idx = tree.index("HashAggregate")
+    agg_idx = tree.rindex("HashAggregate")
     assert win_idx < agg_idx, "window must sit above the histogram agg"

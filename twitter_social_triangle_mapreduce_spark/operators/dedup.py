@@ -66,21 +66,13 @@ MINHASH_HEX_CHARS = 7
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Raise map-side parallelism before CPU-heavy per-row derivation
     (shingling, the 2-digest minhash fold) when the source provides far
-    fewer splits than the cluster has slots — a sub-MB parquet file
-    arrives as ONE partition and would hash single-threaded. No-op when
-    the input is already parallel: at corpus scale the scan has plenty
-    of splits and a round-robin repartition there would pointlessly
-    shuffle the whole corpus. The shuffled bytes in the firing case are
-    by construction small (few-splits input). Plan-time check only —
-    ``getNumPartitions`` needs the physical plan, not a job."""
-    try:
-        sc = df.sparkSession.sparkContext
-        target = sc.defaultParallelism
-        if df.rdd.getNumPartitions() * 4 <= target:
-            return df.repartition(target)
-    except Exception:
-        pass
-    return df
+    fewer splits than the cluster has slots — delegates to the shared
+    Connect-safe implementation (``plans.strategy.spread_small_input``;
+    no-op arms, the ``spark.graft.spreadSmallInput`` escape hatch, and
+    the Connect fallback are documented and tested there)."""
+    from ..plans.strategy import spread_small_input
+
+    return spread_small_input(df)
 
 
 def tokens(documents: DataFrame) -> DataFrame:

@@ -46,46 +46,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _parse_byte_conf(s: str) -> int:
-    """Parse a Spark byte-string conf value ("67108864", "10m", "1GB",
-    "-1" for disabled) into bytes; negative means disabled."""
-    s = s.strip().lower()
-    for suf, mult in (
-        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
-        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
-    ):
-        if s.endswith(suf):
-            return int(float(s[: -len(suf)])) * mult
-    return int(float(s))
+#: conf escape hatch for the ordered-triangle closing join's physical
+#: form: auto (default — probe Catalyst's plan-time size estimate,
+#: Connect-safe) | broadcast | shuffle_hash
+ORDERED_CLOSING_CONF = "spark.graft.ordered.closingStrategy"
 
 
 def _shuffle_hash_unless_broadcastable(side: DataFrame) -> DataFrame:
-    """Plan-time join-strategy guard for a build side whose keys are known
-    unique (skew-free): return ``side`` unchanged when Catalyst's OWN size
-    estimate already fits the broadcast threshold (the planner then picks a
-    broadcast hash join — zero exchange on the big probe side), otherwise
-    hint SHUFFLE_HASH so the non-broadcast fallback is a hash join that
-    streams the probe side instead of a sort-merge join that would sort it.
+    """Size-adaptive build-side guard for the wedge-closing join —
+    delegates to the shared Connect-safe implementation
+    (``plans.strategy.shuffle_hash_unless_broadcastable``; fallback arm
+    and the ``spark.graft.ordered.closingStrategy`` escape hatch are
+    documented and tested there)."""
+    from ..plans.strategy import shuffle_hash_unless_broadcastable
 
-    Reads only the optimized-plan statistics — no job runs. The estimate is
-    an upper bound for post-aggregation relations (Catalyst propagates the
-    child's size through aggregates without CBO), so the guard errs toward
-    SHUFFLE_HASH, never toward an over-threshold broadcast. An unparseable
-    conf or stats failure also degrades to the hint (the scale-safe arm)."""
-    try:
-        thresh = _parse_byte_conf(
-            side.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
-        )
-        est = int(
-            side._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if 0 < thresh and 0 <= est <= thresh:
-            return side
-    except Exception:
-        pass
-    return side.hint("shuffle_hash")
+    return shuffle_hash_unless_broadcastable(
+        side, conf_key=ORDERED_CLOSING_CONF
+    )
 
 
 def filter_edges(

@@ -409,17 +409,24 @@ def quality_threshold_gate(
 
     Scale shape — deliberately NOT a percent_rank window over the
     corpus: a 100 TB source would funnel into one window task. Instead
-    (1) the score is a pure row expression (no token explode), (2) a
-    histogram groupBy(source, score) reduces the corpus map-side to at
-    most |sources|·1e6 rows, (3) the cumulative quota walk windows over
-    that SCORE-DOMAIN-bounded relation (never corpus-sized), and (4)
-    verdicts broadcast back. Corpus rows are never shuffled."""
+    (1) the score is a pure row expression (no token explode; the
+    stopword count is promoted to BIGINT before the 1e6 scale so a
+    dense 10k-word document can't overflow int32), (2) a histogram
+    groupBy(source, score) reduces the corpus map-side to at most
+    |sources|·1e6 rows, (3) the cumulative quota walk windows over
+    that SCORE-DOMAIN-bounded relation (never corpus-sized), and
+    (4) because the cumulative count is monotone as the score
+    descends, the whole-bucket keep set collapses to ONE threshold
+    score per source — the broadcast side is exactly |sources| rows
+    (bounded regardless of score-domain width), and keep is a row
+    expression against it. Corpus rows are never shuffled."""
     stop_set = ", ".join(f"'{w}'" for w in STOPWORDS)
     scored = documents.select(
         "doc_id",
         F.col(strata_col).alias("source"),
         F.expr(
-            f"CAST(floor(1000000 * size(filter(split(text, ' '),"
+            f"CAST(floor(CAST(1000000 AS BIGINT)"
+            f" * size(filter(split(text, ' '),"
             f" w -> w IN ({stop_set}))) / size(split(text, ' ')))"
             " AS BIGINT)"
         ).alias("score_e6"),
@@ -435,19 +442,23 @@ def quality_threshold_gate(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     tot_w = Window.partitionBy("source")
-    verdicts = (
+    # lowest score whose whole bucket still fits the quota — keep is then
+    # score >= threshold (sources where even the best bucket overflows
+    # the quota have no row here; the left join's null keeps nothing)
+    thresholds = (
         hist.withColumn("__ns", F.sum("__n").over(tot_w))
         .withColumn("__cum", F.sum("__n").over(cum_w))
-        .select(
-            "source",
-            "score_e6",
-            (F.col("__cum") <= F.expr(f"({q_e6} * __ns) div 1000000"))
-            .cast("long")
-            .alias("keep"),
-        )
+        .where(F.col("__cum") <= F.expr(f"({q_e6} * __ns) div 1000000"))
+        .groupBy("source")
+        .agg(F.min("score_e6").alias("__thresh"))
     )
-    return scored.join(F.broadcast(verdicts), ["source", "score_e6"]).select(
-        "doc_id", "source", "score_e6", "keep"
+    return scored.join(F.broadcast(thresholds), ["source"], "left").select(
+        "doc_id",
+        "source",
+        "score_e6",
+        F.coalesce(
+            (F.col("score_e6") >= F.col("__thresh")).cast("long"), F.lit(0)
+        ).alias("keep"),
     )
 
 

@@ -1,0 +1,163 @@
+"""Connect-safe, conf-overridable join/partitioning strategy guards.
+
+Two operators make plan-time physical decisions from session internals:
+the ordered-triangle closing join probes Catalyst's optimized-plan size
+estimate (``df._jdf`` — classic-only), and the shingle pipeline probes
+the scan's split count (``df.rdd`` — classic-only). Neither internal
+exists under Spark Connect, so every probe here is (1) gated on an
+explicit capability check, (2) overridable through a documented conf,
+and (3) degrades to the SCALE-SAFE arm — a shuffled hash join / a
+no-op — never silently to an over-threshold broadcast or a corpus-wide
+repartition. The fallback arms are pinned by tests
+(tests/test_strategy.py) so "which arm runs when the probe is
+unavailable" is a stated contract, not an accident.
+
+Conf escape hatches (settable per session, read at plan time):
+
+- ``spark.graft.join.buildSide`` = ``auto`` (default) | ``broadcast`` |
+  ``shuffle_hash`` — global override for every size-guarded build side.
+  Operators may pass a more specific key (e.g.
+  ``spark.graft.ordered.closingStrategy``) which, when set, wins.
+- ``spark.graft.spreadSmallInput`` = ``auto`` (default) | ``off`` |
+  ``force`` — the few-splits pre-spread before CPU-heavy derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: global conf key for the size-guarded build-side decision
+BUILD_SIDE_CONF = "spark.graft.join.buildSide"
+#: conf key for the small-input spread decision
+SPREAD_CONF = "spark.graft.spreadSmallInput"
+
+
+def parse_byte_conf(s: str) -> int:
+    """Parse a Spark byte-string conf value ("67108864", "10m", "1.5gb",
+    "-1" for disabled) into bytes; negative means disabled. Fractional
+    values multiply BEFORE truncation ('1.5g' → 1610612736, not 2**30)."""
+    s = s.strip().lower()
+    for suf, mult in (
+        ("tb", 2**40), ("gb", 2**30), ("mb", 2**20), ("kb", 2**10),
+        ("t", 2**40), ("g", 2**30), ("m", 2**20), ("k", 2**10), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * mult)
+    return int(float(s))
+
+
+def is_classic(df: DataFrame) -> bool:
+    """True when ``df`` is a classic (JVM-local) DataFrame whose private
+    plan internals (``_jdf``, ``.rdd``) exist. Spark Connect proxies live
+    under ``pyspark.sql.connect`` and expose neither."""
+    return not type(df).__module__.startswith("pyspark.sql.connect")
+
+
+def _conf(df: DataFrame, key: str, default: str | None = None) -> str | None:
+    try:
+        return df.sparkSession.conf.get(key, default)
+    except Exception:
+        return default
+
+
+def plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate, or ``None``
+    when the session cannot expose it (Spark Connect, or any internals
+    failure). Runs no job — plan-time statistics only. The estimate is an
+    UPPER bound for post-aggregation relations (size propagates through
+    aggregates un-reduced without CBO), so callers comparing it against a
+    threshold err toward the non-broadcast arm."""
+    if not is_classic(df):
+        return None
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def scan_partition_count(df: DataFrame) -> int | None:
+    """The physical partition count of ``df``'s current plan, or ``None``
+    when unavailable (Spark Connect). Needs only plan resolution, not a
+    job."""
+    if not is_classic(df):
+        return None
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
+def shuffle_hash_unless_broadcastable(
+    side: DataFrame, conf_key: str | None = None
+) -> DataFrame:
+    """Plan-time join-strategy guard for a build side whose keys are known
+    unique (skew-free): return ``side`` unchanged when Catalyst's OWN size
+    estimate already fits the broadcast threshold (the planner then picks
+    a broadcast hash join — zero exchange on the big probe side),
+    otherwise hint SHUFFLE_HASH so the non-broadcast fallback is a hash
+    join that streams the probe side instead of a sort-merge join that
+    would sort it.
+
+    Decision order:
+    1. ``conf_key`` (operator-specific, e.g.
+       ``spark.graft.ordered.closingStrategy``), when set;
+    2. ``spark.graft.join.buildSide``, when set to a non-``auto`` value;
+    3. ``auto``: probe plan statistics. Unavailable statistics (Spark
+       Connect — ``plan_size_estimate`` returns None), an unparseable
+       threshold, or a disabled threshold all take the SHUFFLE_HASH arm —
+       the scale-safe direction (a missed broadcast costs one exchange; a
+       wrong broadcast costs executor memory). This documented fallback
+       is asserted by tests/test_strategy.py."""
+    mode = "auto"
+    if conf_key:
+        mode = _conf(side, conf_key, "auto") or "auto"
+    if mode == "auto":
+        mode = _conf(side, BUILD_SIDE_CONF, "auto") or "auto"
+    if mode == "broadcast":
+        return F.broadcast(side)
+    if mode == "shuffle_hash":
+        return side.hint("shuffle_hash")
+    try:
+        thresh = parse_byte_conf(
+            _conf(side, "spark.sql.autoBroadcastJoinThreshold", "10485760")
+            or "10485760"
+        )
+    except Exception:
+        thresh = -1
+    est = plan_size_estimate(side)
+    if est is not None and 0 < thresh and 0 <= est <= thresh:
+        return side
+    return side.hint("shuffle_hash")
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism before CPU-heavy per-row derivation
+    (shingling, multi-digest minhash folds) when the source provides far
+    fewer splits than the cluster has slots — a sub-MB parquet file
+    arrives as ONE partition and would hash single-threaded. No-op when
+    the input is already parallel: at corpus scale the scan has plenty of
+    splits and a round-robin repartition there would pointlessly shuffle
+    the whole corpus. The shuffled bytes in the firing case are by
+    construction small (few-splits input).
+
+    ``spark.graft.spreadSmallInput``: ``off`` disables, ``force``
+    repartitions unconditionally to ``defaultParallelism``, ``auto``
+    (default) probes the split count — and is a documented NO-OP under
+    Spark Connect (``scan_partition_count`` returns None), the safe arm:
+    a Connect-backed cluster at real scale has many splits anyway."""
+    mode = _conf(df, SPREAD_CONF, "auto") or "auto"
+    if mode == "off":
+        return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df
+    if mode == "force":
+        return df.repartition(target)
+    n = scan_partition_count(df)
+    if n is not None and n * 4 <= target:
+        return df.repartition(target)
+    return df
