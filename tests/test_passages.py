@@ -1,0 +1,155 @@
+"""Passage-level (substring) dedup goldens: a planted boilerplate
+passage repeated across otherwise-unique documents is excised from every
+non-canonical occurrence while unique text survives byte-identical —
+the duplicate class doc-granular MinHash cannot catch (round-3 verdict,
+top next item)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import passages
+
+#: an 8-token boilerplate passage (exactly PASSAGE_WINDOW long)
+BOILER = "please accept cookies to continue using this website"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_passage_excised_from_two_docs_unique_survives(spark):
+    """The passage appears in docs 1, 2, 3; doc 1 is canonical (smallest
+    (doc_id, start)) and keeps it; docs 2 and 3 lose exactly the passage;
+    doc 4 (unique prose only) passes through byte-identical."""
+    d = _docs(
+        spark,
+        [
+            (1, f"alpha beta gamma delta {BOILER}"),
+            (2, f"{BOILER} epsilon zeta eta theta iota kappa"),
+            (3, f"lambda mu {BOILER} nu xi omicron pi rho sigma"),
+            (4, "tau upsilon phi chi psi omega one two three four"),
+        ],
+    )
+    cuts = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in passages.passage_cut_spans(d).collect()
+    }
+    assert cuts == {2: (1, 8), 3: (3, 10)}
+    out = {r.doc_id: r for r in passages.dedup_passages(d).collect()}
+    assert out[1].text == f"alpha beta gamma delta {BOILER}"
+    assert out[1].n_spans_cut == 0
+    assert out[2].text == "epsilon zeta eta theta iota kappa"
+    assert out[2].n_tokens_cut == 8
+    assert out[3].text == "lambda mu nu xi omicron pi rho sigma"
+    assert out[3].n_tokens_cut == 8
+    assert out[4].text == "tau upsilon phi chi psi omega one two three four"
+    assert out[4].n_spans_cut == 0
+
+
+def test_within_doc_repeat_cuts_second_occurrence(spark):
+    d = _docs(spark, [(7, f"{BOILER} interlude words here {BOILER}")])
+    cuts = passages.passage_cut_spans(d).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in cuts] == [
+        (7, 12, 19)
+    ]
+    out = passages.dedup_passages(d).collect()[0]
+    assert out.text == f"{BOILER} interlude words here"
+
+
+def test_overlapping_cut_windows_merge_to_one_span(spark):
+    """A 16-token duplicated passage produces 9 overlapping cut windows
+    (stride 1) that must merge into ONE maximal span of 16 tokens."""
+    long_p = f"{BOILER} and we store all your data forever period"  # 16 toks
+    d = _docs(
+        spark,
+        [
+            (1, f"intro words {long_p}"),
+            (2, f"{long_p} closing remarks here now"),
+        ],
+    )
+    cuts = passages.passage_cut_spans(d).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in cuts] == [
+        (2, 1, 16)
+    ]
+    out = {r.doc_id: r for r in passages.dedup_passages(d).collect()}
+    assert out[2].n_spans_cut == 1 and out[2].n_tokens_cut == 16
+    assert out[2].text == "closing remarks here now"
+
+
+def test_short_docs_and_no_duplicates_pass_through(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "too short"),
+            (2, "completely unique prose with nine whole tokens here"),
+        ],
+    )
+    assert passages.passage_cut_spans(d).count() == 0
+    out = {r.doc_id: r.text for r in passages.dedup_passages(d).collect()}
+    assert out == {
+        1: "too short",
+        2: "completely unique prose with nine whole tokens here",
+    }
+
+
+def test_fully_duplicated_doc_cuts_to_empty(spark):
+    d = _docs(spark, [(1, BOILER), (2, BOILER)])
+    out = {r.doc_id: r for r in passages.dedup_passages(d).collect()}
+    assert out[1].text == BOILER  # canonical survives
+    assert out[2].text == "" and out[2].n_tokens_cut == 8
+
+
+def test_stride_trades_recall(spark):
+    """stride=4: a duplicate whose alignment differs by <4 tokens can
+    slip through — documented recall trade; the default stride 1 catches
+    it."""
+    d = _docs(
+        spark,
+        [
+            (1, f"a b {BOILER}"),
+            (2, f"x {BOILER} y z w v u t"),  # offset differs by 1
+        ],
+    )
+    assert passages.passage_cut_spans(d, stride=1).count() == 1
+    assert passages.passage_cut_spans(d, stride=4).count() == 0
+
+
+def test_windows_relation_is_linear_in_tokens(spark):
+    """The fingerprint relation is one row per stride position — never
+    doc×doc: |windows| = Σ_docs (n_tokens - W + 1) exactly."""
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(10 + i))) for i in range(5)]
+    d = _docs(spark, rows)
+    expect = sum((10 + i) - passages.PASSAGE_WINDOW + 1 for i in range(5))
+    assert passages.passage_windows(d).count() == expect
+
+
+def test_duplicate_join_is_keyed_on_window_hash(spark):
+    """Plan shape: the occurrences-back join is an equi-join on wh (the
+    shuffle is keyed on hashes), and no cartesian product exists
+    anywhere in the cut-list plan."""
+    d = _docs(spark, [(1, f"a b {BOILER}"), (2, f"{BOILER} c d e f g h")])
+    plan = (
+        passages.passage_cut_spans(d)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join Inner" in plan and "wh" in plan
+    assert "Cartesian" not in plan and "crossJoin" not in plan
+
+
+def test_applier_does_not_token_explode_corpus(spark):
+    """The applier's corpus branch must stay row-shaped: the only
+    Generate (explode) nodes in the plan belong to the window-fingerprint
+    derivation, and the final text rewrite is an expression — check that
+    the plan joins documents to an AGGREGATED span relation on doc_id."""
+    d = _docs(spark, [(1, f"a b {BOILER}"), (2, f"{BOILER} c d e f g h")])
+    plan = (
+        passages.dedup_passages(d)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" in plan  # spans aggregated per doc…
+    assert "Join LeftOuter" in plan  # …and joined back on doc_id

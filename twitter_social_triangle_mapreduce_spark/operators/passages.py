@@ -1,0 +1,289 @@
+"""Passage-level (substring) deduplication — the duplicate class that
+document-granular MinHash cannot catch by construction: a boilerplate
+paragraph repeated across otherwise-unique documents (cookie banners,
+license headers, navigation chrome). Doc-level near-dup keeps both
+documents; THIS operator excises the repeated span and keeps the unique
+prose of each.
+
+Semantics (the keep-first-occurrence policy of substring dedup, cf. the
+"deduplicating training data" line of work): every ``window``-token
+sliding window is fingerprinted; a window occurrence is CUT when an
+identical window occurs anywhere else in the corpus at a smaller
+(doc_id, start) — the single earliest occurrence survives as canonical.
+Overlapping/adjacent cut windows merge into maximal spans per document,
+and the applier removes those token ranges, reassembling the text.
+
+Scale design — never doc×doc, never corpus-in-one-task:
+- fingerprints are md5 of the window text (128-bit: a 100 TB corpus has
+  ~1e13 windows, far below the birthday bound; a 60-bit prefix would
+  already collide at ~1e9 and silently cut unique text);
+- duplicate detection is ONE partial-agg groupBy keyed on the window
+  hash (count + lexicographic-min canonical in the same aggregate),
+  then an equi-join of occurrences back on the hash — shuffle keyed on
+  hashes, AQE handles mega-duplicated boilerplate keys (skew);
+- span merging windows per doc_id over that doc's CUT SPANS only
+  (bounded by the doc's token count, not the corpus);
+- the applier is a doc_id equi-join of the (collision-survivors-only)
+  span relation plus a pure higher-order-function row expression — the
+  corpus text itself is never exploded into per-token rows.
+
+Portability contract: window fingerprints are md5 hex (identical in
+DuckDB), spans are 1-based inclusive token indices (integer-exact), so
+cut lists hash-match the oracle and the rewritten text md5-matches it.
+
+Reference analogy: generalizes ``doc_rolling_hash``'s whole-document
+fold (text.py) to per-window rows, using the same slice/array_join
+machinery as ``corpus.chunk_documents`` and ``dedup.shingles``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.strategy import spread_small_input
+
+#: sliding-window width in whitespace tokens. Real substring-dedup
+#: pipelines use ~50-token thresholds; the testdata documents are short
+#: synthetic prose, so the shipped default keeps the operator exercised
+#: there. The knob changes cost only linearly (windows stay one row per
+#: stride position regardless of width).
+PASSAGE_WINDOW = 8
+#: stride between window starts. 1 = exact detection of every duplicated
+#: ``window``-token substring; k>1 trades recall (duplicates shifted by
+#: <k tokens can slip through) for a k× smaller fingerprint relation.
+PASSAGE_STRIDE = 1
+
+
+def passage_windows(
+    documents: DataFrame,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """(doc_id, start, wh) — one row per sliding window position:
+    ``start`` the 1-based token index, ``wh`` the md5 of the
+    space-joined ``window``-token slice. Docs shorter than ``window``
+    tokens produce no rows (nothing to deduplicate at this granularity).
+
+    The windowing is a single ``transform(sequence(...))`` + explode —
+    whole-stage-codegen expressions, no Python. Input is pre-spread
+    (``plans.strategy.spread_small_input``) because the per-row cost is
+    ~n_tokens md5 digests — the same CPU-heavy-derivation shape as the
+    shingle pipeline."""
+    ws = (
+        spread_small_input(documents)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= window)
+    )
+    return ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {window} + 1, {stride}),"
+                f" s -> struct(s AS start,"
+                f" md5(array_join(slice(ws, s, {window}), ' ')) AS wh))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
+
+
+def passage_cut_spans(
+    documents: DataFrame,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """(doc_id, span_start, span_end) — the cut list: maximal merged
+    1-based inclusive token spans covering every NON-CANONICAL occurrence
+    of a duplicated window. The canonical (lexicographically smallest
+    (doc_id, start)) occurrence of each window is never cut, so the
+    content always survives somewhere.
+
+    Shape: one groupBy(wh) computes count and the canonical occurrence
+    together (both partial-agg combinable — ``min`` over a
+    (doc_id, start) struct is the lexicographic arg-min); occurrences
+    join back on wh (collision survivors only); island-merge per doc via
+    a doc-partitioned window over cut spans (overlapping OR adjacent
+    spans coalesce — removing both equals removing the union)."""
+    wins = passage_windows(documents, window=window, stride=stride)
+    dup_keys = (
+        wins.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("doc_id", "start")).alias("__canon"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("wh", "__canon")
+    )
+    cuts = (
+        wins.join(dup_keys, "wh")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("__canon.doc_id"))
+                & (F.col("start") == F.col("__canon.start"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("start").alias("s"),
+            (F.col("start") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cuts.withColumn(
+        "__ni",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum("__ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def dedup_passages(
+    documents: DataFrame,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """(doc_id, text, n_spans_cut, n_tokens_cut) — the applier: documents
+    with every cut span removed (tokens re-joined with single spaces).
+    Documents with no cut spans pass through byte-identical with zero
+    counters.
+
+    The removal is one higher-order-function expression — an indexed
+    ``filter`` over the token array testing span membership via
+    ``exists`` against the doc's (small) merged-span array — so the
+    corpus is never token-exploded; the only shuffles are the cut-list
+    derivation and the doc_id equi-join of the span relation."""
+    spans = passage_cut_spans(documents, window=window, stride=stride)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = documents.join(per_doc, "doc_id", "left")
+    new_text = F.expr(
+        "array_join(filter(split(text, ' '), (t, i) ->"
+        " NOT exists(__spans, p -> i + 1 >= p.s AND i + 1 <= p.e)), ' ')"
+    )
+    n_cut = F.expr(
+        "aggregate(__spans, 0L, (acc, p) -> acc + p.e - p.s + 1)"
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("__spans").isNull(), F.col("text"))
+        .otherwise(new_text)
+        .alias("text"),
+        F.coalesce(F.size("__spans"), F.lit(0))
+        .cast("long")
+        .alias("n_spans_cut"),
+        F.coalesce(n_cut, F.lit(0)).cast("long").alias("n_tokens_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical window/canonical/merge algebra, stated with
+# window functions (the single-node formulation). DuckDB list indices and
+# the indexed-lambda parameter are 1-based; Spark's filter index is
+# 0-based, hence the i+1 on the Spark side only.
+# ---------------------------------------------------------------------------
+
+def _cuts_cte(
+    window: int, stride: int, docs_sql: str = "SELECT * FROM documents"
+) -> str:
+    return f"""
+        ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM ({docs_sql})),
+        starts AS (SELECT doc_id, ws,
+                          unnest(range(1, len(ws) - {window} + 2, {stride}))
+                              AS s
+                   FROM ws WHERE len(ws) >= {window}),
+        wins AS (SELECT doc_id, s,
+                        md5(array_to_string(
+                            list_slice(ws, s, s + {window} - 1), ' ')) AS wh
+                 FROM starts),
+        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+        ranked AS (SELECT w.doc_id, w.s,
+                          row_number() OVER (PARTITION BY w.wh
+                                             ORDER BY w.doc_id, w.s) AS rn
+                   FROM wins w JOIN dupw USING (wh)),
+        cuts AS (SELECT doc_id, s, s + {window} - 1 AS e
+                 FROM ranked WHERE rn > 1),
+        flagged AS (SELECT doc_id, s, e,
+                           CASE WHEN max(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                                 OR s > max(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) + 1
+                                THEN 1 ELSE 0 END AS ni
+                    FROM cuts),
+        isl AS (SELECT doc_id, s, e,
+                       SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+                FROM flagged),
+        spans AS (SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+                  FROM isl GROUP BY doc_id, isl)
+    """
+
+
+def passage_cuts_oracle_sql(
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+    docs_sql: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB twin of ``passage_cut_spans`` — integer-exact."""
+    return (
+        "WITH "
+        + _cuts_cte(window, stride, docs_sql)
+        + "\nSELECT doc_id, span_start, span_end FROM spans"
+    )
+
+
+def passage_dedup_oracle_sql(
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+    docs_sql: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB twin of ``dedup_passages`` (full rewritten text)."""
+    return (
+        "WITH "
+        + _cuts_cte(window, stride, docs_sql)
+        + f"""
+        , per_doc AS (SELECT doc_id,
+                             list({{'s': span_start, 'e': span_end}}) AS sp,
+                             COUNT(*) AS n_spans,
+                             SUM(span_end - span_start + 1) AS n_toks
+                      FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               -- COALESCE: DuckDB's array_to_string of an empty list is
+               -- NULL where Spark's array_join is '' (fully-cut docs)
+               CASE WHEN p.doc_id IS NULL THEN d.text
+                    ELSE COALESCE(array_to_string(list_filter(
+                         string_split(d.text, ' '),
+                         (t, i) -> len(list_filter(p.sp,
+                              q -> i >= q['s'] AND i <= q['e'])) = 0), ' '),
+                         '')
+               END AS text,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans_cut,
+               CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_tokens_cut
+        FROM ({docs_sql}) d LEFT JOIN per_doc p USING (doc_id)
+    """
+    )

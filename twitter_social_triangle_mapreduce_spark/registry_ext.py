@@ -764,8 +764,30 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import passages
+
+    return passages.passage_cut_spans(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import passages
+
+    out = passages.dedup_passages(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        "n_spans_cut",
+        "n_tokens_cut",
+    )
+
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
+    # passage-level (substring) dedup: sliding-window fingerprints ->
+    # keep-first cut lists (integer-exact spans) + the span applier
+    "doc_passage_cuts": q_doc_passage_cuts,
+    "doc_passage_dedup": q_doc_passage_dedup,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1615,5 +1637,13 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         SELECT qid, nid, rank,
                CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
         FROM ranked WHERE rank <= 3
+    """
+    from .operators import passages as _passages
+
+    out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
+    out["doc_passage_dedup"] = f"""
+        WITH pd AS ({_passages.passage_dedup_oracle_sql()})
+        SELECT doc_id, md5(text) AS clean_md5, n_spans_cut, n_tokens_cut
+        FROM pd
     """
     return out
