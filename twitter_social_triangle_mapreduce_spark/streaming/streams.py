@@ -308,9 +308,13 @@ def streaming_dedup_against_corpus(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bands = minhash_bands(batch_df)
+        # broadcast the BATCH side: the corpus index is the big relation
+        # and must be probed in place (same direction as the batch
+        # operator incremental_dedup — a corpus broadcast would ship the
+        # whole index to every task at scale)
+        bands = F.broadcast(minhash_bands(batch_df))
         matches = (
-            bands.join(F.broadcast(corpus), ["band", "bh"], "inner")
+            bands.join(corpus, ["band", "bh"], "inner")
             .where(F.col("doc_id") != F.col("corpus_doc_id"))
             .select(
                 F.col("doc_id").alias("new_doc_id"),
@@ -485,6 +489,107 @@ def streaming_incremental_rollup(
 
     return (
         events_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _cluster_bands_dir(snapshot_path: str, batch_id: int) -> str:
+    return f"{snapshot_path}/bands/b_{batch_id:020d}"
+
+
+def read_cluster_snapshot(spark, snapshot_path: str) -> DataFrame:
+    """The latest COMMITTED cluster state (doc_id, cluster_id,
+    is_canonical). Raises if no version has been committed yet."""
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed cluster snapshot under {snapshot_path}"
+        )
+    return spark.read.parquet(
+        f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
+    )
+
+
+def fold_cluster_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    keep_versions: int = 2,
+) -> None:
+    """Fold one micro-batch of documents into the versioned near-dup
+    cluster snapshot via ``operators.dedup.update_near_dup_clusters`` —
+    the cluster-maintenance twin of ``fold_rollup_batch``, sharing its
+    crash-safety contract (idempotent replay by committed-version check,
+    atomic marker commit, explicit first-batch detection, prune only
+    after commit).
+
+    Storage layout: ``v_<batch_id>/state`` holds the full cluster state
+    per version (state-sized, ~1000× smaller than the corpus text);
+    ``bands/b_<batch_id>`` holds ONLY that batch's band signatures and
+    is append-only — the band index is the union of all batch dirs, so
+    the per-batch WRITE stays batch-sized instead of rewriting a
+    corpus-sized index each fold. A ``b_`` dir written before a crash
+    is simply overwritten when the checkpoint replays that batch;
+    version pruning never touches ``bands/`` (it is the live index,
+    not history)."""
+    from ..operators.dedup import (
+        minhash_bands,
+        near_dup_clusters,
+        update_near_dup_clusters,
+    )
+
+    spark = batch_df.sparkSession
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if versions and versions[-1] >= batch_id:
+        return  # replayed batch: already folded and committed
+    if versions:
+        state = spark.read.parquet(
+            f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
+        )
+        bands = spark.read.parquet(
+            *[_cluster_bands_dir(snapshot_path, v) for v in versions]
+        )
+        new_state = update_near_dup_clusters(state, bands, batch_df)
+    else:
+        new_state = near_dup_clusters(batch_df)
+    minhash_bands(batch_df).write.mode("overwrite").parquet(
+        _cluster_bands_dir(snapshot_path, batch_id)
+    )
+    vdir = _rollup_version_dir(snapshot_path, batch_id)
+    new_state.write.mode("overwrite").parquet(f"{vdir}/state")
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/{ROLLUP_APPLIED_MARKER}"), True
+    ).close()
+    for old in versions[: max(0, len(versions) + 1 - keep_versions)]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                _rollup_version_dir(snapshot_path, old)
+            ),
+            True,
+        )
+
+
+def streaming_cluster_maintenance(
+    docs_stream: DataFrame, snapshot_path: str, checkpoint_path: str
+):
+    """Incrementally-maintained near-dup clusters: each micro-batch of
+    documents folds into the persistent cluster snapshot through the
+    cluster-graph collapse (``update_near_dup_clusters``) — per-batch
+    compute is batch-sized, and the maintained state equals the batch
+    ``near_dup_clusters`` recompute over everything ingested so far
+    (parity pinned by tests/test_incremental_mixture.py). Read the
+    current state with ``read_cluster_snapshot``.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_cluster_batch(batch_df, batch_id, snapshot_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold_batch)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
