@@ -1,0 +1,114 @@
+"""Embedding-tier semantic dedup (similarity.semantic_dedup_clusters):
+SemDeDup-shaped — IVF-cell-local thresholded cosine pairs closed into
+clusters with canonical election. Registry oracle parity is covered by
+the differential tier; these pin planted-cluster semantics and the
+sub-quadratic candidate bound (the adversarial property mirroring the
+MinHash-LSH one, round-3 verdict item 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from twitter_social_triangle_mapreduce_spark.operators import similarity
+
+DIMS = 8
+
+
+def _emb(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _planted(spark):
+    """Two clusters of identical vectors + two orthogonal singletons.
+    vec_ids: cluster A = {0,1,2}, cluster B = {3,4,5}, singles {6,7}."""
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    s1 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    s2 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+    return _emb(spark, [a, a, a, b, b, b, s1, s2])
+
+
+def test_planted_clusters_and_canonicals(spark):
+    out = similarity.semantic_dedup_clusters(_planted(spark), dims=DIMS)
+    got = sorted(
+        (r.vec_id, r.cluster_id, r.is_canonical) for r in out.collect()
+    )
+    assert got == [
+        (0, 0, 1), (1, 0, 0), (2, 0, 0),
+        (3, 3, 1), (4, 3, 0), (5, 3, 0),
+        (6, 6, 1), (7, 7, 1),
+    ]
+
+
+def test_threshold_excludes_moderate_similarity(spark):
+    """cos(a, c) ≈ 0.9439 (same hyperplane signature — verified against
+    the md5-fixed coefficients, so the bucketing never prunes it) sits
+    between the exercised thresholds: kept at 9000, pruned at the
+    SemDeDup default 9500."""
+    a = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    c = [1.0, 0.35, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    emb = _emb(spark, [a, c])
+    lo = similarity.semantic_dedup_pairs(
+        emb, min_sim_e4=9000, k_cells=1, dims=DIMS
+    )
+    hi = similarity.semantic_dedup_pairs(
+        emb, min_sim_e4=9500, k_cells=1, dims=DIMS
+    )
+    assert [(r.vec_a, r.vec_b) for r in lo.collect()] == [(0, 1)]
+    assert hi.count() == 0
+
+
+def _cluster_corpus(spark, n_clusters, members, rng):
+    """Near-dup-heavy corpus: every doc belongs to a near-dup cluster
+    (base vector + tiny noise → within-cluster cosine ≈ 1)."""
+    vecs = []
+    for _ in range(n_clusters):
+        base = rng.normal(size=DIMS)
+        base /= np.linalg.norm(base)
+        for _ in range(members):
+            v = base + rng.normal(scale=0.01, size=DIMS)
+            vecs.append(v)
+    return _emb(spark, vecs)
+
+
+def test_semantic_candidates_subquadratic_on_near_dup_heavy_corpus(spark):
+    """Adversarial bound, mirroring the MinHash-LSH property test: on a
+    corpus that is ALL near-duplicates, the (cell, sig)-keyed candidate
+    set stays at within-cluster scale — far under vec×vec — and
+    doubling the corpus ~doubles it rather than quadrupling."""
+    members = 4
+    rng = np.random.default_rng(7)
+    counts = {}
+    for n_clusters in (50, 100):
+        emb = _cluster_corpus(spark, n_clusters, members, rng)
+        pairs = similarity.semantic_dedup_pairs(
+            emb, min_sim_e4=9500, k_cells=similarity.IVF_CELLS, dims=DIMS
+        )
+        n_vecs = n_clusters * members
+        n_pairs = pairs.count()
+        counts[n_clusters] = n_pairs
+        within = n_clusters * members * (members - 1) // 2
+        quadratic = n_vecs * (n_vecs - 1) // 2
+        assert n_pairs <= 3 * within, (n_pairs, within)
+        assert n_pairs < quadratic // 20, (n_pairs, quadratic)
+    assert counts[100] <= 3 * counts[50], counts
+
+
+def test_cluster_plan_has_no_cartesian_product(spark):
+    out = similarity.semantic_dedup_clusters(_planted(spark), dims=DIMS)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Cartesian" not in plan
+
+
+def test_canonical_survivors_cover_every_cluster(spark):
+    """Dropping is_canonical=0 rows keeps exactly one representative per
+    cluster — the training-pipeline consumption contract."""
+    out = similarity.semantic_dedup_clusters(_planted(spark), dims=DIMS)
+    canon = out.where(F.col("is_canonical") == 1)
+    assert canon.count() == out.select("cluster_id").distinct().count()
+    assert canon.select("cluster_id").distinct().count() == canon.count()

@@ -764,6 +764,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup_clusters(
+        load_table(spark, sf_dir, "embeddings"),
+        min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+    )
+
+
 def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import passages
 
@@ -788,6 +795,9 @@ EXT_EXTRA_QUERIES = {
     # keep-first cut lists (integer-exact spans) + the span applier
     "doc_passage_cuts": q_doc_passage_cuts,
     "doc_passage_dedup": q_doc_passage_dedup,
+    # SemDeDup-shaped embedding-tier dedup: IVF-cell-local thresholded
+    # pairs -> unrolled-CC closure -> canonical election: exact oracle
+    "semantic_dedup_clusters": q_semantic_dedup_clusters,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1312,6 +1322,65 @@ EXT_ORACLES["ivf_cells"] = f"""
     SELECT vec_id, cell FROM cells
 """
 
+
+#: threshold for the registry's semantic-dedup query — the synthetic
+#: embeddings have no planted near-dups (max collision-pair cosine
+#: ≈0.44), so the exercised threshold sits inside the observed range;
+#: production pipelines pass ~9500 (similarity.SEMANTIC_MIN_SIM_E4)
+SEMANTIC_QUERY_MIN_SIM_E4 = 2000
+
+
+def _semantic_dedup_oracle(dims: int = 64) -> str:
+    """DuckDB twin of ``similarity.semantic_dedup_clusters``: IVF cell
+    assignment + hyperplane signatures, cell-local thresholded cosine
+    pairs, then the SAME unrolled min-label rounds as the MinHash
+    cluster oracle."""
+    from .operators.dedup import NEAR_DUP_CC_ROUNDS
+
+    it = NEAR_DUP_CC_ROUNDS
+    sig = _lsh_sig_sql(dims)
+    parts = [
+        f"WITH {_IVF_CELLS_CTE.strip()},",
+        f"sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
+        " FROM embeddings),",
+        "em AS (SELECT e.vec_id, e.embedding, c.cell, s.sig"
+        " FROM embeddings e JOIN cells c USING (vec_id)"
+        " JOIN sigs s USING (vec_id)),",
+        "a AS (SELECT vec_id AS vec_a, embedding AS qe, cell, sig FROM em),",
+        "b AS (SELECT vec_id AS vec_b, embedding AS ce, cell, sig FROM em),",
+        f"""pairs AS MATERIALIZED (
+            SELECT vec_a AS src, vec_b AS dst
+            FROM a JOIN b ON a.cell = b.cell AND a.sig = b.sig
+                         AND vec_a < vec_b
+            WHERE CAST(FLOOR(10000 * ({_DOT}
+                  / (sqrt({_SQ_SUM.format(col='qe')})
+                     * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+                  >= {SEMANTIC_QUERY_MIN_SIM_E4}),""",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs)),",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM ("
+        "SELECT src AS v FROM pairs UNION ALL SELECT dst FROM pairs)),",
+        "it0 AS (SELECT v, v AS l FROM verts),",
+    ]
+    for k in range(it):
+        parts.append(
+            f"nm{k} AS MATERIALIZED (SELECT s.dst AS v2, MIN(i.l) AS nl"
+            f" FROM sym s JOIN it{k} i ON s.src = i.v GROUP BY s.dst),"
+        )
+        parts.append(
+            f"it{k + 1} AS MATERIALIZED (SELECT i.v,"
+            f" LEAST(i.l, COALESCE(n.nl, i.l)) AS l"
+            f" FROM it{k} i LEFT JOIN nm{k} n ON i.v = n.v2),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"""
+{body}
+SELECT e.vec_id,
+       COALESCE(cc.l, e.vec_id) AS cluster_id,
+       CAST(e.vec_id = COALESCE(cc.l, e.vec_id) AS BIGINT) AS is_canonical
+FROM embeddings e LEFT JOIN it{it} cc ON e.vec_id = cc.v
+"""
+
 EXT_ORACLES["ann_topk_ivf2"] = f"""
     WITH {_IVF_CELLS_CTE},
     probes AS (
@@ -1640,6 +1709,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     """
     from .operators import passages as _passages
 
+    out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
     out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
     out["doc_passage_dedup"] = f"""
         WITH pd AS ({_passages.passage_dedup_oracle_sql()})
