@@ -154,3 +154,19 @@ def test_quality_gate_never_exceeds_quota_on_real_docs(spark):
         .count()
         == 0
     )
+
+
+def test_lang_id_classifies_real_nonenglish_prose(spark):
+    """Round-3 verdict item 8: with the ~50-word function-word marker
+    sets, real sentences in each supported language classify correctly
+    (not just shaped right), and markerless text stays 'und'."""
+    rows = [
+        (1, "the cat sat on the mat and it was happy to be there"),
+        (2, "der alte mann ging mit dem hund durch den park und war froh"),
+        (3, "la casa de mi abuela es muy grande y tiene un jardín bonito"),
+        (4, "le chat noir est sur la table et il regarde par la fenêtre"),
+        (5, "zxqv plomp trill krunk blarp fizzle womp"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}

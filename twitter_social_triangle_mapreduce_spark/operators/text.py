@@ -13,18 +13,56 @@ from pyspark.sql import functions as F
 
 from .dedup import tokens
 
-#: tiny per-language marker lists for the n-gram/stopword language
-#: heuristic (deterministic, oracle-reproducible; real lists would be
-#: larger but the operator shape is identical)
+#: per-language marker sets for the stopword-membership language
+#: heuristic: the ~50 most frequent function words of each language
+#: (public frequency-list knowledge). Deterministic and
+#: oracle-reproducible — the SQL twins GENERATE their membership lists
+#: from these same tuples (registry_ext), so extending a list changes
+#: both engines identically. Words sharing surface forms across
+#: languages (es/fr 'la', es 'de', …) are fine: scores are counted per
+#: language and ties break by code order. The broadcast-membership
+#: operator shape is unchanged at any list size.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of"),
-    "de": ("der", "die", "und"),
-    "es": ("el", "la", "de"),
-    "fr": ("le", "la", "et"),
+    "en": (
+        "the", "of", "and", "a", "to", "in", "is", "was", "he", "for",
+        "it", "with", "as", "his", "on", "be", "at", "by", "i", "this",
+        "had", "not", "are", "but", "from", "or", "have", "an", "they",
+        "which", "one", "you", "were", "her", "all", "she", "there",
+        "would", "their", "we", "him", "been", "has", "when", "who",
+        "will", "more", "no", "if", "out",
+    ),
+    "de": (
+        "der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+        "des", "auf", "für", "ist", "im", "dem", "nicht", "ein", "eine",
+        "als", "auch", "es", "werden", "aus", "er", "hat", "dass",
+        "sie", "nach", "wird", "bei", "einer", "um", "am", "sind",
+        "noch", "wie", "einem", "über", "einen", "so", "zum", "war",
+        "haben", "nur", "oder", "aber", "vor", "zur", "bis", "mehr",
+    ),
+    "es": (
+        "de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+        "por", "un", "para", "con", "una", "su", "al", "lo", "como",
+        "más", "pero", "sus", "le", "ya", "o", "este", "porque",
+        "esta", "entre", "cuando", "muy", "sin", "sobre", "también",
+        "me", "hasta", "hay", "donde", "quien", "desde", "todo", "nos",
+        "durante", "todos", "uno", "les", "ni", "contra", "otros",
+        "ese",
+    ),
+    "fr": (
+        "le", "la", "et", "les", "des", "en", "un", "du", "une", "que",
+        "est", "pour", "qui", "dans", "par", "plus", "pas", "au",
+        "sur", "ne", "se", "ce", "il", "sont", "avec", "ou", "son",
+        "lui", "nous", "comme", "mais", "on", "ces", "ses", "elle",
+        "tout", "fait", "aux", "leur", "bien", "où", "sans", "peut",
+        "cette", "votre", "aussi", "si", "deux", "même", "vous",
+    ),
 }
 
-#: stopword list for the quality score
-STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in")
+#: stopword list for the quality score — the English function-word set
+#: (the C4-style prose proxy scores ENGLISH prose density by design;
+#: note 'die'/'in'-style cross-language surface forms are excluded
+#: from or included in the EN list on English-frequency grounds only)
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"]
 
 
 def text_stats(documents: DataFrame) -> DataFrame:

@@ -917,7 +917,34 @@ EXT_EXTRA_QUERIES = {
 }
 
 
-_STOPW = "('the', 'a', 'of', 'and', 'to', 'in')"
+# membership lists GENERATED from the operator-side constants so the
+# oracles track any marker/stopword change automatically (the lists are
+# ~50 words per language since round 4 — hard-coding died with that)
+_STOPW = "(" + ", ".join(f"'{w}'" for w in text.STOPWORDS) + ")"
+
+_LANGS = sorted(text.LANG_MARKERS)
+
+
+def _lang_scores_sql() -> str:
+    """The per-language marker-hit SUM columns (s_de, s_en, …), in
+    sorted-code order — mirrors text.lang_id's aggregate exactly."""
+    return ",\n                ".join(
+        "SUM(CASE WHEN tok IN ("
+        + ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+        + f") THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang in _LANGS
+    )
+
+
+def _lang_pred_sql() -> str:
+    """The tie-break CASE: 'und' when no marker hits, else the FIRST
+    language in code order reaching the max — same order as the Spark
+    side's chained WHENs."""
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+    whens = "".join(
+        f" WHEN s_{lang} = {g} THEN '{lang}'" for lang in _LANGS[:-1]
+    )
+    return f"CASE WHEN {g} <= 0 THEN 'und'{whens} ELSE '{_LANGS[-1]}' END"
 
 EXT_ORACLES = {
     "dedup_exact": """
@@ -992,17 +1019,10 @@ EXT_ORACLES = {
     "lang_id": f"""
         WITH toks AS ({_TOKS}),
         s AS (SELECT doc_id,
-                SUM(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS s_de,
-                SUM(CASE WHEN tok IN ('the','a','of') THEN 1 ELSE 0 END) AS s_en,
-                SUM(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS s_es,
-                SUM(CASE WHEN tok IN ('le','la','et') THEN 1 ELSE 0 END) AS s_fr
+                {_lang_scores_sql()}
               FROM toks GROUP BY doc_id)
         SELECT doc_id,
-               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                    ELSE 'fr' END AS pred_lang
+               {_lang_pred_sql()} AS pred_lang
         FROM s
     """,
     "doc_fingerprint": """
@@ -1631,17 +1651,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
                               / COUNT(*)) AS BIGINT) AS stopword_e6
                   FROM toks GROUP BY doc_id),
         ls AS (SELECT doc_id,
-                SUM(CASE WHEN tok IN ('der','die','und') THEN 1 ELSE 0 END) AS s_de,
-                SUM(CASE WHEN tok IN ('the','a','of') THEN 1 ELSE 0 END) AS s_en,
-                SUM(CASE WHEN tok IN ('el','la','de') THEN 1 ELSE 0 END) AS s_es,
-                SUM(CASE WHEN tok IN ('le','la','et') THEN 1 ELSE 0 END) AS s_fr
+                {_lang_scores_sql()}
                FROM toks GROUP BY doc_id),
         langs AS (SELECT doc_id,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                        ELSE 'fr' END AS pred_lang
+                   {_lang_pred_sql()} AS pred_lang
                   FROM ls),
         hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
         keepf AS (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h),
