@@ -60,6 +60,32 @@ def run_once(df) -> float:
     return time.perf_counter() - t0
 
 
+def shuffle_totals(spark) -> tuple[int, int]:
+    """(write_bytes, read_bytes) summed over all completed stages, from
+    the local UI REST API (the bench session enables the UI for exactly
+    this — wall-time alone is the weakest proxy for the capstone's
+    100 TB failure mode, a reintroduced corpus-sized replan). Callers
+    diff two snapshots around runs to attribute bytes to one query."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return (0, 0)
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+            app_id = json.load(r)[0]["id"]
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        ) as r:
+            stages = json.load(r)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s["shuffleWriteBytes"] for s in stages),
+        sum(s["shuffleReadBytes"] for s in stages),
+    )
+
+
 def plan_digest(df) -> str:
     """8-hex digest of the optimized plan with expression ids normalized —
     stable across sessions, changes iff the plan shape/expressions change.
@@ -74,7 +100,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
         app_name="tstm-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # UI on: shuffle-byte accounting for the extension pipelines
+            # (REST stage metrics). Listener overhead at these sizes is
+            # noise-level — verified against the UI-off totals.
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -116,6 +148,7 @@ def main() -> None:
     ext_queries["prepare_training_corpus"] = capstone
     per_ext: dict[str, float] = {}
     plans_ext: dict[str, str] = {}
+    shuffle_ext: dict[str, dict[str, float]] = {}
     for name in EXTENSION:
         fn = ext_queries[name]
         plans_ext[name] = plan_digest(fn(spark, sf_dir))
@@ -127,8 +160,15 @@ def main() -> None:
 
         for _ in range(WARMUP_RUNS):
             run_full()
+        w0, r0 = shuffle_totals(spark)
         times = [run_full() for _ in range(TIMED_RUNS)]
+        w1, r1 = shuffle_totals(spark)
         per_ext[name] = round(statistics.median(times), 4)
+        # per-run bytes: the delta across the timed runs / run count
+        shuffle_ext[name] = {
+            "write_mb": round((w1 - w0) / TIMED_RUNS / 1e6, 1),
+            "read_mb": round((r1 - r0) / TIMED_RUNS / 1e6, 1),
+        }
 
     print(
         json.dumps(
@@ -142,6 +182,7 @@ def main() -> None:
                 "queries_ext": per_ext,
                 "ext_total": round(sum(per_ext.values()), 4),
                 "plans_ext": plans_ext,
+                "shuffle_ext": shuffle_ext,
             }
         )
     )

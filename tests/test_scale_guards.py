@@ -315,3 +315,30 @@ def test_quality_gate_windows_score_domain_not_corpus(spark):
     win_idx = tree.index("Window")
     agg_idx = tree.rindex("HashAggregate")
     assert win_idx < agg_idx, "window must sit above the histogram agg"
+
+
+def test_capstone_shuffle_budget():
+    """Round-4 guard (verdict item 5): the capstone's total shuffle
+    bytes and stage count at sf0.001, measured in a FRESH UI-enabled
+    session (subprocess — bytes are machine-noise-free where wall-time
+    is not), must stay inside the persisted-audit budget. Reintroducing
+    the corpus-sized replan (dropping the audit persist) measured
+    3.6 MB / 85 stages vs the persisted 2.1 MB / 70 — both asserts
+    fail in that regime."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts/capstone_budget_probe.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    assert got["persist"] is True
+    assert got["shuffle_write_mb"] < 3.0, got
+    assert got["n_stages"] < 80, got
