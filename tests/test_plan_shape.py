@@ -68,7 +68,7 @@ def test_triangle_replicated_is_broadcast_only(spark):
 
 def test_ordered_triangle_closing_strategy_is_size_adaptive(spark):
     """The ordered strategy's closing join must pick its physical form from
-    Catalyst's plan-time estimate (graph._shuffle_hash_unless_broadcastable):
+    Catalyst's plan-time estimate (plans.strategy.build_side_mode):
     under the broadcast threshold the closing side broadcasts (the O(E^1.5)
     wedge side never exchanges); with broadcasting disabled the fallback
     must be a shuffled HASH join — never a sort-merge join, whose sort of
@@ -187,3 +187,39 @@ def test_ann_norms_computed_prejoin(spark):
     for ln in scoring:
         assert "aggregate(transform" not in ln, "norm recomputed per pair"
     assert sum("aggregate(transform" in ln for ln in lines) == 2  # once/side
+
+
+def test_ordered_semi_reduction_only_on_shuffle_arm(spark):
+    """Round-4: the wedge-exchange semi-join reduction must appear ONLY
+    on the SHUFFLE_HASH arm (on the broadcast arm the wedge side never
+    exchanges, so the filter is pure overhead — and the small-scale plan
+    stays byte-identical to round 3). Value identical on every arm."""
+    from twitter_social_triangle_mapreduce_spark.operators.graph import (
+        ORDERED_SEMI_CONF,
+    )
+
+    e = edges_from_events(spark, SF_SMOKE)
+    # broadcast arm (default at smoke scale): no semi filter
+    plan = plan_of(graph.triangle_count_ordered(e, 50000))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" not in plan and "xxhash64" not in plan
+    baseline = graph.triangle_count_ordered(e, 50000).collect()[0][0]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # shuffle arm: semi reduction fires (keys fit their own cap)
+        df = graph.triangle_count_ordered(e, 50000)
+        plan = plan_of(df)
+        assert "ShuffledHashJoin" in plan
+        assert "LeftSemi" in plan and "xxhash64" in plan
+        assert df.collect()[0][0] == baseline
+        # explicit off: shuffle arm without the reduction
+        spark.conf.set(ORDERED_SEMI_CONF, "off")
+        df = graph.triangle_count_ordered(e, 50000)
+        plan = plan_of(df)
+        assert "ShuffledHashJoin" in plan and "LeftSemi" not in plan
+        assert df.collect()[0][0] == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(ORDERED_SEMI_CONF)

@@ -51,18 +51,16 @@ from pyspark.sql import functions as F
 #: Connect-safe) | broadcast | shuffle_hash
 ORDERED_CLOSING_CONF = "spark.graft.ordered.closingStrategy"
 
-
-def _shuffle_hash_unless_broadcastable(side: DataFrame) -> DataFrame:
-    """Size-adaptive build-side guard for the wedge-closing join —
-    delegates to the shared Connect-safe implementation
-    (``plans.strategy.shuffle_hash_unless_broadcastable``; fallback arm
-    and the ``spark.graft.ordered.closingStrategy`` escape hatch are
-    documented and tested there)."""
-    from ..plans.strategy import shuffle_hash_unless_broadcastable
-
-    return shuffle_hash_unless_broadcastable(
-        side, conf_key=ORDERED_CLOSING_CONF
-    )
+#: semi-join reduction of the wedge exchange on the SHUFFLE_HASH arm:
+#: auto (default — fires when the closing-key relation's plan-time
+#: estimate fits the threshold below) | on | off
+ORDERED_SEMI_CONF = "spark.graft.ordered.semiFilter"
+#: size cap for the broadcast closing-key set (8-byte hashes, one per
+#: distinct support edge — a build side a few-GB-heap executor holds
+#: comfortably). Catalyst's estimate is an E-scale OVERESTIMATE for the
+#: projected aggregate, so the guard errs toward skipping the filter —
+#: the arm that only costs the unreduced exchange, never memory.
+ORDERED_SEMI_THRESHOLD = "1g"
 
 
 def filter_edges(
@@ -504,10 +502,57 @@ def triangle_count_ordered(
     # all. Above the threshold, hint SHUFFLE_HASH so the fallback streams
     # the wedge side through a hash probe instead of SMJ-sorting it
     # (measured 2× at the 10M-edge probe, BASELINE.md).
+    #
+    # Semi-join reduction (SHUFFLE_HASH arm only, round 4): in a sparse
+    # graph the overwhelming share of wedges have NO closing edge (10M
+    # probe: ~1M closed of ~94M), so the (u, v) exchange mostly ships
+    # rows the join immediately drops. Before the exchange, a LeftSemi
+    # probe against the broadcast closing-KEY set — each distinct pair
+    # hashed to ONE long, 8 bytes/key where the closing relation is 32 —
+    # drops them map-side: the O(E^1.5) wedge exchange collapses to the
+    # closed-wedge count (10M probe: total shuffle 5.9→3.1 GB, executor
+    # time 1140→787 s, warm wall 39→27 s; Spark's own runtime bloom
+    # cannot inject here — no scan under the application side). Hash
+    # collisions only let extra rows REACH the exact join, never change
+    # it. On the broadcast arm the filter is pure overhead (the wedge
+    # side never exchanges) and is skipped — the small-scale plan is
+    # byte-identical to round 3. The key-set broadcast is guarded by its
+    # own (overestimating) size probe + conf, so at a scale where the
+    # keys stop fitting, the arm degrades to the plain unreduced
+    # exchange — never a too-large broadcast.
+    from ..plans.strategy import build_side_mode, parse_byte_conf, plan_size_estimate
+
+    mode = build_side_mode(closing, ORDERED_CLOSING_CONF)
+    if mode == "broadcast":
+        closing_side = F.broadcast(closing)
+    elif mode == "as_is":
+        closing_side = closing
+    else:
+        closing_side = closing.hint("shuffle_hash")
+        semi = "auto"
+        try:
+            semi = (
+                closing.sparkSession.conf.get(ORDERED_SEMI_CONF, "auto")
+                or "auto"
+            )
+        except Exception:
+            pass
+        if semi == "auto":
+            keys = closing.select(F.xxhash64("u", "v").alias("__k"))
+            est = plan_size_estimate(keys)
+            if est is not None and 0 <= est <= parse_byte_conf(
+                ORDERED_SEMI_THRESHOLD
+            ):
+                semi = "on"
+        if semi == "on":
+            keys = closing.select(F.xxhash64("u", "v").alias("__k"))
+            wedges = wedges.join(
+                F.broadcast(keys),
+                F.xxhash64(F.col("u"), F.col("v")) == F.col("__k"),
+                "left_semi",
+            )
     tri_distinct = (
-        wedges.join(
-            _shuffle_hash_unless_broadcastable(closing), ["u", "v"], "inner"
-        )
+        wedges.join(closing_side, ["u", "v"], "inner")
         .agg(
             F.coalesce(
                 F.sum(

@@ -90,6 +90,36 @@ def scan_partition_count(df: DataFrame) -> int | None:
         return None
 
 
+def build_side_mode(side: DataFrame, conf_key: str | None = None) -> str:
+    """The decision behind ``shuffle_hash_unless_broadcastable``, exposed
+    so operators can couple FURTHER plan choices to the same arm (the
+    ordered triangle adds a semi-join reduction only on the shuffle arm):
+
+    - ``"as_is"``   — Catalyst's own estimate fits the broadcast
+      threshold; leave the side unhinted and the planner broadcasts.
+    - ``"broadcast"`` / ``"shuffle_hash"`` — forced by conf, or (for
+      shuffle_hash) the auto fallback when statistics are unavailable
+      (Spark Connect), unparseable, or over-threshold."""
+    mode = "auto"
+    if conf_key:
+        mode = _conf(side, conf_key, "auto") or "auto"
+    if mode == "auto":
+        mode = _conf(side, BUILD_SIDE_CONF, "auto") or "auto"
+    if mode in ("broadcast", "shuffle_hash"):
+        return mode
+    try:
+        thresh = parse_byte_conf(
+            _conf(side, "spark.sql.autoBroadcastJoinThreshold", "10485760")
+            or "10485760"
+        )
+    except Exception:
+        thresh = -1
+    est = plan_size_estimate(side)
+    if est is not None and 0 < thresh and 0 <= est <= thresh:
+        return "as_is"
+    return "shuffle_hash"
+
+
 def shuffle_hash_unless_broadcastable(
     side: DataFrame, conf_key: str | None = None
 ) -> DataFrame:
@@ -101,7 +131,7 @@ def shuffle_hash_unless_broadcastable(
     join that streams the probe side instead of a sort-merge join that
     would sort it.
 
-    Decision order:
+    Decision order (see ``build_side_mode``):
     1. ``conf_key`` (operator-specific, e.g.
        ``spark.graft.ordered.closingStrategy``), when set;
     2. ``spark.graft.join.buildSide``, when set to a non-``auto`` value;
@@ -111,24 +141,10 @@ def shuffle_hash_unless_broadcastable(
        the scale-safe direction (a missed broadcast costs one exchange; a
        wrong broadcast costs executor memory). This documented fallback
        is asserted by tests/test_strategy.py."""
-    mode = "auto"
-    if conf_key:
-        mode = _conf(side, conf_key, "auto") or "auto"
-    if mode == "auto":
-        mode = _conf(side, BUILD_SIDE_CONF, "auto") or "auto"
+    mode = build_side_mode(side, conf_key)
     if mode == "broadcast":
         return F.broadcast(side)
-    if mode == "shuffle_hash":
-        return side.hint("shuffle_hash")
-    try:
-        thresh = parse_byte_conf(
-            _conf(side, "spark.sql.autoBroadcastJoinThreshold", "10485760")
-            or "10485760"
-        )
-    except Exception:
-        thresh = -1
-    est = plan_size_estimate(side)
-    if est is not None and 0 < thresh and 0 <= est <= thresh:
+    if mode == "as_is":
         return side
     return side.hint("shuffle_hash")
 
