@@ -87,12 +87,22 @@ def shuffle_totals(spark) -> tuple[int, int]:
 
 
 def plan_digest(df) -> str:
-    """8-hex digest of the optimized plan with expression ids normalized —
+    """8-hex digest of the optimized plan with volatile ids normalized —
     stable across sessions, changes iff the plan shape/expressions change.
     Lets a round-over-round timing delta be attributed: same digest →
-    machine noise; new digest → a real plan change to inspect."""
+    machine noise; new digest → a real plan change to inspect.
+
+    Normalized: expression ids (#N), AQE plan ids / query-stage counters,
+    cached-RDD ids, and WholeStageCodegen span numbers (these made the
+    CAPSTONE digest — whose persisted audit embeds executed AQE stages
+    numbered by completion order — differ between identical runs)."""
     s = df._jdf.queryExecution().optimizedPlan().toString()
-    return hashlib.md5(re.sub(r"#\d+", "#", s).encode()).hexdigest()[:8]
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"QueryStage \d+", "QueryStage", s)
+    s = re.sub(r"\brdd_\d+\b", "rdd_", s)
+    s = re.sub(r"\*\(\d+\)", "*(", s)
+    return hashlib.md5(s.encode()).hexdigest()[:8]
 
 
 def main() -> None:

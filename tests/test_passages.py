@@ -153,3 +153,80 @@ def test_applier_does_not_token_explode_corpus(spark):
     )
     assert "collect_list" in plan  # spans aggregated per doc…
     assert "Join LeftOuter" in plan  # …and joined back on doc_id
+
+
+def test_incremental_cuts_match_batch_restricted(spark):
+    """The parity theorem: under the append-only ingest invariant
+    (every batch id > every corpus id), the incremental screen equals
+    the full batch recompute restricted to batch docs."""
+    rows = [
+        (1, f"alpha beta gamma {BOILER}"),
+        (2, "corpus unique prose with enough tokens to window here"),
+        (10, f"{BOILER} epsilon zeta eta theta iota kappa"),  # corpus hit
+        (11, "fresh batch material nothing shared with anyone at all"),
+        (12, f"lambda mu {BOILER} nu xi omicron pi rho"),     # corpus hit
+        (13, "repeated chunk of batch text goes right here now"),
+        (14, "repeated chunk of batch text goes right here now"),  # batch dup
+    ]
+    corpus = _docs(spark, [r for r in rows if r[0] < 10])
+    batch = _docs(spark, [r for r in rows if r[0] >= 10])
+    inc = sorted(
+        map(
+            tuple,
+            passages.incremental_passage_cuts(
+                batch, passages.passage_windows(corpus)
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            passages.passage_cut_spans(_docs(spark, rows))
+            .where("doc_id >= 10")
+            .collect(),
+        )
+    )
+    assert inc == full and len(inc) >= 3
+    # corpus hits cut in both batch docs; batch-internal dup cut once
+    docs_cut = {d for d, _, _ in inc}
+    assert {10, 12, 14} <= docs_cut and 11 not in docs_cut and 13 not in docs_cut
+
+
+def test_incremental_cuts_apply_with_shared_applier(spark):
+    batch = _docs(spark, [(10, f"{BOILER} epsilon zeta eta theta")])
+    corpus = _docs(spark, [(1, f"intro {BOILER} outro words")])
+    spans = passages.incremental_passage_cuts(
+        batch, passages.passage_windows(corpus)
+    )
+    out = passages.apply_passage_cuts(batch, spans).collect()[0]
+    assert out.text == "epsilon zeta eta theta"
+    assert out.n_tokens_cut == 8
+
+
+def test_incremental_probe_is_batch_sized(spark):
+    """The corpus window index must be probed in place: the plan joins
+    batch windows against the index on wh (semi/anti), with no corpus
+    re-fingerprinting (exactly one Generate from the batch side)."""
+    corpus = _docs(spark, [(1, f"intro {BOILER} outro words")])
+    batch = _docs(spark, [(10, f"{BOILER} epsilon zeta eta theta")])
+    idx = passages.passage_windows(corpus)
+    # materialize the index (the daily-ingest contract) so the plan
+    # over it is a plain scan, then screen the batch
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="winidx_")
+    idx.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    plan = (
+        passages.incremental_passage_cuts(batch, stored)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # every Generate (window explode) is the BATCH side, replicated per
+    # consumer branch (semi probe, anti remainder, batch-dup aggregate);
+    # the stored index contributes parquet scans only — no corpus
+    # re-fingerprinting anywhere
+    assert plan.count("Generate") == 3
+    assert plan.count("parquet") >= 3  # index probed as a plain scan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

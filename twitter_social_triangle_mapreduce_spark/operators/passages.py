@@ -129,6 +129,13 @@ def passage_cut_spans(
             (F.col("start") + F.lit(window - 1)).alias("e"),
         )
     )
+    return _merge_spans(cuts)
+
+
+def _merge_spans(cuts: DataFrame) -> DataFrame:
+    """Island-merge (doc_id, s, e) cut windows into maximal
+    (doc_id, span_start, span_end) spans — overlapping OR adjacent
+    coalesce. Windows per doc only over that doc's cut spans."""
     w_ord = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -153,6 +160,64 @@ def passage_cut_spans(
     )
 
 
+def incremental_passage_cuts(
+    new_docs: DataFrame,
+    corpus_windows: DataFrame,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """(doc_id, span_start, span_end) — cut lists for an INCOMING batch
+    screened against the MATERIALIZED corpus window index
+    (``passage_windows`` output, the same daily-ingest shape as
+    ``dedup.incremental_dedup``'s band index): a batch window occurrence
+    is cut when its fingerprint exists anywhere in the corpus (the
+    corpus occurrence is canonical) or when it is a non-canonical
+    occurrence within the batch itself.
+
+    Per-batch cost is batch-sized: the batch computes only ITS OWN
+    windows; the corpus index is probed in place by two equi-joins on
+    the fingerprint with the (small) batch side broadcast — the corpus
+    text is never re-fingerprinted, and nothing corpus-sized shuffles.
+    Contract for the next batch: append ``passage_windows(new_docs)``
+    to the index after ingest.
+
+    Parity (pinned by tests/test_passages.py): when every batch doc_id
+    exceeds every corpus doc_id — the append-only ingest invariant —
+    the result equals ``passage_cut_spans(corpus ∪ batch)`` restricted
+    to batch docs (the lexicographic-min canonical is then always the
+    corpus occurrence), which is exactly how its DuckDB oracle states
+    it."""
+    nw = passage_windows(new_docs, window=window, stride=stride)
+    idx = corpus_windows.select("wh").distinct()
+    corpus_hit = nw.join(idx, "wh", "left_semi")
+    batch_only = nw.join(idx, "wh", "left_anti")
+    batch_dups = (
+        batch_only.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("doc_id", "start")).alias("__canon"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("wh", "__canon")
+    )
+    batch_cut = batch_only.join(batch_dups, "wh").where(
+        ~(
+            (F.col("doc_id") == F.col("__canon.doc_id"))
+            & (F.col("start") == F.col("__canon.start"))
+        )
+    )
+    cuts = (
+        corpus_hit.select("doc_id", "start")
+        .unionByName(batch_cut.select("doc_id", "start"))
+        .select(
+            "doc_id",
+            F.col("start").alias("s"),
+            (F.col("start") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    return _merge_spans(cuts)
+
+
 def dedup_passages(
     documents: DataFrame,
     window: int = PASSAGE_WINDOW,
@@ -169,6 +234,14 @@ def dedup_passages(
     corpus is never token-exploded; the only shuffles are the cut-list
     derivation and the doc_id equi-join of the span relation."""
     spans = passage_cut_spans(documents, window=window, stride=stride)
+    return apply_passage_cuts(documents, spans)
+
+
+def apply_passage_cuts(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """The span applier split out of ``dedup_passages`` so incremental
+    cut lists (``incremental_passage_cuts``) apply with the same
+    machinery. ``spans`` is any (doc_id, span_start, span_end) relation
+    with 1-based inclusive token indices."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(
             F.struct(

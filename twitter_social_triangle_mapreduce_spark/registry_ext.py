@@ -386,10 +386,13 @@ EXT_QUERIES = {
     "user_counts_by_type": q_user_counts_by_type,  # exact countDistinct
     "events_last_order_asof": q_events_last_order_asof,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-    "ivf_cells": q_ivf_cells,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
 }
+# round-4 flagships take the two weakest marginal driver slots
+# (ivf_cells — an intermediate of ann_topk_ivf — and ann_topk_ivf2, its
+# nprobe=2 variant; both stay fully hash-oracled in the pytest tier):
+# passage-level substring dedup cut lists, and the SemDeDup-shaped
+# embedding dedup deliverable. Bound after their defs below.
 
 #: oracle-checked by pytest (tests/test_oracle_differential.py) but NOT
 #: exposed to the driver: the driver's correctness harness records at most
@@ -777,6 +780,25 @@ def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passages.passage_cut_spans(load_table(spark, sf_dir, "documents"))
 
 
+#: corpus/batch split point for the incremental passage screen: the
+#: append-only ingest invariant (every batch id > every corpus id)
+#: under which incremental == batch-restricted holds exactly
+PASSAGE_INGEST_SPLIT = 400
+
+
+def q_doc_passage_cuts_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(f"doc_id < {PASSAGE_INGEST_SPLIT}")
+    new = docs.where(f"doc_id >= {PASSAGE_INGEST_SPLIT}")
+    return passages.incremental_passage_cuts(
+        new, passages.passage_windows(corpus)
+    )
+
+
 def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import passages
 
@@ -789,15 +811,20 @@ def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXT_QUERIES["doc_passage_cuts"] = q_doc_passage_cuts
+EXT_QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
+
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
-    # passage-level (substring) dedup: sliding-window fingerprints ->
-    # keep-first cut lists (integer-exact spans) + the span applier
-    "doc_passage_cuts": q_doc_passage_cuts,
+    # the two rotated out of the driver 50 in round 4 (oracled here)
+    "ivf_cells": q_ivf_cells,
+    "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
+    # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
-    # SemDeDup-shaped embedding-tier dedup: IVF-cell-local thresholded
-    # pairs -> unrolled-CC closure -> canonical election: exact oracle
-    "semantic_dedup_clusters": q_semantic_dedup_clusters,
+    # daily-ingest passage screen vs the materialized window index;
+    # oracle states the parity theorem (batch recompute restricted to
+    # batch docs under the append-only id invariant)
+    "doc_passage_cuts_incremental": q_doc_passage_cuts_incremental,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1724,6 +1751,11 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
     out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
+    out["doc_passage_cuts_incremental"] = f"""
+        SELECT doc_id, span_start, span_end
+        FROM ({_passages.passage_cuts_oracle_sql()})
+        WHERE doc_id >= {PASSAGE_INGEST_SPLIT}
+    """
     out["doc_passage_dedup"] = f"""
         WITH pd AS ({_passages.passage_dedup_oracle_sql()})
         SELECT doc_id, md5(text) AS clean_md5, n_spans_cut, n_tokens_cut
