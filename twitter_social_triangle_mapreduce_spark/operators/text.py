@@ -555,13 +555,40 @@ def curate_corpus(
                            C4-style heuristic)
     5. ``kept``          — survived every gate (``keep = 1``)
 
-    One pass builds all features (token aggregates + language scores share
-    the exploded-token shuffle input; the md5 keep-first group is its own
-    tiny aggregate); the verdict is a single CASE — no per-gate scans of
-    the corpus. All gates are expression-level, so at 100 TB this is three
+    One pass builds all features: the token-count, stopword-count, and
+    per-language marker-hit aggregates are FUSED into a single
+    groupBy(doc_id) over ONE exploded-token relation (round 4 — the
+    previous composition of ``text_stats`` + ``lang_id`` exploded and
+    shuffled the corpus tokens twice; semantics identical, pinned by the
+    unchanged oracle), the md5 keep-first group is its own tiny
+    aggregate, and the verdict is a single CASE — no per-gate scans of
+    the corpus. All gates are expression-level, so at 100 TB this is two
     shuffles over compact aggregates regardless of document size."""
-    stats = text_stats(documents)
-    langs = lang_id(documents)
+    t = tokens(documents)
+    langs_sorted = sorted(LANG_MARKERS)
+    feats = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(
+            1000000
+            * F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("stopword_e6"),
+        *[
+            F.sum(
+                F.when(F.col("tok").isin(*LANG_MARKERS[lang]), 1).otherwise(
+                    0
+                )
+            ).alias(f"s_{lang}")
+            for lang in langs_sorted
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs_sorted])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs_sorted:  # first language reaching the max (code order)
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    feats = feats.withColumn("pred_lang", pred)
     hashed = documents.select("doc_id", F.md5("text").alias("__h"))
     keep_first = hashed.groupBy("__h").agg(
         F.min("doc_id").alias("__keep_id")
@@ -577,8 +604,7 @@ def curate_corpus(
         .otherwise(F.lit("kept"))
     )
     return (
-        flags.join(stats, "doc_id")
-        .join(langs, "doc_id")
+        flags.join(feats, "doc_id")
         .select(
             "doc_id",
             reason.alias("reason"),
