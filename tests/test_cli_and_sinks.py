@@ -228,3 +228,27 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, ev.collect())
     )
+
+
+def test_cli_prepare_corpus_writes_shards_and_audit(spark, tmp_path, capsys):
+    """prepare_corpus subcommand: shards + audit land on disk, the
+    verdict histogram covers every document, and the printed lines
+    match the audit contents."""
+    from twitter_social_triangle_mapreduce_spark.cli import run_prepare_corpus
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    out = str(tmp_path / "corpus_out")
+    hist = run_prepare_corpus(spark, SF_SMOKE, out)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(hist.values()) == n_docs
+    assert hist.get("kept", 0) > 0
+    audit = spark.read.parquet(f"{out}/audit")
+    assert audit.count() == n_docs
+    shard_rows = spark.read.parquet(f"{out}/shards")
+    kept = audit.where("verdict = 'kept'").count()
+    assert shard_rows.count() == kept
+    printed = capsys.readouterr().out
+    for verdict, n in hist.items():
+        assert f"{verdict}\t{n}" in printed

@@ -20,6 +20,12 @@ are written tab-separated (the reference's ``TextOutputFormat`` with
 ``\\t``); triangle programs write no rows (the reference's Job-2 reducer
 emits none — ``SocialTriangle_RS.java`` ``ClosedTriangle`` has no output
 records), only the printed scalar.
+
+Beyond the reference surface: ``sql`` (ad-hoc SQL over the registered
+views), ``explain`` (formatted physical plan of any registered query),
+``query`` (run any registered query), and ``prepare_corpus`` (the
+training-data capstone: curate → near-dup canonical → decontaminate →
+pack → shards, writing ``<out>/shards`` + ``<out>/audit``).
 """
 
 from __future__ import annotations
@@ -138,12 +144,44 @@ def run_sql(spark, sf_dir: str, query: str, limit: int = 50) -> None:
     spark.sql(query).show(limit, truncate=False)
 
 
+def run_prepare_corpus(
+    spark, sf_dir: str, out_dir: str, eval_mod: int = 17
+) -> dict[str, int]:
+    """``prepare_corpus`` subcommand: the training-data capstone as a
+    user-facing program — curate → near-dup canonical → decontaminate →
+    pack → shards in one run. Writes ``<out>/shards`` (hive-partitioned
+    training shards in tape order) and ``<out>/audit`` (the per-document
+    verdict relation), prints the verdict histogram, and returns it.
+    ``eval_mod`` selects the held-out decontamination probe
+    (doc_id % eval_mod == 0), matching the bench/driver convention."""
+    from .operators.corpus import prepare_training_corpus
+    from .sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(f"doc_id % {eval_mod} = 0")
+    audit = prepare_training_corpus(docs, ev, f"{out_dir}/shards")
+    audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
+    hist = {
+        r["verdict"]: r["n"]
+        for r in audit.groupBy("verdict")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    audit.unpersist()
+    for verdict in sorted(hist):
+        print(f"{verdict}\t{hist[verdict]}")
+    return hist
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="twitter_social_triangle_mapreduce_spark",
         description="PySpark-native equivalents of the reference MapReduce programs",
     )
-    p.add_argument("program", choices=(*PROGRAMS, "sql", "explain", "query"))
+    p.add_argument(
+        "program",
+        choices=(*PROGRAMS, "sql", "explain", "query", "prepare_corpus"),
+    )
     p.add_argument(
         "input_dir",
         help="programs: directory of followerId,followeeId CSV files; "
@@ -166,6 +204,13 @@ def main(argv: list[str] | None = None) -> None:
         help="social_triangle_rs only: also write the Job-1 X,Y,Z path "
         "relation here (the reference's 3-arg form)",
     )
+    p.add_argument(
+        "--eval-mod",
+        type=int,
+        default=17,
+        help="prepare_corpus only: held-out decontamination probe is "
+        "doc_id %% eval_mod == 0",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -181,6 +226,12 @@ def main(argv: list[str] | None = None) -> None:
         # input_dir = testdata dir, output_dir = "<name>[:<parquet_out>]"
         name, _, dest = args.output_dir.partition(":")
         run_query(spark, args.input_dir, name, dest or None)
+        return
+    if args.program == "prepare_corpus":
+        # input_dir = testdata dir, output_dir = shards+audit destination
+        run_prepare_corpus(
+            spark, args.input_dir, args.output_dir, args.eval_mod
+        )
         return
     run_program(
         spark,
