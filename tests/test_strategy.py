@@ -153,3 +153,24 @@ def test_quality_gate_verdict_side_is_one_row_per_source(spark):
     # the join key collapsed to source only — score_e6 no longer a key
     joins = [ln for ln in plan.splitlines() if "Join LeftOuter" in ln]
     assert joins and all("score_e6" not in ln for ln in joins), joins
+
+
+def test_plan_of_falls_back_to_explain_capture(spark, monkeypatch):
+    """plans.explain.plan_of must degrade to the public df.explain
+    capture when the JVM internals are unavailable (Spark Connect)."""
+    from twitter_social_triangle_mapreduce_spark.plans import explain
+
+    df = spark.range(10).groupBy((F.col("id") % 3).alias("k")).count()
+    direct = explain.plan_of(df)
+
+    class NoJdf:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name in ("_sc", "_jdf"):
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    fallback = explain.plan_of(NoJdf(df))
+    assert "HashAggregate" in direct and "HashAggregate" in fallback

@@ -3,15 +3,26 @@ plan-shape tests (SURVEY.md §5.4) and the ``explain`` CLI subcommand."""
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
 def plan_of(df: DataFrame, mode: str = "formatted") -> str:
     """The query's physical plan as a string (pre- or post-execution; with
-    AQE the final plan appears after the first action)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), mode
-    )
+    AQE the final plan appears after the first action). Classic sessions
+    take the direct JVM path; anything without ``_jdf`` (Spark Connect)
+    falls back to capturing ``df.explain`` — same text, Connect-safe."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+    except AttributeError:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
 
 
 def assert_no_cartesian(df: DataFrame, allow_bnlj: bool = False) -> None:
