@@ -47,6 +47,7 @@ HEADLINE = [
 EXTENSION = [
     "ann_topk_ivf",
     "doc_pack_sequences",
+    "doc_passage_cuts",  # round-4 flagship: substring-dedup cut lists
     "prepare_training_corpus",
 ]
 

@@ -173,7 +173,62 @@ def probe_capstone(mult: int = 10) -> None:
     )
 
 
+def synth_boiler_docs(spark, n_docs: int, body_words: int = 24):
+    """Every doc: a unique ``body_words``-token body plus ONE shared
+    8-token banner — the passage-dedup worst case: a single window hash
+    with ``n_docs`` occurrences (the mega-duplicated boilerplate key)."""
+    banner = "please accept all cookies to continue browsing here"
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.expr(
+                f"array_join(transform(sequence(1, {body_words}),"
+                " j -> concat('w', id, 'x', j)), ' ')"
+            ),
+            F.lit(" " + banner),
+        ).alias("text"),
+    )
+
+
+def probe_passages(spark) -> None:
+    """Passage cut lists on the boilerplate-skew corpus at two sizes:
+    the cut count must be exactly n_docs - 1 (every non-canonical banner
+    occurrence, nothing else), and doubling the corpus must ~double the
+    wall time — the single hot window hash stays linear because the
+    canonical aggregate is map-side combinable and AQE splits the
+    occurrences join."""
+    from twitter_social_triangle_mapreduce_spark.operators.passages import (
+        passage_cut_spans,
+    )
+
+    for n_docs in (100_000, 200_000):
+        docs = synth_boiler_docs(spark, n_docs).persist()
+        docs.count()
+        cuts, sec = timed(lambda: passage_cut_spans(docs).count())
+        docs.unpersist()
+        print(
+            json.dumps(
+                {
+                    "probe": "passages_boiler_skew",
+                    "n_docs": n_docs,
+                    "cut_spans": cuts,
+                    "expected": n_docs - 1,
+                    "sec": sec,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
+    if "--passages" in sys.argv:
+        spark = get_spark(
+            app_name="tstm-passage-probe",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        probe_passages(spark)
+        return
     if "--capstone" in sys.argv:
         mult = next(
             (int(a.split("=", 1)[1]) for a in sys.argv if a.startswith("--mult=")),
