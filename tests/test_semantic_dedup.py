@@ -112,3 +112,34 @@ def test_canonical_survivors_cover_every_cluster(spark):
     canon = out.where(F.col("is_canonical") == 1)
     assert canon.count() == out.select("cluster_id").distinct().count()
     assert canon.select("cluster_id").distinct().count() == canon.count()
+
+
+def test_kmeans_training_loop_descends_and_feeds_ivf(spark):
+    """Iterating refine_centroids IS distributed k-means (round 4: the
+    output previously had no consumer): the Lloyd objective under the
+    trained codebook descends across chained rounds, and the trained
+    centroids drive cell assignment / semantic dedup end to end."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ivf_cells,
+        refine_centroids,
+        wcss,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c1 = refine_centroids(emb)  # round 1 (from the default quantizer)
+    c2 = refine_centroids(emb, centroids=c1)  # round 2 (trained input)
+    w1 = wcss(emb, c1, assign_centroids=c1).collect()[0]["wcss"]
+    w2 = wcss(emb, c2, assign_centroids=c2).collect()[0]["wcss"]
+    assert w2 <= w1 + 1e-9, (w1, w2)
+    # trained assignment covers every vector exactly once
+    cells = ivf_cells(emb, centroids=c2)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    # trained codebook flows through the dedup deliverable
+    out = similarity.semantic_dedup_clusters(
+        emb, min_sim_e4=2000, centroids=c2
+    )
+    assert out.count() == emb.count()

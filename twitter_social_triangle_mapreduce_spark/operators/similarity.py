@@ -275,18 +275,34 @@ def _sig_col(bits: int, dims: int):
 IVF_CELLS = 4
 
 
-def _centroid_ranked(embeddings: DataFrame, k_cells: int = IVF_CELLS) -> DataFrame:
+def _centroid_ranked(
+    embeddings: DataFrame,
+    k_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, cid, s, rn) — every vector's cosine score against each of
     the ``k_cells`` broadcast centroids, ranked per vector (1 = nearest;
     ties toward the smaller centroid id). The shared subtree of
     ``ivf_cells`` and the multi-probe assignment: deriving both from ONE
     ranked relation lets Spark reuse the scored exchange instead of
-    recomputing the corpus × centroid dot products per consumer."""
-    cents = embeddings.where(F.col("vec_id") < k_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        _norm("embedding").alias("cn"),
-    )
+    recomputing the corpus × centroid dot products per consumer.
+
+    ``centroids`` — an optional TRAINED (cid, centroid) relation, e.g.
+    ``refine_centroids`` output after some Lloyd iterations — replaces
+    the deterministic first-``k_cells``-vectors stand-in; the broadcast
+    scoring shape is identical either way."""
+    if centroids is not None:
+        cents = centroids.select(
+            "cid",
+            F.col("centroid").alias("ce"),
+            _norm("centroid").alias("cn"),
+        )
+    else:
+        cents = embeddings.where(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            _norm("embedding").alias("cn"),
+        )
     dot = _dot("embedding", "ce")
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", (dot / F.col("cn")).alias("s")
@@ -297,15 +313,21 @@ def _centroid_ranked(embeddings: DataFrame, k_cells: int = IVF_CELLS) -> DataFra
     return scored.withColumn("rn", F.row_number().over(w))
 
 
-def ivf_cells(embeddings: DataFrame, k: int = IVF_CELLS) -> DataFrame:
-    """(vec_id, cell) — IVF coarse quantization: assign every vector to its
-    nearest centroid by cosine. Centroids here are the first ``k`` vectors
-    (a deterministic stand-in for k-means training — the operator shape,
-    broadcast-centroids × corpus scoring + per-row argmax, is identical to
-    the trained case). Ties break toward the smaller centroid id.
-    Centroid norms are precomputed on the (tiny) broadcast side."""
+def ivf_cells(
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantization: assign every vector to
+    its nearest centroid by cosine. Default centroids are the first
+    ``k`` vectors (a deterministic stand-in for k-means training); pass
+    ``centroids`` (a (cid, centroid) relation — iterate
+    ``refine_centroids`` to train one) to quantize against a TRAINED
+    codebook with the identical broadcast-scoring shape. Ties break
+    toward the smaller centroid id. Centroid norms are precomputed on
+    the (tiny) broadcast side."""
     return (
-        _centroid_ranked(embeddings, k)
+        _centroid_ranked(embeddings, k, centroids=centroids)
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"))
     )
@@ -499,6 +521,7 @@ def semantic_dedup_pairs(
     k_cells: int = IVF_CELLS,
     bits: int = LSH_BITS,
     dims: int = EMBED_DIMS,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_e4) — CELL-LOCAL embedding near-dup candidates:
     pairs must share BOTH their IVF cell and their hyperplane signature
@@ -509,8 +532,9 @@ def semantic_dedup_pairs(
     composite (cell, sig) equi-join key means the shuffle is keyed on
     small integers and the quadratic blowup needs BOTH buckets to
     collapse (pinned sub-quadratic by the adversarial property test,
-    mirroring the MinHash-LSH one)."""
-    cells = ivf_cells(embeddings, k_cells)
+    mirroring the MinHash-LSH one). ``centroids`` optionally supplies a
+    TRAINED codebook (``refine_centroids``) for the cell assignment."""
+    cells = ivf_cells(embeddings, k_cells, centroids=centroids)
     emb = embeddings.join(cells, "vec_id").withColumn(
         "sig", _sig_col(bits, dims)
     )
@@ -554,6 +578,7 @@ def semantic_dedup_clusters(
     bits: int = LSH_BITS,
     dims: int = EMBED_DIMS,
     iterations: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cluster_id, is_canonical) — the embedding-tier dedup
     DELIVERABLE (round-3 verdict item 6): cell-local thresholded pairs
@@ -575,7 +600,12 @@ def semantic_dedup_clusters(
 
     it = NEAR_DUP_CC_ROUNDS if iterations is None else iterations
     pairs = semantic_dedup_pairs(
-        embeddings, min_sim_e4, k_cells=k_cells, bits=bits, dims=dims
+        embeddings,
+        min_sim_e4,
+        k_cells=k_cells,
+        bits=bits,
+        dims=dims,
+        centroids=centroids,
     )
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
@@ -598,7 +628,9 @@ def semantic_dedup_clusters(
 
 
 def refine_centroids(
-    embeddings: DataFrame, k: int = IVF_CELLS
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(cid, centroid, n_members) — ONE Lloyd iteration for the IVF
     coarse quantizer: assign every vector to its nearest current
@@ -613,8 +645,13 @@ def refine_centroids(
     ``posexplode`` (shuffle keyed on tiny composite keys with full
     partial aggregation) and the centroid array is rebuilt with an
     order-pinned ``array_agg`` over the sorted positions; empty cells
-    (possible after a bad init) simply vanish — standard Lloyd."""
-    assign = ivf_cells(embeddings, k)
+    (possible after a bad init) simply vanish — standard Lloyd.
+
+    Pass the previous round's output as ``centroids`` to iterate:
+    ``c = None; for _ in range(r): c = refine_centroids(emb, k, c)``
+    IS distributed k-means (round 4 — previously the output had no
+    consumer; WCSS descent across chained rounds is pytest-pinned)."""
+    assign = ivf_cells(embeddings, k, centroids=centroids)
     member_dims = (
         embeddings.join(assign, "vec_id")
         .select(
@@ -641,13 +678,19 @@ def refine_centroids(
     )
 
 
-def wcss(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def wcss(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    assign_centroids: DataFrame | None = None,
+) -> DataFrame:
     """1-row (wcss) — within-cluster sum of squared Euclidean distance
-    of every vector to its ASSIGNED (current-quantizer) centroid under
-    the given centroid table: the Lloyd objective. Used by the
-    monotonicity test: recentering can only lower this value for the
-    same assignment."""
-    assign = ivf_cells(embeddings)
+    of every vector to its ASSIGNED centroid under the given centroid
+    table: the Lloyd objective. The assignment uses the default
+    quantizer unless ``assign_centroids`` supplies the codebook the
+    assignment should run against (chained-training evaluation). Used
+    by the monotonicity tests: recentering can only lower this value
+    for the same assignment."""
+    assign = ivf_cells(embeddings, centroids=assign_centroids)
     joined = (
         embeddings.join(assign, "vec_id")
         .join(
