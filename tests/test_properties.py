@@ -195,3 +195,64 @@ def test_lsh_candidates_subquadratic_on_near_dup_heavy_corpus(spark):
         assert same_cluster >= int(0.8 * within), (same_cluster, within)
     # doubling the corpus ~doubles candidates (quadratic would be 4x)
     assert counts[200] <= 3 * counts[100], counts
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup exactness (round 4): cut lists are EXACTLY the
+# non-canonical duplicated-window occurrences — full coverage (every
+# such occurrence inside a cut span) and no over-cutting (every cut
+# position covered by some non-canonical duplicated window). Small
+# alphabet forces heavy window collisions.
+# ---------------------------------------------------------------------------
+
+_pass_corpora = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_pass_corpora)
+@SET
+def test_passage_cuts_cover_exactly_noncanonical_occurrences(spark, texts):
+    from twitter_social_triangle_mapreduce_spark.operators import passages
+
+    W = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in passages.passage_cut_spans(docs, window=W).collect()
+    }
+    # independent reference: per-occurrence window table in Python
+    occs = []  # (doc_id, start, window_text)
+    for did, text in enumerate(texts):
+        toks = text.split(" ")
+        for s in range(1, len(toks) - W + 2):
+            occs.append((did, s, " ".join(toks[s - 1 : s + W - 1])))
+    by_win: dict[str, list] = {}
+    for did, s, w in occs:
+        by_win.setdefault(w, []).append((did, s))
+    expect_cut = set()  # (doc_id, position) token positions to cut
+    for w, lst in by_win.items():
+        if len(lst) < 2:
+            continue
+        lst.sort()
+        for did, s in lst[1:]:  # every non-canonical occurrence
+            for pos in range(s, s + W):
+                expect_cut.add((did, pos))
+    got_cut = {
+        (did, pos)
+        for did, a, b in spans
+        for pos in range(a, b + 1)
+    }
+    assert got_cut == expect_cut
+    # spans are maximal (no two adjacent/overlapping spans per doc)
+    per_doc: dict[int, list] = {}
+    for did, a, b in spans:
+        per_doc.setdefault(did, []).append((a, b))
+    for lst in per_doc.values():
+        lst.sort()
+        for (a1, b1), (a2, b2) in zip(lst, lst[1:]):
+            assert a2 > b1 + 1
