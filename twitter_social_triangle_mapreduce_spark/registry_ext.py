@@ -786,6 +786,19 @@ def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_INGEST_SPLIT = 400
 
 
+def q_cluster_update_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where("doc_id % 5 <> 0")
+    new = docs.where("doc_id % 5 = 0")
+    return _dedup.update_near_dup_clusters(
+        _dedup.near_dup_clusters(corpus), _dedup.minhash_bands(corpus), new
+    )
+
+
 def q_doc_passage_cuts_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -825,6 +838,10 @@ EXT_EXTRA_QUERIES = {
     # oracle states the parity theorem (batch recompute restricted to
     # batch docs under the append-only id invariant)
     "doc_passage_cuts_incremental": q_doc_passage_cuts_incremental,
+    # incremental cluster maintenance; its oracle IS the batch
+    # recompute (incremental == batch at convergence — the parity
+    # theorem checked through DuckDB, not just in pytest goldens)
+    "cluster_update_incremental": q_cluster_update_incremental,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1750,6 +1767,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import passages as _passages
 
     out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
+    out["cluster_update_incremental"] = _near_dup_clusters_oracle()
     out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
     out["doc_passage_cuts_incremental"] = f"""
         SELECT doc_id, span_start, span_end
