@@ -295,3 +295,18 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
     # replay of an already-committed batch id must be a no-op
     fold_cluster_batch(all_docs, 1, snap)
     assert _sorted_state(read_cluster_snapshot(spark, snap)) == got
+
+
+def test_update_clusters_reingest_is_idempotent(spark):
+    """A batch replaying doc_ids already in the state must not duplicate
+    state rows — replayed ids keep their (possibly remapped) corpus
+    assignment, fresh ids append once."""
+    corpus = _docs(spark, [(1, "web", T1), (2, "web", T1)])
+    state0 = dedup.near_dup_clusters(corpus)
+    bands0 = dedup.minhash_bands(corpus)
+    batch = _docs(
+        spark,
+        [(2, "web", T1), (30, "web", T2)],  # 2 is a replay, 30 is fresh
+    )
+    updated = dedup.update_near_dup_clusters(state0, bands0, batch)
+    assert _sorted_state(updated) == [(1, 1, 1), (2, 1, 0), (30, 30, 1)]

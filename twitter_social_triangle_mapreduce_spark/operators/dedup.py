@@ -463,8 +463,12 @@ def update_near_dup_clusters(
             ),
         )
     )
+    # re-ingest guard: a doc_id already in the state keeps its (possibly
+    # remapped) corpus assignment — without the anti-join a replayed
+    # batch would emit the id twice and corrupt the state relation
     new_part = (
         new_docs.select("doc_id")
+        .join(state.select("doc_id"), "doc_id", "left_anti")
         .join(remap, new_docs.doc_id == F.col("__lbl"), "left")
         .select(
             "doc_id",
