@@ -310,3 +310,29 @@ def test_update_clusters_reingest_is_idempotent(spark):
     )
     updated = dedup.update_near_dup_clusters(state0, bands0, batch)
     assert _sorted_state(updated) == [(1, 1, 1), (2, 1, 0), (30, 30, 1)]
+
+
+def test_cluster_fold_band_index_survives_version_pruning(spark, tmp_path):
+    """Review finding: the band index must be listed from bands/
+    directly, not derived from the committed-version list — version
+    pruning (keep_versions=2) deletes old v_ dirs while band dirs are
+    append-only. A batch-3 doc that near-duplicates ONLY a batch-0 doc
+    must still merge into its cluster after v_0 was pruned."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_cluster_batch,
+        read_cluster_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(1, "web", T1)],
+        [(10, "web", "first filler batch with its own words")],
+        [(20, "web", "second filler batch containing different words")],
+        [(30, "web", T1)],  # duplicates ONLY the batch-0 doc
+    ]
+    for i, rows in enumerate(batches):
+        fold_cluster_batch(_docs(spark, rows), i, snap)
+    state = {r["doc_id"]: r["cluster_id"]
+             for r in read_cluster_snapshot(spark, snap).collect()}
+    assert state[30] == 1, state  # merged across the pruned horizon
+    assert state == {1: 1, 10: 10, 20: 20, 30: 1}

@@ -174,3 +174,83 @@ def test_plan_of_falls_back_to_explain_capture(spark, monkeypatch):
 
     fallback = explain.plan_of(NoJdf(df))
     assert "HashAggregate" in direct and "HashAggregate" in fallback
+
+
+def test_spread_force_arm_survives_missing_spark_context(spark, monkeypatch):
+    """Review finding: 'force' is the Connect remedy, so it must not
+    silently no-op when sparkContext is unavailable — it falls back to
+    spark.sql.shuffle.partitions for the repartition target."""
+
+    class NoCtx:
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def sparkSession(self):
+            outer = self
+
+            class S:
+                @property
+                def sparkContext(self):
+                    raise AttributeError("no sparkContext over Connect")
+
+                @property
+                def conf(self):
+                    return outer._inner.sparkSession.conf
+
+            return S()
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    few = spark.range(100).coalesce(1)
+    try:
+        spark.conf.set(strategy.SPREAD_CONF, "force")
+        out = strategy.spread_small_input(NoCtx(few))
+        assert out.rdd.getNumPartitions() == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+    finally:
+        spark.conf.unset(strategy.SPREAD_CONF)
+
+
+def test_ordered_semi_threshold_conf_disables_filter(spark):
+    """Review finding: the closing-key broadcast cap must be a session
+    conf, not a compile-time constant — setting it to -1 disables the
+    reduction on the shuffle arm."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        edges_from_events,
+    )
+
+    e = edges_from_events(spark, SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(graph.ORDERED_SEMI_THRESHOLD_CONF, "-1")
+        plan = (
+            graph.triangle_count_ordered(e, 50000)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "LeftSemi" not in plan
+        spark.conf.set(graph.ORDERED_SEMI_THRESHOLD_CONF, "1g")
+        plan = (
+            graph.triangle_count_ordered(e, 50000)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(graph.ORDERED_SEMI_THRESHOLD_CONF)
+
+
+def test_prepare_corpus_rejects_bad_eval_mod(spark, tmp_path):
+    import pytest as _pytest
+
+    from twitter_social_triangle_mapreduce_spark.cli import run_prepare_corpus
+
+    with _pytest.raises(SystemExit, match="eval-mod"):
+        run_prepare_corpus(spark, SF_SMOKE, str(tmp_path / "x"), eval_mod=0)

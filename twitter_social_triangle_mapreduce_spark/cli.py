@@ -153,9 +153,14 @@ def run_prepare_corpus(
     training shards in tape order) and ``<out>/audit`` (the per-document
     verdict relation), prints the verdict histogram, and returns it.
     ``eval_mod`` selects the held-out decontamination probe
-    (doc_id % eval_mod == 0), matching the bench/driver convention."""
+    (doc_id % eval_mod == 0), matching the bench/driver convention;
+    values < 1 would silently disable decontamination (NULL modulo) or
+    die mid-run under ANSI — rejected up front."""
     from .operators.corpus import prepare_training_corpus
     from .sources.io import load_table
+
+    if eval_mod < 1:
+        raise SystemExit(f"--eval-mod must be >= 1, got {eval_mod}")
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(f"doc_id % {eval_mod} = 0")

@@ -55,12 +55,16 @@ ORDERED_CLOSING_CONF = "spark.graft.ordered.closingStrategy"
 #: auto (default — fires when the closing-key relation's plan-time
 #: estimate fits the threshold below) | on | off
 ORDERED_SEMI_CONF = "spark.graft.ordered.semiFilter"
-#: size cap for the broadcast closing-key set (8-byte hashes, one per
-#: distinct support edge — a build side a few-GB-heap executor holds
-#: comfortably). Catalyst's estimate is an E-scale OVERESTIMATE for the
-#: projected aggregate, so the guard errs toward skipping the filter —
-#: the arm that only costs the unreduced exchange, never memory.
-ORDERED_SEMI_THRESHOLD = "1g"
+#: conf key + default for the closing-key broadcast cap (8-byte hashes,
+#: one per distinct support edge — a deliberately SEPARATE knob from
+#: spark.sql.autoBroadcastJoinThreshold, because the key set is ~4×
+#: narrower than the closing relation whose broadcast that threshold
+#: rejected; clusters with small executors lower or disable it).
+#: Catalyst's estimate is an E-scale OVERESTIMATE for the projected
+#: aggregate, so the guard errs toward skipping the filter — the arm
+#: that only costs the unreduced exchange, never memory.
+ORDERED_SEMI_THRESHOLD_CONF = "spark.graft.ordered.semiFilterThreshold"
+ORDERED_SEMI_THRESHOLD_DEFAULT = "1g"
 
 
 def filter_edges(
@@ -538,11 +542,19 @@ def triangle_count_ordered(
         except Exception:
             pass
         if semi == "auto":
+            try:
+                thresh = parse_byte_conf(
+                    closing.sparkSession.conf.get(
+                        ORDERED_SEMI_THRESHOLD_CONF,
+                        ORDERED_SEMI_THRESHOLD_DEFAULT,
+                    )
+                    or ORDERED_SEMI_THRESHOLD_DEFAULT
+                )
+            except Exception:
+                thresh = -1
             keys = closing.select(F.xxhash64("u", "v").alias("__k"))
             est = plan_size_estimate(keys)
-            if est is not None and 0 <= est <= parse_byte_conf(
-                ORDERED_SEMI_THRESHOLD
-            ):
+            if est is not None and 0 < thresh and 0 <= est <= thresh:
                 semi = "on"
         if semi == "on":
             keys = closing.select(F.xxhash64("u", "v").alias("__k"))

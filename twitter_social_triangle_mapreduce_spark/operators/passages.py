@@ -175,11 +175,17 @@ def incremental_passage_cuts(
     occurrence within the batch itself.
 
     Per-batch cost is batch-sized: the batch computes only ITS OWN
-    windows; the corpus index is probed in place by two equi-joins on
-    the fingerprint with the (small) batch side broadcast — the corpus
-    text is never re-fingerprinted, and nothing corpus-sized shuffles.
-    Contract for the next batch: append ``passage_windows(new_docs)``
-    to the index after ingest.
+    windows, and the index is probed in the ONLY direction Spark can
+    keep shuffle-free — the batch's (small, explicitly broadcast)
+    fingerprint set REDUCES the index first (LeftSemi builds on the
+    broadcast right side; the index streams through as a scan), and the
+    surviving index hashes — at most |batch windows| — broadcast back
+    onto the batch windows. A semi/anti join with the index on the
+    build side would instead hash-partition the whole corpus index per
+    batch (LeftSemi/LeftAnti can only build right — review finding).
+    The corpus text is never re-fingerprinted and nothing corpus-sized
+    shuffles. Contract for the next batch: append
+    ``passage_windows(new_docs)`` to the index after ingest.
 
     Parity (pinned by tests/test_passages.py): when every batch doc_id
     exceeds every corpus doc_id — the append-only ingest invariant —
@@ -188,9 +194,16 @@ def incremental_passage_cuts(
     corpus occurrence), which is exactly how its DuckDB oracle states
     it."""
     nw = passage_windows(new_docs, window=window, stride=stride)
-    idx = corpus_windows.select("wh").distinct()
-    corpus_hit = nw.join(idx, "wh", "left_semi")
-    batch_only = nw.join(idx, "wh", "left_anti")
+    batch_whs = nw.select("wh").distinct()
+    idx_hits = (
+        corpus_windows.select("wh")
+        .join(F.broadcast(batch_whs), "wh", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = nw.join(F.broadcast(idx_hits), "wh", "left")
+    corpus_hit = marked.where(F.col("__hit") == 1).drop("__hit")
+    batch_only = marked.where(F.col("__hit").isNull()).drop("__hit")
     batch_dups = (
         batch_only.groupBy("wh")
         .agg(

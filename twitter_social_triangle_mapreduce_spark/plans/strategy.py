@@ -160,19 +160,30 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     construction small (few-splits input).
 
     ``spark.graft.spreadSmallInput``: ``off`` disables, ``force``
-    repartitions unconditionally to ``defaultParallelism``, ``auto``
-    (default) probes the split count — and is a documented NO-OP under
-    Spark Connect (``scan_partition_count`` returns None), the safe arm:
-    a Connect-backed cluster at real scale has many splits anyway."""
+    repartitions unconditionally, ``auto`` (default) probes the split
+    count — and is a documented NO-OP under Spark Connect
+    (``scan_partition_count`` returns None), the safe arm: a
+    Connect-backed cluster at real scale has many splits anyway. The
+    ``force`` escape hatch is exactly the Connect remedy, so it must
+    NOT depend on the classic-only ``sparkContext`` — it falls back to
+    ``spark.sql.shuffle.partitions`` (readable over Connect) for the
+    target when ``defaultParallelism`` is unavailable (review
+    finding)."""
     mode = _conf(df, SPREAD_CONF, "auto") or "auto"
     if mode == "off":
         return df
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
-        return df
+        target = None
     if mode == "force":
+        if target is None:
+            target = int(
+                _conf(df, "spark.sql.shuffle.partitions", "200") or "200"
+            )
         return df.repartition(target)
+    if target is None:
+        return df
     n = scan_partition_count(df)
     if n is not None and n * 4 <= target:
         return df.repartition(target)

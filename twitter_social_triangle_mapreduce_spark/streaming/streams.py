@@ -499,6 +499,28 @@ def _cluster_bands_dir(snapshot_path: str, batch_id: int) -> str:
     return f"{snapshot_path}/bands/b_{batch_id:020d}"
 
 
+def _cluster_band_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
+    """Every band dir with batch id < ``before_batch_id``, listed from
+    the filesystem DIRECTLY — never derived from the committed-VERSION
+    list, which prunes to ``keep_versions`` entries while band dirs are
+    append-only (deriving from it silently dropped pruned batches' bands
+    from the dedup screen after keep_versions folds — review finding).
+    Excluding ids ≥ the current batch keeps a crashed prior attempt's
+    half-written own dir out of its replay's index."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/bands")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if st_.isDirectory() and name.startswith("b_"):
+            bid = int(name[2:])
+            if bid < before_batch_id:
+                out.append(_cluster_bands_dir(snapshot_path, bid))
+    return sorted(out)
+
+
 def read_cluster_snapshot(spark, snapshot_path: str) -> DataFrame:
     """The latest COMMITTED cluster state (doc_id, cluster_id,
     is_canonical). Raises if no version has been committed yet."""
@@ -548,9 +570,8 @@ def fold_cluster_batch(
         state = spark.read.parquet(
             f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
         )
-        bands = spark.read.parquet(
-            *[_cluster_bands_dir(snapshot_path, v) for v in versions]
-        )
+        band_dirs = _cluster_band_dirs(spark, snapshot_path, batch_id)
+        bands = spark.read.parquet(*band_dirs)
         new_state = update_near_dup_clusters(state, bands, batch_df)
     else:
         new_state = near_dup_clusters(batch_df)
