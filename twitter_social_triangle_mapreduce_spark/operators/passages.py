@@ -63,8 +63,12 @@ def passage_windows(
 ) -> DataFrame:
     """(doc_id, start, wh) — one row per sliding window position:
     ``start`` the 1-based token index, ``wh`` the md5 of the
-    space-joined ``window``-token slice. Docs shorter than ``window``
-    tokens produce no rows (nothing to deduplicate at this granularity).
+    space-joined ``window``-token slice as 16-byte BINARY (``unhex`` of
+    the hex digest — half the shuffled key bytes of the hex string; the
+    fingerprint relation is the corpus-token-sized one, so its row
+    width is the dominant shuffle cost of the whole operator family).
+    Docs shorter than ``window`` tokens produce no rows (nothing to
+    deduplicate at this granularity).
 
     The windowing is a single ``transform(sequence(...))`` + explode —
     whole-stage-codegen expressions, no Python. Input is pre-spread
@@ -82,7 +86,7 @@ def passage_windows(
             F.expr(
                 f"transform(sequence(1, size(ws) - {window} + 1, {stride}),"
                 f" s -> struct(s AS start,"
-                f" md5(array_join(slice(ws, s, {window}), ' ')) AS wh))"
+                f" unhex(md5(array_join(slice(ws, s, {window}), ' '))) AS wh))"
             )
         ).alias("w"),
     ).select("doc_id", F.col("w.start").alias("start"), F.col("w.wh").alias("wh"))
