@@ -112,13 +112,24 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     """Exact dedup via content hash: one row per distinct content with the
     canonical (minimum) doc_id and the duplicate count. The hash-groupBy
-    shape scales to any corpus: shuffle keyed on the 128-bit digest."""
+    shape scales to any corpus: shuffle keyed on the 128-bit digest —
+    carried as 16-byte BINARY through the exchange (half the hex-string
+    key bytes on a corpus-sized relation) and re-hexed only in the
+    output projection (``lower(hex(...))`` == the md5 hex the oracle
+    states)."""
     return (
-        documents.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
-        .groupBy("content_hash")
+        documents.select(
+            "doc_id", F.unhex(F.md5(F.col("text"))).alias("__h")
+        )
+        .groupBy("__h")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.lower(F.hex("__h")).alias("content_hash"),
+            "keep_doc_id",
+            "n_copies",
         )
     )
 

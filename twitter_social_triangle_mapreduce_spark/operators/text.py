@@ -589,7 +589,9 @@ def curate_corpus(
     for lang in langs_sorted:  # first language reaching the max (code order)
         pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
     feats = feats.withColumn("pred_lang", pred)
-    hashed = documents.select("doc_id", F.md5("text").alias("__h"))
+    # binary digest key: the keep-first aggregate shuffles 16-byte
+    # hashes instead of 32-char hex (the key never leaves the operator)
+    hashed = documents.select("doc_id", F.unhex(F.md5("text")).alias("__h"))
     keep_first = hashed.groupBy("__h").agg(
         F.min("doc_id").alias("__keep_id")
     )
