@@ -8,8 +8,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in ``twitter_social_triangle_mapreduce_spark``;
 this module is the thin registry adapter. ``queries()`` exposes EXACTLY
 50 entries: the driver records at most 50 correctness rows (round 1: a
-51st registered query was silently dropped), so the one semantic
-near-duplicate (``sessionize_native``) is pytest-oracled instead
+51st registered query was silently dropped). Lower-marginal-signal
+queries (``sessionize_native``; since round 4 also ``ivf_cells`` and
+``ann_topk_ivf2``, rotated out for the passage-dedup and semantic-dedup
+flagships) stay fully hash-oracled in the pytest tier
 (``registry.all_queries(include_extra=True)``).
 """
 
