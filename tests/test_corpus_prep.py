@@ -319,3 +319,41 @@ def test_prepare_training_corpus_lazy_matches_persisted(spark, tmp_path):
     shards_p = {r["doc_id"] for r in spark.read.parquet(out_p).collect()}
     shards_l = {r["doc_id"] for r in spark.read.parquet(out_l).collect()}
     assert shards_p == shards_l
+
+
+def test_capstone_cut_passages_excises_boilerplate_from_shards(spark, tmp_path):
+    """cut_passages=True (round 4): a boilerplate passage shared by two
+    surviving docs is excised from the non-canonical one BEFORE packing;
+    verdicts are unchanged vs the default run, and the shard text for
+    the affected doc equals the passage-deduped text."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    boiler = ("the quick brown fox of the meadow jumps over a lazy dog "
+              "and runs to the river")  # 16 tokens, stopword-dense
+    rows = [
+        (1, f"{boiler} in the morning of a bright day to rest and play"),
+        (2, f"{boiler} at the evening of a quiet night to sleep and dream"),
+        (3, "the cat sat on the mat and it was happy to be there all of "
+            "the long day with a friend of the house"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.where("doc_id < 0")  # empty eval probe
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "cut")
+    audit_a = prepare_training_corpus(docs, ev, out_a)
+    audit_b = prepare_training_corpus(docs, ev, out_b, cut_passages=True)
+    va = sorted(map(tuple, audit_a.collect()))
+    vb = sorted(map(tuple, audit_b.collect()))
+    audit_a.unpersist(); audit_b.unpersist()
+    assert va == vb  # the passage stage never changes verdicts
+    plain = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out_a).collect()}
+    cut = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out_b).collect()}
+    assert set(plain) == set(cut)  # same kept docs
+    assert plain[1] == rows[0][1]  # canonical keeps the passage
+    assert cut[1] == rows[0][1]
+    assert boiler in plain[2] and boiler not in cut[2]
+    assert cut[2].endswith("to sleep and dream")

@@ -39,6 +39,7 @@ def prepare_training_corpus(
     budget: int = 64,
     packs_per_shard: int = 16,
     persist_audit: bool = True,
+    cut_passages: bool = False,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -49,7 +50,16 @@ def prepare_training_corpus(
        closure) keep one canonical per cluster;
     3. eval-set decontamination (``decontaminate``) drops contaminated
        survivors;
-    4. the survivors pack onto the token tape and land as
+    4. optionally (``cut_passages``, round 4) the surviving TEXT is
+       passage-deduplicated (``passages.dedup_passages``): repeated
+       boilerplate spans inside otherwise-unique survivors are excised
+       before packing — the sub-document duplicate class every earlier
+       gate is blind to. Off by default so the shipped bench/budget
+       profile is unchanged; the audit is unaffected either way (spans
+       change text, not keep/drop verdicts; documents cut to EMPTY are
+       dropped from the shard input — their audit row stays ``kept``,
+       the spans simply covered everything);
+    5. the survivors pack onto the token tape and land as
        hive-partitioned shards (``write_training_shards``).
 
     Returns the per-document audit relation (doc_id, verdict) — every
@@ -102,6 +112,16 @@ def prepare_training_corpus(
     kept = documents.join(
         audit.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
     )
+    if cut_passages:
+        from .passages import dedup_passages
+
+        extra = [c for c in documents.columns if c not in ("doc_id", "text")]
+        cut = dedup_passages(kept.select("doc_id", "text")).where(
+            F.length("text") > 0
+        )
+        kept = cut.select("doc_id", "text").join(
+            kept.select("doc_id", *extra), "doc_id"
+        ) if extra else cut.select("doc_id", "text")
     write_training_shards(
         kept, path, budget=budget, packs_per_shard=packs_per_shard
     )
