@@ -170,3 +170,25 @@ def test_lang_id_classifies_real_nonenglish_prose(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
     assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_elect_canonicals_longest_wins_ties_to_min_id(spark):
+    """Quality re-election: the highest score per cluster wins, ties
+    break to the smaller doc_id, singletons stay canonical, and exactly
+    one canonical exists per cluster."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1), (10, 4), (11, 4)],
+        "doc_id long, score long",
+    )
+    got = sorted(
+        map(tuple, dedup.elect_canonicals(clusters, scores).collect())
+    )
+    assert got == [
+        (1, 1, 0), (2, 1, 1), (3, 1, 0),  # 2 beats 3 on the tie
+        (7, 7, 1),
+        (10, 10, 1), (11, 10, 0),  # tie -> min doc_id
+    ]

@@ -402,6 +402,46 @@ def incremental_dedup(
     )
 
 
+def elect_canonicals(clusters: DataFrame, scores: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — re-elect each cluster's
+    canonical by QUALITY instead of the structural min-doc_id default:
+    the member with the highest ``score`` wins (ties break toward the
+    smaller doc_id, keeping the election total and deterministic).
+    ``clusters`` is any (doc_id, cluster_id, ...) relation
+    (``near_dup_clusters`` / ``semantic_dedup_clusters`` /
+    ``update_near_dup_clusters`` output); ``scores`` is (doc_id, score)
+    — token counts, stopword-density quality, model scores, anything
+    orderable. Real pipelines keep the LONGEST or HIGHEST-QUALITY
+    member of a near-dup cluster, not the one with the smallest id.
+
+    Shape: one join keyed on doc_id plus one cluster-keyed arg-max
+    aggregate (map-side combinable ``max`` over a (score, -doc_id)
+    struct — no per-cluster window over the corpus), and the winner
+    relation joins back on cluster_id. Note ``cluster_id`` no longer
+    equals the canonical's doc_id under re-election — it remains the
+    structural min-label; only the ``is_canonical`` flag moves."""
+    sc = clusters.select("doc_id", "cluster_id").join(
+        scores.select("doc_id", "score"), "doc_id"
+    )
+    winners = sc.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("s"), (-F.col("doc_id")).alias("nid")
+            )
+        ).alias("__w")
+    ).select("cluster_id", (-F.col("__w.nid")).alias("__win_id"))
+    return (
+        sc.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("__win_id")).cast("long").alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 def update_near_dup_clusters(
     state: DataFrame,
     corpus_bands: DataFrame,

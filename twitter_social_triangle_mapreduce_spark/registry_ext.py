@@ -786,6 +786,17 @@ def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 PASSAGE_INGEST_SPLIT = 400
 
 
+def q_doc_canonical_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup as _dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = _dedup.near_dup_clusters(docs)
+    scores = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("score")
+    )
+    return _dedup.elect_canonicals(clusters, scores)
+
+
 def q_cluster_update_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -842,6 +853,8 @@ EXT_EXTRA_QUERIES = {
     # recompute (incremental == batch at convergence — the parity
     # theorem checked through DuckDB, not just in pytest goldens)
     "cluster_update_incremental": q_cluster_update_incremental,
+    # quality-based canonical re-election (longest member wins): exact
+    "doc_canonical_longest": q_doc_canonical_longest,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1768,6 +1781,19 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
     out["cluster_update_incremental"] = _near_dup_clusters_oracle()
+    out["doc_canonical_longest"] = f"""
+        WITH cl AS ({_near_dup_clusters_oracle()}),
+        s AS (SELECT doc_id, len(string_split(text, ' ')) AS score
+              FROM documents),
+        r AS (SELECT cl.doc_id, cl.cluster_id,
+                     row_number() OVER (PARTITION BY cl.cluster_id
+                                        ORDER BY s.score DESC,
+                                                 cl.doc_id ASC) AS rn
+              FROM cl JOIN s USING (doc_id))
+        SELECT doc_id, cluster_id,
+               CAST(rn = 1 AS BIGINT) AS is_canonical
+        FROM r
+    """
     out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
     out["doc_passage_cuts_incremental"] = f"""
         SELECT doc_id, span_start, span_end
