@@ -192,3 +192,25 @@ def test_elect_canonicals_longest_wins_ties_to_min_id(spark):
         (7, 7, 1),
         (10, 10, 1), (11, 10, 0),  # tie -> min doc_id
     ]
+
+
+def test_elect_canonicals_total_under_partial_and_duplicate_scores(spark):
+    """Review finding: the election must be total — unscored members
+    rank below scored ones (an all-unscored cluster falls back to the
+    min-id election), and duplicate score rows never duplicate output
+    rows."""
+    clusters = spark.createDataFrame(
+        [(5, 5), (9, 5), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(9, 1), (9, 7)],  # doc 5 unscored; doc 9 scored twice
+        "doc_id long, score long",
+    )
+    got = sorted(
+        map(tuple, dedup.elect_canonicals(clusters, scores).collect())
+    )
+    assert got == [
+        (5, 5, 0), (9, 5, 1),      # scored member beats unscored
+        (20, 20, 1), (21, 20, 0),  # all-unscored cluster: min id wins
+    ]

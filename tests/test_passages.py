@@ -242,3 +242,19 @@ def test_incremental_probe_is_batch_sized(spark, tmp_path):
     # explodes exist solely for the batch side
     assert "Relation [doc_id" in plan and "parquet" in plan
     assert "Generate" in plan
+
+
+def test_incremental_accepts_legacy_hex_string_index(spark):
+    """Review finding: an index materialized before the binary-
+    fingerprint switch (hex STRING wh) must be auto-converted on read —
+    a string-vs-binary join would otherwise silently match nothing."""
+    corpus = _docs(spark, [(1, f"intro {BOILER} outro words")])
+    batch = _docs(spark, [(10, f"{BOILER} epsilon zeta eta theta")])
+    legacy = passages.passage_windows(corpus).withColumn(
+        "wh", F.lower(F.hex("wh"))
+    )
+    assert dict(legacy.dtypes)["wh"] == "string"
+    cuts = passages.incremental_passage_cuts(batch, legacy).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in cuts] == [
+        (10, 1, 8)
+    ]

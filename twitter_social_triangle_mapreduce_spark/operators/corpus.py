@@ -113,18 +113,33 @@ def prepare_training_corpus(
         audit.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
     )
     if cut_passages:
-        from .passages import dedup_passages
+        from .passages import apply_passage_cuts, passage_cut_spans
 
+        # persist the CUT LIST (collision survivors only — manifest-
+        # sized, same philosophy as the audit persist), not the corpus
+        # text: the shard writer consumes its input twice (pack stats +
+        # shard rows), and without this the window-fingerprint pipeline
+        # — the expensive part — would replan for each (review finding).
+        # The HOF text rewrite re-evaluates per pass, which is the same
+        # class of cost as re-reading the text and unavoidable there.
+        kept_text = kept.select("doc_id", "text")
+        spans = passage_cut_spans(kept_text)
+        if persist_audit:
+            spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
         extra = [c for c in documents.columns if c not in ("doc_id", "text")]
-        cut = dedup_passages(kept.select("doc_id", "text")).where(
+        cut = apply_passage_cuts(kept_text, spans).where(
             F.length("text") > 0
         )
         kept = cut.select("doc_id", "text").join(
             kept.select("doc_id", *extra), "doc_id"
         ) if extra else cut.select("doc_id", "text")
+    else:
+        spans = None
     write_training_shards(
         kept, path, budget=budget, packs_per_shard=packs_per_shard
     )
+    if cut_passages and persist_audit:
+        spans.unpersist()  # shard write done; the cut list is spent
     return audit
 
 

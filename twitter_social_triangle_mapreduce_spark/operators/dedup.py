@@ -414,19 +414,30 @@ def elect_canonicals(clusters: DataFrame, scores: DataFrame) -> DataFrame:
     orderable. Real pipelines keep the LONGEST or HIGHEST-QUALITY
     member of a near-dup cluster, not the one with the smallest id.
 
+    The election is TOTAL over ``clusters`` regardless of score
+    coverage (review finding): scores are LEFT-joined — a member
+    without a score row ranks below every scored member (and an
+    entirely unscored cluster falls back to the min-doc_id election) —
+    and duplicate score rows per doc_id collapse to their max before
+    joining, so the output always has exactly one row per cluster
+    member and one canonical per cluster.
+
     Shape: one join keyed on doc_id plus one cluster-keyed arg-max
-    aggregate (map-side combinable ``max`` over a (score, -doc_id)
-    struct — no per-cluster window over the corpus), and the winner
-    relation joins back on cluster_id. Note ``cluster_id`` no longer
-    equals the canonical's doc_id under re-election — it remains the
-    structural min-label; only the ``is_canonical`` flag moves."""
-    sc = clusters.select("doc_id", "cluster_id").join(
-        scores.select("doc_id", "score"), "doc_id"
+    aggregate (map-side combinable ``max`` over a (scored, score,
+    -doc_id) struct — no per-cluster window over the corpus), and the
+    winner relation joins back on cluster_id. Note ``cluster_id`` no
+    longer equals the canonical's doc_id under re-election — it remains
+    the structural min-label; only the ``is_canonical`` flag moves."""
+    uniq = scores.select("doc_id", "score").groupBy("doc_id").agg(
+        F.max("score").alias("score")
     )
+    sc = clusters.select("doc_id", "cluster_id").join(uniq, "doc_id", "left")
     winners = sc.groupBy("cluster_id").agg(
         F.max(
             F.struct(
-                F.col("score").alias("s"), (-F.col("doc_id")).alias("nid")
+                F.col("score").isNotNull().alias("scored"),
+                F.col("score").alias("s"),
+                (-F.col("doc_id")).alias("nid"),
             )
         ).alias("__w")
     ).select("cluster_id", (-F.col("__w.nid")).alias("__win_id"))

@@ -210,14 +210,19 @@ def media_dedup_exact(documents: DataFrame) -> DataFrame:
         m.select(
             "doc_id",
             "media_type",
-            F.md5(F.col("payload")).alias("payload_hash"),
+            F.unhex(F.md5(F.col("payload"))).alias("__h"),
         )
-        .groupBy("media_type", "payload_hash")
+        .groupBy("media_type", "__h")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
-        .select("payload_hash", "keep_doc_id", "n_copies", "media_type")
+        .select(
+            F.lower(F.hex("__h")).alias("payload_hash"),
+            "keep_doc_id",
+            "n_copies",
+            "media_type",
+        )
     )
 
 

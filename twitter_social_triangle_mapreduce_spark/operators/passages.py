@@ -27,9 +27,13 @@ Scale design — never doc×doc, never corpus-in-one-task:
   span relation plus a pure higher-order-function row expression — the
   corpus text itself is never exploded into per-token rows.
 
-Portability contract: window fingerprints are md5 hex (identical in
-DuckDB), spans are 1-based inclusive token indices (integer-exact), so
-cut lists hash-match the oracle and the rewritten text md5-matches it.
+Portability contract: window fingerprints are the 16-byte BINARY md5
+digest (``unhex`` of the hex digest — half the shuffled key bytes; the
+DuckDB oracles keep the hex form because the fingerprint NEVER appears
+in any compared output), spans are 1-based inclusive token indices
+(integer-exact), so cut lists hash-match the oracle and the rewritten
+text md5-matches it. Pre-round-4 indexes that materialized hex-string
+fingerprints are auto-converted on read (``incremental_passage_cuts``).
 
 Reference analogy: generalizes ``doc_rolling_hash``'s whole-document
 fold (text.py) to per-window rows, using the same slice/array_join
@@ -198,6 +202,13 @@ def incremental_passage_cuts(
     corpus occurrence), which is exactly how its DuckDB oracle states
     it."""
     nw = passage_windows(new_docs, window=window, stride=stride)
+    # legacy-index guard: an index materialized before the binary-
+    # fingerprint switch carries hex STRING wh; a string-vs-binary join
+    # would silently match NOTHING (review finding) — convert on read
+    if dict(corpus_windows.dtypes).get("wh") == "string":
+        corpus_windows = corpus_windows.withColumn(
+            "wh", F.unhex(F.col("wh"))
+        )
     batch_whs = nw.select("wh").distinct()
     idx_hits = (
         corpus_windows.select("wh")
