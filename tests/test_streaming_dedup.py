@@ -105,3 +105,59 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         want.add((r["doc_b"], r["doc_a"]))
     assert got == want
     assert got, "no candidate matches found"
+
+
+def test_streaming_passage_maintenance_matches_batch(spark, tmp_path):
+    """Three micro-batches fold through the passage window-index
+    snapshot; the union of committed cut lists equals the batch
+    passage_cut_spans recompute over everything ingested, and replaying
+    a committed batch id is a no-op."""
+    import json
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators import passages
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_passage_batch,
+        read_passage_cuts,
+        streaming_passage_maintenance,
+    )
+
+    boiler = "please accept cookies to continue using this website"
+    b0 = [(1, f"alpha beta gamma {boiler}"),
+          (2, f"{boiler} repeated inside batch zero {boiler}")]
+    b1 = [(10, f"{boiler} epsilon zeta eta theta iota"),
+          (11, "unique middle batch content with nothing shared here")]
+    b2 = [(20, f"closing batch lambda mu {boiler} nu xi"),
+          (21, "unique middle batch content with nothing shared here")]
+    stream_dir = tmp_path / "pdocs"
+    stream_dir.mkdir()
+    for i, rows in enumerate((b0, b1, b2)):
+        p = stream_dir / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(stream_dir))
+    )
+    snap = str(tmp_path / "psnap")
+    q = streaming_passage_maintenance(stream, snap, str(tmp_path / "pckpt"))
+    q.awaitTermination(timeout=120)
+
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in b0 + b1 + b2], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, read_passage_cuts(spark, snap).collect()))
+    want = sorted(map(tuple, passages.passage_cut_spans(all_docs).collect()))
+    assert got == want and len(got) >= 3
+    # docs 2 (intra-batch-0 repeat), 10, 20, 21 all carry cuts; 11 is
+    # the canonical of the duplicated-unique pair and keeps its text
+    assert {d for d, _, _ in got} == {2, 10, 20, 21}
+
+    # replay of a committed batch id must be a no-op
+    fold_passage_batch(all_docs, 1, snap)
+    assert sorted(map(tuple, read_passage_cuts(spark, snap).collect())) == got

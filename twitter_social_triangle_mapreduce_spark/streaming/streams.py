@@ -617,6 +617,115 @@ def streaming_cluster_maintenance(
     )
 
 
+def _passage_index_dir(snapshot_path: str, batch_id: int) -> str:
+    return f"{snapshot_path}/windows/w_{batch_id:020d}"
+
+
+def _passage_index_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
+    """Window-index dirs with batch id < ``before_batch_id`` — listed
+    from the filesystem directly (same append-only contract as the
+    cluster fold's band index; see ``_cluster_band_dirs``)."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/windows")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if st_.isDirectory() and name.startswith("w_"):
+            bid = int(name[2:])
+            if bid < before_batch_id:
+                out.append(_passage_index_dir(snapshot_path, bid))
+    return sorted(out)
+
+
+def fold_passage_batch(
+    batch_df: DataFrame, batch_id: int, snapshot_path: str
+) -> None:
+    """Fold one micro-batch of documents into the passage-dedup state:
+    screen the batch against the accumulated window index
+    (``passages.incremental_passage_cuts`` — the first batch has an
+    empty index and is screened against its own duplicates only via the
+    batch-internal keep-first), append its cut list to
+    ``cuts/c_<batch_id>`` and its window fingerprints to
+    ``windows/w_<batch_id>``, and commit with the same atomic-marker /
+    idempotent-replay contract as the other folds (the marker lives in
+    the cuts dir; a replayed batch id is a no-op, and a crashed
+    attempt's half-written dirs are overwritten by its replay)."""
+    from ..operators.passages import (
+        incremental_passage_cuts,
+        passage_cut_spans,
+        passage_windows,
+    )
+
+    spark = batch_df.sparkSession
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    cuts_dir = f"{snapshot_path}/cuts/c_{batch_id:020d}"
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{cuts_dir}/{ROLLUP_APPLIED_MARKER}"
+    )
+    if fs.exists(marker):
+        return  # replayed batch: already folded and committed
+    idx_dirs = _passage_index_dirs(spark, snapshot_path, batch_id)
+    if idx_dirs:
+        idx = spark.read.parquet(*idx_dirs)
+        cuts = incremental_passage_cuts(batch_df, idx)
+    else:
+        cuts = passage_cut_spans(batch_df)
+    cuts.write.mode("overwrite").parquet(cuts_dir)
+    passage_windows(batch_df).write.mode("overwrite").parquet(
+        _passage_index_dir(snapshot_path, batch_id)
+    )
+    fs.create(marker, True).close()
+
+
+def read_passage_cuts(spark, snapshot_path: str) -> DataFrame:
+    """All COMMITTED cut lists (doc_id, span_start, span_end) across
+    batches — apply with ``passages.apply_passage_cuts``."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/cuts")
+    if not fs.exists(root):
+        raise FileNotFoundError(f"no committed cuts under {snapshot_path}")
+    dirs = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if st_.isDirectory() and name.startswith("c_"):
+            m = jvm.org.apache.hadoop.fs.Path(
+                st_.getPath(), ROLLUP_APPLIED_MARKER
+            )
+            if fs.exists(m):
+                dirs.append(f"{snapshot_path}/cuts/{name}")
+    if not dirs:
+        raise FileNotFoundError(f"no committed cuts under {snapshot_path}")
+    return spark.read.parquet(*sorted(dirs))
+
+
+def streaming_passage_maintenance(
+    docs_stream: DataFrame, snapshot_path: str, checkpoint_path: str
+):
+    """Incrementally-maintained passage dedup: each micro-batch screens
+    against the accumulated window index and appends its cut list +
+    fingerprints — the streaming twin of the batch
+    ``passages.incremental_passage_cuts`` contract ("append
+    passage_windows(new_docs) to the index after ingest"), per-batch
+    cost batch-sized. Under monotone-increasing doc_ids across batches
+    the union of committed cut lists equals the batch
+    ``passage_cut_spans`` recompute over everything ingested (parity
+    pinned by tests/test_streaming_dedup.py).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_passage_batch(batch_df, batch_id, snapshot_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
