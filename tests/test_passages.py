@@ -258,3 +258,50 @@ def test_incremental_accepts_legacy_hex_string_index(spark):
     assert [(r.doc_id, r.span_start, r.span_end) for r in cuts] == [
         (10, 1, 8)
     ]
+
+
+def test_decontaminate_passage_cuts_excises_every_eval_overlap(spark):
+    """Passage-level decontamination: EVERY occurrence of an eval
+    window in the training docs is cut (no canonical survivor — eval
+    text must not remain anywhere); clean text is untouched."""
+    train = _docs(
+        spark,
+        [
+            (1, f"alpha beta {BOILER} gamma delta"),
+            (2, f"{BOILER} epsilon zeta eta theta iota"),
+            (3, "totally clean training prose with no overlap at all"),
+        ],
+    )
+    ev = _docs(spark, [(100, f"prefix words {BOILER} suffix words")])
+    cuts = sorted(
+        map(
+            tuple,
+            passages.decontaminate_passage_cuts(train, ev).collect(),
+        )
+    )
+    # BOTH train occurrences cut (doc 1 at 3..10, doc 2 at 1..8)
+    assert cuts == [(1, 3, 10), (2, 1, 8)]
+    out = {
+        r.doc_id: r.text
+        for r in passages.apply_passage_cuts(
+            train, passages.decontaminate_passage_cuts(train, ev)
+        ).collect()
+    }
+    assert out[1] == "alpha beta gamma delta"
+    assert out[2] == "epsilon zeta eta theta iota"
+    assert out[3] == "totally clean training prose with no overlap at all"
+
+
+def test_decontaminate_passage_eval_side_is_broadcast(spark):
+    train = _docs(spark, [(1, f"alpha beta {BOILER} gamma delta")])
+    ev = _docs(spark, [(100, BOILER)])
+    plan = (
+        passages.decontaminate_passage_cuts(train, ev)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    semi = [ln for ln in plan.splitlines() if "Join LeftSemi" in ln]
+    assert semi and all(
+        "rightHint=(strategy=broadcast)" in ln for ln in semi
+    ), semi

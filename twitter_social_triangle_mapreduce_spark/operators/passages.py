@@ -168,6 +168,42 @@ def _merge_spans(cuts: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate_passage_cuts(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> DataFrame:
+    """(doc_id, span_start, span_end) — PASSAGE-LEVEL decontamination:
+    cut spans covering EVERY training-window occurrence whose
+    fingerprint appears anywhere in the eval set. Unlike
+    ``corpus.decontaminate`` (which drops whole documents past an
+    overlap threshold) this is the surgical variant — the contaminated
+    span is excised and the rest of the document survives; and unlike
+    the dedup cut lists there is NO canonical survivor: eval text must
+    not remain anywhere in the training corpus.
+
+    Scale shape: identical to ``incremental_passage_cuts`` with the
+    eval set in the batch role — the (small, broadcast) eval
+    fingerprint set probes the training windows via one LeftSemi whose
+    build side is the eval hashes; the training corpus windows once
+    (its own fingerprint derivation) and never joins eval text. Apply
+    with ``apply_passage_cuts``."""
+    tw = passage_windows(documents, window=window, stride=stride)
+    ev = passage_windows(eval_docs, window=window, stride=stride).select(
+        "wh"
+    ).distinct()
+    cuts = (
+        tw.join(F.broadcast(ev), "wh", "left_semi")
+        .select(
+            "doc_id",
+            F.col("start").alias("s"),
+            (F.col("start") + F.lit(window - 1)).alias("e"),
+        )
+    )
+    return _merge_spans(cuts)
+
+
 def incremental_passage_cuts(
     new_docs: DataFrame,
     corpus_windows: DataFrame,
@@ -356,6 +392,56 @@ def passage_cuts_oracle_sql(
         + _cuts_cte(window, stride, docs_sql)
         + "\nSELECT doc_id, span_start, span_end FROM spans"
     )
+
+
+def decontam_passage_oracle_sql(
+    train_sql: str,
+    eval_sql: str,
+    window: int = PASSAGE_WINDOW,
+    stride: int = PASSAGE_STRIDE,
+) -> str:
+    """DuckDB twin of ``decontaminate_passage_cuts``."""
+    return f"""
+        WITH tws AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM ({train_sql})),
+        tstarts AS (SELECT doc_id, ws,
+                           unnest(range(1, len(ws) - {window} + 2,
+                                        {stride})) AS s
+                    FROM tws WHERE len(ws) >= {window}),
+        tw AS (SELECT doc_id, s,
+                      md5(array_to_string(
+                          list_slice(ws, s, s + {window} - 1), ' ')) AS wh
+               FROM tstarts),
+        ews AS (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM ({eval_sql})),
+        estarts AS (SELECT ws,
+                           unnest(range(1, len(ws) - {window} + 2,
+                                        {stride})) AS s
+                    FROM ews WHERE len(ws) >= {window}),
+        evw AS (SELECT DISTINCT
+                       md5(array_to_string(
+                           list_slice(ws, s, s + {window} - 1), ' ')) AS wh
+                FROM estarts),
+        cuts AS (SELECT t.doc_id, t.s, t.s + {window} - 1 AS e
+                 FROM tw t JOIN evw USING (wh)),
+        flagged AS (SELECT doc_id, s, e,
+                           CASE WHEN max(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                                 OR s > max(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) + 1
+                                THEN 1 ELSE 0 END AS ni
+                    FROM cuts),
+        isl AS (SELECT doc_id, s, e,
+                       SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS isl
+                FROM flagged)
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM isl GROUP BY doc_id, isl
+    """
 
 
 def passage_dedup_oracle_sql(

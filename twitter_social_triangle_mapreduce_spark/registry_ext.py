@@ -823,6 +823,16 @@ def q_doc_passage_cuts_incremental(
     )
 
 
+def q_doc_passage_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passages.decontaminate_passage_cuts(
+        docs.where(f"doc_id % {DECONTAM_EVAL_MOD} <> 0"),
+        docs.where(f"doc_id % {DECONTAM_EVAL_MOD} = 0"),
+    )
+
+
 def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import passages
 
@@ -855,6 +865,9 @@ EXT_EXTRA_QUERIES = {
     "cluster_update_incremental": q_cluster_update_incremental,
     # quality-based canonical re-election (longest member wins): exact
     "doc_canonical_longest": q_doc_canonical_longest,
+    # passage-level decontamination: surgical eval-overlap excision
+    # (cut lists, no canonical survivor): exact
+    "doc_passage_decontam": q_doc_passage_decontam,
     # data-mixing: token census -> exact integer per-source rates
     "source_mixture_rates": q_source_mixture_rates,
     # deterministic membership at the data-derived mixture rates
@@ -1795,6 +1808,16 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         FROM r
     """
     out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
+    out["doc_passage_decontam"] = _passages.decontam_passage_oracle_sql(
+        train_sql=(
+            "SELECT doc_id, text FROM documents"
+            f" WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0"
+        ),
+        eval_sql=(
+            "SELECT doc_id, text FROM documents"
+            f" WHERE doc_id % {DECONTAM_EVAL_MOD} = 0"
+        ),
+    )
     out["doc_passage_cuts_incremental"] = f"""
         SELECT doc_id, span_start, span_end
         FROM ({_passages.passage_cuts_oracle_sql()})
