@@ -524,7 +524,12 @@ def triangle_count_ordered(
     # own (overestimating) size probe + conf, so at a scale where the
     # keys stop fitting, the arm degrades to the plain unreduced
     # exchange — never a too-large broadcast.
-    from ..plans.strategy import build_side_mode, parse_byte_conf, plan_size_estimate
+    from ..plans.strategy import (
+        _conf,
+        build_side_mode,
+        parse_byte_conf,
+        plan_size_estimate,
+    )
 
     mode = build_side_mode(closing, ORDERED_CLOSING_CONF)
     if mode == "broadcast":
@@ -533,18 +538,12 @@ def triangle_count_ordered(
         closing_side = closing
     else:
         closing_side = closing.hint("shuffle_hash")
-        semi = "auto"
-        try:
-            semi = (
-                closing.sparkSession.conf.get(ORDERED_SEMI_CONF, "auto")
-                or "auto"
-            )
-        except Exception:
-            pass
+        semi = _conf(closing, ORDERED_SEMI_CONF, "auto") or "auto"
         if semi == "auto":
             try:
                 thresh = parse_byte_conf(
-                    closing.sparkSession.conf.get(
+                    _conf(
+                        closing,
                         ORDERED_SEMI_THRESHOLD_CONF,
                         ORDERED_SEMI_THRESHOLD_DEFAULT,
                     )

@@ -114,6 +114,15 @@ def passage_cut_spans(
     a doc-partitioned window over cut spans (overlapping OR adjacent
     spans coalesce — removing both equals removing the union)."""
     wins = passage_windows(documents, window=window, stride=stride)
+    return _merge_spans(_noncanonical_cut_windows(wins, window))
+
+
+def _noncanonical_cut_windows(wins: DataFrame, window: int) -> DataFrame:
+    """(doc_id, s, e) cut windows for every NON-CANONICAL occurrence of
+    a duplicated fingerprint in ``wins`` — the keep-first core shared by
+    the batch cut list and the incremental screen's batch-internal
+    branch: one partial-agg-combinable groupBy(wh) for count +
+    lexicographic-min canonical, occurrences joined back on the hash."""
     dup_keys = (
         wins.groupBy("wh")
         .agg(
@@ -123,7 +132,7 @@ def passage_cut_spans(
         .where(F.col("__cnt") > 1)
         .select("wh", "__canon")
     )
-    cuts = (
+    return (
         wins.join(dup_keys, "wh")
         .where(
             ~(
@@ -137,7 +146,6 @@ def passage_cut_spans(
             (F.col("start") + F.lit(window - 1)).alias("e"),
         )
     )
-    return _merge_spans(cuts)
 
 
 def _merge_spans(cuts: DataFrame) -> DataFrame:
@@ -253,33 +261,14 @@ def incremental_passage_cuts(
         .withColumn("__hit", F.lit(1))
     )
     marked = nw.join(F.broadcast(idx_hits), "wh", "left")
-    corpus_hit = marked.where(F.col("__hit") == 1).drop("__hit")
+    corpus_hit = marked.where(F.col("__hit") == 1).select(
+        "doc_id",
+        F.col("start").alias("s"),
+        (F.col("start") + F.lit(window - 1)).alias("e"),
+    )
     batch_only = marked.where(F.col("__hit").isNull()).drop("__hit")
-    batch_dups = (
-        batch_only.groupBy("wh")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct("doc_id", "start")).alias("__canon"),
-        )
-        .where(F.col("__cnt") > 1)
-        .select("wh", "__canon")
-    )
-    batch_cut = batch_only.join(batch_dups, "wh").where(
-        ~(
-            (F.col("doc_id") == F.col("__canon.doc_id"))
-            & (F.col("start") == F.col("__canon.start"))
-        )
-    )
-    cuts = (
-        corpus_hit.select("doc_id", "start")
-        .unionByName(batch_cut.select("doc_id", "start"))
-        .select(
-            "doc_id",
-            F.col("start").alias("s"),
-            (F.col("start") + F.lit(window - 1)).alias("e"),
-        )
-    )
-    return _merge_spans(cuts)
+    batch_cut = _noncanonical_cut_windows(batch_only, window)
+    return _merge_spans(corpus_hit.unionByName(batch_cut))
 
 
 def dedup_passages(
@@ -340,27 +329,30 @@ def apply_passage_cuts(documents: DataFrame, spans: DataFrame) -> DataFrame:
 # 0-based, hence the i+1 on the Spark side only.
 # ---------------------------------------------------------------------------
 
-def _cuts_cte(
-    window: int, stride: int, docs_sql: str = "SELECT * FROM documents"
+def _windows_cte(
+    window: int, stride: int, docs_sql: str, p: str = ""
 ) -> str:
+    """The per-occurrence window-fingerprint CTEs over ``docs_sql``,
+    name-prefixed with ``p`` so two corpora can be windowed in one
+    statement. Final CTE: ``{p}wins(doc_id, s, wh)``."""
     return f"""
-        ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        {p}ws AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM ({docs_sql})),
-        starts AS (SELECT doc_id, ws,
+        {p}starts AS (SELECT doc_id, ws,
                           unnest(range(1, len(ws) - {window} + 2, {stride}))
                               AS s
-                   FROM ws WHERE len(ws) >= {window}),
-        wins AS (SELECT doc_id, s,
+                   FROM {p}ws WHERE len(ws) >= {window}),
+        {p}wins AS (SELECT doc_id, s,
                         md5(array_to_string(
                             list_slice(ws, s, s + {window} - 1), ' ')) AS wh
-                 FROM starts),
-        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
-        ranked AS (SELECT w.doc_id, w.s,
-                          row_number() OVER (PARTITION BY w.wh
-                                             ORDER BY w.doc_id, w.s) AS rn
-                   FROM wins w JOIN dupw USING (wh)),
-        cuts AS (SELECT doc_id, s, s + {window} - 1 AS e
-                 FROM ranked WHERE rn > 1),
+                 FROM {p}starts)
+    """
+
+
+#: the shared island-merge tail: consumes a ``cuts(doc_id, s, e)`` CTE
+#: and defines ``spans(doc_id, span_start, span_end)`` — overlapping OR
+#: adjacent cut windows coalesce, mirroring the Spark ``_merge_spans``
+_MERGE_SPANS_SQL = """
         flagged AS (SELECT doc_id, s, e,
                            CASE WHEN max(e) OVER (
                                     PARTITION BY doc_id ORDER BY s, e
@@ -378,6 +370,22 @@ def _cuts_cte(
                 FROM flagged),
         spans AS (SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
                   FROM isl GROUP BY doc_id, isl)
+    """
+
+
+def _cuts_cte(
+    window: int, stride: int, docs_sql: str = "SELECT * FROM documents"
+) -> str:
+    return f"""
+        {_windows_cte(window, stride, docs_sql)},
+        dupw AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+        ranked AS (SELECT w.doc_id, w.s,
+                          row_number() OVER (PARTITION BY w.wh
+                                             ORDER BY w.doc_id, w.s) AS rn
+                   FROM wins w JOIN dupw USING (wh)),
+        cuts AS (SELECT doc_id, s, s + {window} - 1 AS e
+                 FROM ranked WHERE rn > 1),
+        {_MERGE_SPANS_SQL}
     """
 
 
@@ -402,45 +410,13 @@ def decontam_passage_oracle_sql(
 ) -> str:
     """DuckDB twin of ``decontaminate_passage_cuts``."""
     return f"""
-        WITH tws AS (SELECT doc_id, string_split(text, ' ') AS ws
-                     FROM ({train_sql})),
-        tstarts AS (SELECT doc_id, ws,
-                           unnest(range(1, len(ws) - {window} + 2,
-                                        {stride})) AS s
-                    FROM tws WHERE len(ws) >= {window}),
-        tw AS (SELECT doc_id, s,
-                      md5(array_to_string(
-                          list_slice(ws, s, s + {window} - 1), ' ')) AS wh
-               FROM tstarts),
-        ews AS (SELECT doc_id, string_split(text, ' ') AS ws
-                FROM ({eval_sql})),
-        estarts AS (SELECT ws,
-                           unnest(range(1, len(ws) - {window} + 2,
-                                        {stride})) AS s
-                    FROM ews WHERE len(ws) >= {window}),
-        evw AS (SELECT DISTINCT
-                       md5(array_to_string(
-                           list_slice(ws, s, s + {window} - 1), ' ')) AS wh
-                FROM estarts),
+        WITH {_windows_cte(window, stride, train_sql)},
+        {_windows_cte(window, stride, eval_sql, p="e")},
+        evw AS (SELECT DISTINCT wh FROM ewins),
         cuts AS (SELECT t.doc_id, t.s, t.s + {window} - 1 AS e
-                 FROM tw t JOIN evw USING (wh)),
-        flagged AS (SELECT doc_id, s, e,
-                           CASE WHEN max(e) OVER (
-                                    PARTITION BY doc_id ORDER BY s, e
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) IS NULL
-                                 OR s > max(e) OVER (
-                                    PARTITION BY doc_id ORDER BY s, e
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) + 1
-                                THEN 1 ELSE 0 END AS ni
-                    FROM cuts),
-        isl AS (SELECT doc_id, s, e,
-                       SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-                                     ROWS UNBOUNDED PRECEDING) AS isl
-                FROM flagged)
-        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
-        FROM isl GROUP BY doc_id, isl
+                 FROM wins t JOIN evw USING (wh)),
+        {_MERGE_SPANS_SQL}
+        SELECT doc_id, span_start, span_end FROM spans
     """
 
 

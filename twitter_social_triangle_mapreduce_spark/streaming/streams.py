@@ -499,26 +499,49 @@ def _cluster_bands_dir(snapshot_path: str, batch_id: int) -> str:
     return f"{snapshot_path}/bands/b_{batch_id:020d}"
 
 
-def _cluster_band_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
-    """Every band dir with batch id < ``before_batch_id``, listed from
-    the filesystem DIRECTLY — never derived from the committed-VERSION
-    list, which prunes to ``keep_versions`` entries while band dirs are
-    append-only (deriving from it silently dropped pruned batches' bands
-    from the dedup screen after keep_versions folds — review finding).
-    Excluding ids ≥ the current batch keeps a crashed prior attempt's
-    half-written own dir out of its replay's index."""
-    jvm, fs = _rollup_fs(spark, snapshot_path)
-    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/bands")
+def _list_batch_dirs(
+    spark,
+    parent: str,
+    prefix: str,
+    before_batch_id: int | None = None,
+    marker_required: bool = False,
+) -> list[str]:
+    """Batch-id-suffixed subdirs of ``parent`` (``<prefix><020d-id>``),
+    sorted — the shared listing behind every append-only per-batch
+    store. The listing comes from the filesystem DIRECTLY, never from
+    the committed-VERSION list, which prunes to ``keep_versions``
+    entries while these stores are append-only (deriving from it
+    silently dropped pruned batches' bands from the dedup screen —
+    review finding). ``before_batch_id`` excludes the current batch so
+    a crashed prior attempt's half-written own dir stays out of its
+    replay's input; ``marker_required`` keeps only committed dirs."""
+    jvm, fs = _rollup_fs(spark, parent)
+    root = jvm.org.apache.hadoop.fs.Path(parent)
     if not fs.exists(root):
         return []
     out = []
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
-        if st_.isDirectory() and name.startswith("b_"):
-            bid = int(name[2:])
-            if bid < before_batch_id:
-                out.append(_cluster_bands_dir(snapshot_path, bid))
+        if not (st_.isDirectory() and name.startswith(prefix)):
+            continue
+        if before_batch_id is not None and int(name[len(prefix):]) >= (
+            before_batch_id
+        ):
+            continue
+        if marker_required and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st_.getPath(), ROLLUP_APPLIED_MARKER)
+        ):
+            continue
+        out.append(f"{parent}/{name}")
     return sorted(out)
+
+
+def _cluster_band_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
+    """Band dirs with batch id < ``before_batch_id`` (see
+    ``_list_batch_dirs`` for the append-only listing contract)."""
+    return _list_batch_dirs(
+        spark, f"{snapshot_path}/bands", "b_", before_batch_id
+    )
 
 
 def read_cluster_snapshot(spark, snapshot_path: str) -> DataFrame:
@@ -622,21 +645,11 @@ def _passage_index_dir(snapshot_path: str, batch_id: int) -> str:
 
 
 def _passage_index_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
-    """Window-index dirs with batch id < ``before_batch_id`` — listed
-    from the filesystem directly (same append-only contract as the
-    cluster fold's band index; see ``_cluster_band_dirs``)."""
-    jvm, fs = _rollup_fs(spark, snapshot_path)
-    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/windows")
-    if not fs.exists(root):
-        return []
-    out = []
-    for st_ in fs.listStatus(root):
-        name = st_.getPath().getName()
-        if st_.isDirectory() and name.startswith("w_"):
-            bid = int(name[2:])
-            if bid < before_batch_id:
-                out.append(_passage_index_dir(snapshot_path, bid))
-    return sorted(out)
+    """Window-index dirs with batch id < ``before_batch_id`` (see
+    ``_list_batch_dirs`` for the append-only listing contract)."""
+    return _list_batch_dirs(
+        spark, f"{snapshot_path}/windows", "w_", before_batch_id
+    )
 
 
 def fold_passage_batch(
@@ -682,22 +695,12 @@ def fold_passage_batch(
 def read_passage_cuts(spark, snapshot_path: str) -> DataFrame:
     """All COMMITTED cut lists (doc_id, span_start, span_end) across
     batches — apply with ``passages.apply_passage_cuts``."""
-    jvm, fs = _rollup_fs(spark, snapshot_path)
-    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/cuts")
-    if not fs.exists(root):
-        raise FileNotFoundError(f"no committed cuts under {snapshot_path}")
-    dirs = []
-    for st_ in fs.listStatus(root):
-        name = st_.getPath().getName()
-        if st_.isDirectory() and name.startswith("c_"):
-            m = jvm.org.apache.hadoop.fs.Path(
-                st_.getPath(), ROLLUP_APPLIED_MARKER
-            )
-            if fs.exists(m):
-                dirs.append(f"{snapshot_path}/cuts/{name}")
+    dirs = _list_batch_dirs(
+        spark, f"{snapshot_path}/cuts", "c_", marker_required=True
+    )
     if not dirs:
         raise FileNotFoundError(f"no committed cuts under {snapshot_path}")
-    return spark.read.parquet(*sorted(dirs))
+    return spark.read.parquet(*dirs)
 
 
 def streaming_passage_maintenance(
