@@ -256,3 +256,79 @@ def test_passage_cuts_cover_exactly_noncanonical_occurrences(spark, texts):
         lst.sort()
         for (a1, b1), (a2, b2) in zip(lst, lst[1:]):
             assert a2 > b1 + 1
+
+
+@given(texts=_pass_corpora, split=st.integers(1, 7))
+@SET
+def test_incremental_passage_parity_on_random_corpora(spark, texts, split):
+    """The incremental-screen parity theorem, property-tested: for ANY
+    corpus and ANY id-threshold split (append-only invariant holds by
+    construction), screening the batch against the corpus window index
+    equals the full recompute restricted to batch docs."""
+    from twitter_social_triangle_mapreduce_spark.operators import passages
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    corpus = docs.where(f"doc_id < {split}")
+    batch = docs.where(f"doc_id >= {split}")
+    inc = sorted(
+        map(
+            tuple,
+            passages.incremental_passage_cuts(
+                batch, passages.passage_windows(corpus, window=3), window=3
+            ).collect(),
+        )
+    )
+    full = sorted(
+        map(
+            tuple,
+            passages.passage_cut_spans(docs, window=3)
+            .where(f"doc_id >= {split}")
+            .collect(),
+        )
+    )
+    assert inc == full
+
+
+_near_dup_texts = st.lists(
+    st.sampled_from(
+        [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",
+            "one two three four five six seven",
+            "one two three four five six eight",
+            "lorem ipsum dolor sit amet elit",
+        ]
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(texts=_near_dup_texts, split=st.integers(1, 6))
+@SET
+def test_incremental_cluster_parity_on_random_corpora(spark, texts, split):
+    """The cluster-graph-collapse parity theorem, property-tested: for
+    ANY corpus drawn from a near-dup-heavy pool and ANY split, folding
+    the batch into the converged corpus state equals the batch
+    recompute over everything."""
+    from twitter_social_triangle_mapreduce_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "web", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    corpus = docs.where(f"doc_id < {split}")
+    batch = docs.where(f"doc_id >= {split}")
+    if batch.count() == 0:
+        return
+    if corpus.count() == 0:
+        return
+    upd = dedup.update_near_dup_clusters(
+        dedup.near_dup_clusters(corpus), dedup.minhash_bands(corpus), batch
+    )
+    bat = dedup.near_dup_clusters(docs)
+    assert sorted(map(tuple, upd.collect())) == sorted(
+        map(tuple, bat.collect())
+    )

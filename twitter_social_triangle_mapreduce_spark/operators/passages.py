@@ -237,7 +237,10 @@ def incremental_passage_cuts(
     batch (LeftSemi/LeftAnti can only build right — review finding).
     The corpus text is never re-fingerprinted and nothing corpus-sized
     shuffles. Contract for the next batch: append
-    ``passage_windows(new_docs)`` to the index after ingest.
+    ``passage_windows(new_docs)`` to the index after ingest — built
+    with the SAME ``window``/``stride`` as this screen: fingerprints of
+    different window widths never match, so a mismatch silently screens
+    nothing (a property-test run caught exactly this misuse).
 
     Parity (pinned by tests/test_passages.py): when every batch doc_id
     exceeds every corpus doc_id — the append-only ingest invariant —
