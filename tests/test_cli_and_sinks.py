@@ -252,3 +252,63 @@ def test_cli_prepare_corpus_writes_shards_and_audit(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     for verdict, n in hist.items():
         assert f"{verdict}\t{n}" in printed
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/source (write_orc/read_orc_table): values roundtrip
+    exactly and a predicate reaches the ORC scan as a pushed filter —
+    the same columnar contract the parquet path is tested for."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import (
+        load_table,
+        read_orc_table,
+        write_orc,
+    )
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc_table(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    plan = (
+        back.where("doc_id < 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "OrcScan" in plan or "Format: ORC" in plan or "orc" in plan.lower()
+    assert "PushedFilters: [" in plan and "doc_id" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+
+
+def test_shard_manifest_offsets_are_contiguous(spark, tmp_path):
+    """shard_manifest: per-shard totals agree with the input corpus and
+    the tape offsets are gap-free across shards (the packed-layout
+    invariant a data loader checks)."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path)
+    man = shard_manifest(spark, path).collect()
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    total_tokens = docs.selectExpr(
+        "sum(size(split(text, ' '))) AS t"
+    ).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in man) == total_tokens
+    # offsets contiguous: each shard starts where the previous ended
+    man_sorted = sorted(man, key=lambda r: r["shard"])
+    assert man_sorted[0]["start_off"] == 0
+    for a, b in zip(man_sorted, man_sorted[1:]):
+        assert b["start_off"] == a["end_off"]
+    assert man_sorted[-1]["end_off"] == total_tokens

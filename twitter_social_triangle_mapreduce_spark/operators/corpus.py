@@ -179,6 +179,29 @@ def write_training_shards(
     )
 
 
+def shard_manifest(spark, path: str) -> DataFrame:
+    """(shard, n_docs, n_tokens, start_off, end_off) — the dataset card
+    of a ``write_training_shards`` output: per-shard document and token
+    totals plus the tape-offset range, read from the shard columns only
+    (column pruning keeps the text payload untouched — a manifest over
+    a petabyte of shards reads a few integer columns). The offsets being
+    contiguous and gap-free across shards is the packed-layout
+    invariant a trainer's data loader checks before an epoch."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = spark.read.parquet(path)
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("start_off").alias("start_off"),
+            F.max(F.col("start_off") + F.col("n_tokens")).alias("end_off"),
+        )
+        .orderBy("shard")
+    )
+
+
 def _shingle_cte(src_sql: str, n: int, rel: str) -> str:
     """DuckDB CTE body producing ``rel(doc_id, sh)`` — word ``n``-shingles
     of ``src_sql``'s (doc_id, text) rows; same guard as
