@@ -59,12 +59,18 @@ ORDERED_SEMI_CONF = "spark.graft.ordered.semiFilter"
 #: one per distinct support edge — a deliberately SEPARATE knob from
 #: spark.sql.autoBroadcastJoinThreshold, because the key set is ~4×
 #: narrower than the closing relation whose broadcast that threshold
-#: rejected; clusters with small executors lower or disable it).
-#: Catalyst's estimate is an E-scale OVERESTIMATE for the projected
-#: aggregate, so the guard errs toward skipping the filter — the arm
-#: that only costs the unreduced exchange, never memory.
+#: rejected; clusters with large executors raise it, small ones lower
+#: or disable it). The default is sized by measurement, not hope: the
+#: built LongHashedRelation is a small multiple of Catalyst's raw
+#: estimate plus driver + executor copies, and a 1g cap let the
+#: 100M-edge probe (keys est 1,067 MB) build a multi-GB broadcast that
+#: OOM'd an 8g driver; 256m keeps the 10M-edge regime firing (est
+#: 107 MB → ~300 MB built) and degrades 100M+ to the plain unreduced
+#: exchange. The estimate itself is an E-scale OVERESTIMATE for the
+#: projected aggregate, so the guard errs toward skipping the filter —
+#: the arm that only costs the exchange, never memory.
 ORDERED_SEMI_THRESHOLD_CONF = "spark.graft.ordered.semiFilterThreshold"
-ORDERED_SEMI_THRESHOLD_DEFAULT = "1g"
+ORDERED_SEMI_THRESHOLD_DEFAULT = "256m"
 
 
 def filter_edges(
