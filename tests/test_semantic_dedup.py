@@ -143,3 +143,32 @@ def test_kmeans_training_loop_descends_and_feeds_ivf(spark):
         emb, min_sim_e4=2000, centroids=c2
     )
     assert out.count() == emb.count()
+
+
+def test_update_semantic_clusters_matches_batch(spark):
+    """The semantic incremental fold: batch vectors joining existing
+    clusters, bridging two clusters, and arriving as singletons must
+    all land exactly where the from-scratch batch recompute puts them
+    (the cluster-graph-collapse parity, semantic tier)."""
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    s1 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    corpus = _emb(spark, [a, a, b, b, s1])  # ids 0..4
+    new_vecs = [(5, a), (6, s1), (7, [0.0] * 7 + [1.0])]
+    new = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in new_vecs],
+        "vec_id long, embedding array<float>",
+    )
+    state0 = similarity.semantic_dedup_clusters(corpus, dims=DIMS)
+    upd = similarity.update_semantic_clusters(
+        state0, corpus, new, dims=DIMS
+    )
+    batch = similarity.semantic_dedup_clusters(
+        corpus.unionByName(new), dims=DIMS
+    )
+    got = sorted(map(tuple, upd.collect()))
+    assert got == sorted(map(tuple, batch.collect()))
+    by_id = {v: c for v, c, _ in got}
+    assert by_id[5] == 0   # joined the a-cluster
+    assert by_id[6] == 4   # joined the s1 singleton -> cluster of id 4
+    assert by_id[7] == 7   # fresh singleton

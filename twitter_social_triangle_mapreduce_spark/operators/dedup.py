@@ -489,8 +489,6 @@ def update_near_dup_clusters(
     ``minhash_bands(new_docs)`` to the band index after ingest; the
     streaming twin (``streaming.streams.streaming_cluster_maintenance``)
     does both under a versioned, idempotent snapshot."""
-    from .components import connected_components
-
     nb = minhash_bands(new_docs)
     all_bands = corpus_bands.select("doc_id", "band", "bh").unionByName(
         nb.select("doc_id", "band", "bh")
@@ -505,6 +503,23 @@ def update_near_dup_clusters(
         .select("new_id", "other_id")
         .distinct()
     )
+    return _fold_collision_hits(state, new_docs.select("doc_id"), hits, iterations)
+
+
+def _fold_collision_hits(
+    state: DataFrame,
+    new_ids: DataFrame,
+    hits: DataFrame,
+    iterations: int,
+) -> DataFrame:
+    """The cluster-graph collapse shared by the MinHash and semantic
+    incremental folds: (new_id, other_id) collision hits map to cluster
+    labels (old docs → their cluster_id, new docs → own id), min-label
+    propagation runs on the batch-sized label graph, and the remap
+    applies back with one state equi-join plus the new-doc append
+    (re-ingest-guarded: a replayed id keeps its corpus assignment)."""
+    from .components import connected_components
+
     old_lbl = state.select(
         F.col("doc_id").alias("other_id"), F.col("cluster_id").alias("other_lbl")
     )
@@ -525,13 +540,10 @@ def update_near_dup_clusters(
             ),
         )
     )
-    # re-ingest guard: a doc_id already in the state keeps its (possibly
-    # remapped) corpus assignment — without the anti-join a replayed
-    # batch would emit the id twice and corrupt the state relation
     new_part = (
-        new_docs.select("doc_id")
+        new_ids.select("doc_id")
         .join(state.select("doc_id"), "doc_id", "left_anti")
-        .join(remap, new_docs.doc_id == F.col("__lbl"), "left")
+        .join(remap, new_ids.doc_id == F.col("__lbl"), "left")
         .select(
             "doc_id",
             F.coalesce(F.col("__new_lbl"), F.col("doc_id")).alias(

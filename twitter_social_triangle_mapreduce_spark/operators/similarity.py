@@ -627,6 +627,91 @@ def semantic_dedup_clusters(
     )
 
 
+def update_semantic_clusters(
+    state: DataFrame,
+    corpus_embeddings: DataFrame,
+    new_embeddings: DataFrame,
+    min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
+    k_cells: int = IVF_CELLS,
+    bits: int = LSH_BITS,
+    dims: int = EMBED_DIMS,
+    iterations: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cluster_id, is_canonical) over corpus ∪ batch — the
+    SEMANTIC twin of ``dedup.update_near_dup_clusters``: fold a batch
+    of new vectors into converged semantic-dedup cluster state without
+    recomputing corpus×corpus pairs.
+
+    Collision hits come from the same (cell, signature) composite key
+    as the batch operator — the batch derives ITS OWN cell/signature
+    columns, equi-joins the corpus-side derivation (planner broadcasts
+    the batch side), and survivors pass the exact integer-floored
+    cosine threshold; the cluster-graph collapse
+    (``dedup._fold_collision_hits``) then remaps labels with one
+    state-relation join. ``centroids`` must be the SAME quantizer the
+    corpus state was built with (like the passage index's window
+    contract: mismatched quantizers silently miss collisions).
+    Incremental == batch at convergence, same parity argument as the
+    MinHash fold (pinned in tests/test_semantic_dedup.py).
+
+    Note: unlike MinHash bands, cell+signature derive from the
+    embeddings directly, so the "materialized index" here is just the
+    corpus embeddings table itself — per-batch compute is the corpus
+    cell/signature projection (scan-shaped, no shuffle) plus
+    batch-sized joins."""
+    from .dedup import NEAR_DUP_CC_ROUNDS, _fold_collision_hits
+
+    it = NEAR_DUP_CC_ROUNDS if iterations is None else iterations
+    all_emb = corpus_embeddings.unionByName(new_embeddings)
+    cells = ivf_cells(all_emb, k_cells, centroids=centroids)
+    emb = all_emb.join(cells, "vec_id").withColumn(
+        "sig", _sig_col(bits, dims)
+    )
+    nb = emb.join(
+        new_embeddings.select("vec_id"), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+        "cell",
+        "sig",
+    )
+    others = emb.select(
+        F.col("vec_id").alias("other_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        "cell",
+        "sig",
+    )
+    dot = _dot("qe", "ce")
+    hits = (
+        nb.join(
+            others,
+            ["cell", "sig"],
+        )
+        .where(F.col("new_id") != F.col("other_id"))
+        .where(
+            F.floor(10000 * (dot / (F.col("qn") * F.col("cn")))).cast(
+                "long"
+            )
+            >= min_sim_e4
+        )
+        .select("new_id", "other_id")
+        .distinct()
+    )
+    state_renamed = state.select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    out = _fold_collision_hits(
+        state_renamed, new_embeddings.select(F.col("vec_id").alias("doc_id")),
+        hits, it,
+    )
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+    )
+
+
 def refine_centroids(
     embeddings: DataFrame,
     k: int = IVF_CELLS,
