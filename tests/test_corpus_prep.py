@@ -357,3 +357,55 @@ def test_capstone_cut_passages_excises_boilerplate_from_shards(spark, tmp_path):
     assert cut[1] == rows[0][1]
     assert boiler in plain[2] and boiler not in cut[2]
     assert cut[2].endswith("to sleep and dream")
+
+
+def test_capstone_fully_cut_docs_audited_and_reconcile(spark, tmp_path):
+    """Round-5 ADVICE regression: a surviving doc whose ENTIRE text is a
+    duplicated passage (canonical occurrence lives inside a longer doc)
+    is dropped from the shard input AND audited ``fully_cut`` — the
+    audit's ``kept`` count must equal the packed doc count exactly, so
+    shard contents reconcile against the audit."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    boiler = ("the quick brown fox of the meadow jumps over a lazy dog "
+              "and runs down to the wide river near the old stone bridge "
+              "by the farm")  # 24 tokens: clears the 20-token length gate
+    # doc 1 embeds the boilerplate inside MUCH longer unique prose —
+    # doc-level jaccard(1,2) = |sh2|/|sh1| ≈ 22/260 ≈ 0.085, far below
+    # the (8,2) s-curve threshold (~0.5), so the MinHash gate stays
+    # blind while every doc-2 window is canonical inside doc 1. The
+    # filler templates carry stopwords (curation) and distinct counters
+    # (no accidental intra-doc duplicate windows).
+    filler_pre = " ".join(
+        f"the mill w{i:03d} of a brook b{i:03d}" for i in range(20)
+    )
+    filler_post = " ".join(
+        f"and the barn y{i:03d} by a field f{i:03d}" for i in range(15)
+    )
+    rows = [
+        (1, f"{filler_pre} {boiler} {filler_post}"),
+        (2, boiler),
+        (3, "the cat sat on the mat and it was happy to be there all of "
+            "the long day with a friend of the house"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.where("doc_id < 0")
+    out_plain = str(tmp_path / "plain")
+    out_cut = str(tmp_path / "cut")
+    plain_audit = {
+        r["doc_id"]: r["verdict"]
+        for r in prepare_training_corpus(docs, ev, out_plain).collect()
+    }
+    assert plain_audit[2] == "kept"  # doc-level gates are blind to it
+    audit = prepare_training_corpus(docs, ev, out_cut, cut_passages=True)
+    verdicts = {r["doc_id"]: r["verdict"] for r in audit.collect()}
+    assert verdicts[2] == "fully_cut"
+    assert verdicts[1] == "kept" and verdicts[3] == "kept"
+    packed_ids = {
+        r["doc_id"] for r in spark.read.parquet(out_cut).collect()
+    }
+    assert 2 not in packed_ids
+    kept_ids = {d for d, v in verdicts.items() if v == "kept"}
+    assert kept_ids == packed_ids  # audit reconciles against shards

@@ -312,6 +312,27 @@ def test_update_clusters_reingest_is_idempotent(spark):
     assert _sorted_state(updated) == [(1, 1, 1), (2, 1, 0), (30, 30, 1)]
 
 
+def test_update_clusters_reingest_bridges_transitive_merge(spark):
+    """Round-5 ADVICE regression: a batch that re-ingests a NON-LABEL
+    member of an existing cluster with text now colliding with a
+    DIFFERENT cluster must merge the two clusters — the doc's identity
+    is the only bridge. Before the fix, the collision edge carried the
+    re-ingested doc's raw id (never a cluster_id), so the remap join
+    missed cluster 10 entirely and the merge was silently dropped."""
+    corpus = _docs(
+        spark,
+        [(1, "web", T1), (2, "web", T1), (10, "web", T2), (11, "web", T2)],
+    )
+    state0 = dedup.near_dup_clusters(corpus)
+    bands0 = dedup.minhash_bands(corpus)
+    # doc 11 (member of cluster 10, NOT its label) re-arrives as a T1 dup
+    batch = _docs(spark, [(11, "web", T1)])
+    updated = dedup.update_near_dup_clusters(state0, bands0, batch)
+    assert _sorted_state(updated) == [
+        (1, 1, 1), (2, 1, 0), (10, 1, 0), (11, 1, 0),
+    ]
+
+
 def test_cluster_fold_band_index_survives_version_pruning(spark, tmp_path):
     """Review finding: the band index must be listed from bands/
     directly, not derived from the committed-version list — version

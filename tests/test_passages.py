@@ -207,9 +207,17 @@ def test_incremental_probe_is_batch_sized(spark, tmp_path):
     """The corpus window index must be probed in place: the batch's
     broadcast fingerprint set reduces the index (which streams through
     as a plain scan), and the surviving hashes broadcast back — nothing
-    index-sized shuffles, nothing is re-fingerprinted."""
+    index-sized shuffles, nothing is re-fingerprinted. The batch is
+    parquet-backed like production ingest: the round-5 size guard reads
+    the batch SCAN's statistics (the window explode makes the derived
+    relation's own estimate unboundable), so a stat-less in-memory
+    batch would take the documented safe (shuffle) arm instead."""
     corpus = _docs(spark, [(1, f"intro {BOILER} outro words")])
-    batch = _docs(spark, [(10, f"{BOILER} epsilon zeta eta theta")])
+    bpath = str(tmp_path / "batch")
+    _docs(spark, [(10, f"{BOILER} epsilon zeta eta theta")]).write.mode(
+        "overwrite"
+    ).parquet(bpath)
+    batch = spark.read.parquet(bpath)
     idx = passages.passage_windows(corpus)
     # materialize the index (the daily-ingest contract) so the plan
     # over it is a plain scan, then screen the batch
@@ -242,6 +250,23 @@ def test_incremental_probe_is_batch_sized(spark, tmp_path):
     # explodes exist solely for the batch side
     assert "Relation [doc_id" in plan and "parquet" in plan
     assert "Generate" in plan
+
+    # over-threshold batch (round-5 ADVICE): the SAME call degrades to
+    # the shuffled-hash arm instead of a forced corpus-scale broadcast
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thresh_key)
+    try:
+        spark.conf.set(thresh_key, "1")
+        plan_big = (
+            passages.incremental_passage_cuts(batch, stored)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(thresh_key, old)
+    assert "strategy=broadcast" not in plan_big
+    assert "strategy=shuffle_hash" in plan_big
 
 
 def test_incremental_accepts_legacy_hex_string_index(spark):

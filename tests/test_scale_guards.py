@@ -317,28 +317,41 @@ def test_quality_gate_windows_score_domain_not_corpus(spark):
     assert win_idx < agg_idx, "window must sit above the histogram agg"
 
 
-def test_capstone_shuffle_budget():
-    """Round-4 guard (verdict item 5): the capstone's total shuffle
-    bytes and stage count at sf0.001, measured in a FRESH UI-enabled
-    session (subprocess — bytes are machine-noise-free where wall-time
-    is not), must stay inside the persisted-audit budget. Reintroducing
-    the corpus-sized replan (dropping the audit persist) measured
-    3.6 MB / 85 stages vs the persisted 2.1 MB / 70 — both asserts
-    fail in that regime."""
+def _run_capstone_probe(arg: str | None = None) -> dict:
     import json
     import os
     import subprocess
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts/capstone_budget_probe.py")],
-        capture_output=True,
-        text=True,
-        timeout=420,
-    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE)
+    cmd = [
+        sys.executable,
+        os.path.join(repo, "scripts/capstone_budget_probe.py"),
+        sf_dir,
+    ]
+    if arg:
+        cmd.append(arg)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    got = json.loads(line)
-    assert got["persist"] is True
-    assert got["shuffle_write_mb"] < 3.0, got
-    assert got["n_stages"] < 80, got
+    return json.loads(line)
+
+
+def test_capstone_shuffle_budget():
+    """Round-4 guard (verdict item 5), restated as a RATIO in round 5
+    (ADVICE: the absolute <3.0 MB / <80-stage constants would flake on
+    a Spark version bump or AQE tuning change with no real regression):
+    the persisted-audit capstone must shuffle meaningfully fewer bytes
+    in fewer stages than the SAME-session-class nopersist run — the
+    replan regime the persist exists to prevent. Round-4 measurements:
+    persisted 2.1 MB / 70 stages vs nopersist 3.6 MB / 85 (ratio 0.58);
+    the 0.85 byte bound and stage headroom keep ambient drift out while
+    still failing if the audit persist is dropped (ratio → ~1.0)."""
+    got = _run_capstone_probe()
+    base = _run_capstone_probe("nopersist")
+    assert got["persist"] is True and base["persist"] is False
+    assert got["shuffle_write_mb"] <= 0.85 * base["shuffle_write_mb"], (
+        got,
+        base,
+    )
+    assert got["n_stages"] < base["n_stages"], (got, base)

@@ -55,10 +55,11 @@ def prepare_training_corpus(
        boilerplate spans inside otherwise-unique survivors are excised
        before packing — the sub-document duplicate class every earlier
        gate is blind to. Off by default so the shipped bench/budget
-       profile is unchanged; the audit is unaffected either way (spans
-       change text, not keep/drop verdicts; documents cut to EMPTY are
-       dropped from the shard input — their audit row stays ``kept``,
-       the spans simply covered everything);
+       profile is unchanged. Documents whose spans covered EVERYTHING
+       are dropped from the shard input AND audited as ``fully_cut``
+       (round-5 ADVICE: a ``kept`` verdict for a doc absent from every
+       shard would break audit-vs-shard reconciliation — the audit's
+       ``kept`` count must equal the packed doc count exactly);
     5. the survivors pack onto the token tape and land as
        hive-partitioned shards (``write_training_shards``).
 
@@ -127,19 +128,38 @@ def prepare_training_corpus(
         if persist_audit:
             spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
         extra = [c for c in documents.columns if c not in ("doc_id", "text")]
-        cut = apply_passage_cuts(kept_text, spans).where(
-            F.length("text") > 0
-        )
+        applied = apply_passage_cuts(kept_text, spans)
+        cut = applied.where(F.length("text") > 0)
+        # spans covered the whole doc (guard on n_spans_cut: a doc that
+        # was ALREADY empty has no spans and passes through untouched —
+        # it is not "fully cut", it never had passage surface)
+        empties = applied.where(
+            (F.length("text") == 0) & (F.col("n_spans_cut") > 0)
+        ).select("doc_id", F.lit(1).alias("__fully_cut"))
         kept = cut.select("doc_id", "text").join(
             kept.select("doc_id", *extra), "doc_id"
         ) if extra else cut.select("doc_id", "text")
-    else:
-        spans = None
+        # the returned audit reconciles against shard contents: its
+        # derivation reuses the persisted span relation, so the only
+        # re-evaluated work is the (scan-shaped) HOF text rewrite
+        audit = (
+            audit.join(empties, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("__fully_cut") == 1, F.lit("fully_cut"))
+                .otherwise(F.col("verdict"))
+                .alias("verdict"),
+            )
+        )
     write_training_shards(
         kept, path, budget=budget, packs_per_shard=packs_per_shard
     )
-    if cut_passages and persist_audit:
-        spans.unpersist()  # shard write done; the cut list is spent
+    # NOTE: the cut-arm span persist is NOT released here — the returned
+    # audit's fully_cut override reads it (an eager unpersist would make
+    # the caller's audit evaluation replan the whole window-fingerprint
+    # pipeline). It is manifest-sized (collision survivors only) and
+    # MEMORY_AND_DISK; callers done with the audit release it with
+    # ``spark.catalog.clearCache()`` or by ending the session.
     return audit
 
 

@@ -514,18 +514,34 @@ def _fold_collision_hits(
 ) -> DataFrame:
     """The cluster-graph collapse shared by the MinHash and semantic
     incremental folds: (new_id, other_id) collision hits map to cluster
-    labels (old docs → their cluster_id, new docs → own id), min-label
-    propagation runs on the batch-sized label graph, and the remap
-    applies back with one state equi-join plus the new-doc append
-    (re-ingest-guarded: a replayed id keeps its corpus assignment)."""
+    labels — BOTH endpoints: docs already in ``state`` → their
+    cluster_id, genuinely-new docs → own id — min-label propagation runs
+    on the batch-sized label graph, and the remap applies back with one
+    state equi-join plus the new-doc append (re-ingest-guarded: a
+    replayed id keeps its corpus assignment).
+
+    The new_id endpoint MUST also map through state labels (round-5
+    ADVICE): a batch that re-ingests a NON-LABEL member of an existing
+    cluster would otherwise emit edges from its raw id — a vertex the
+    remap join (keyed on cluster_id) can never match — silently dropping
+    every transitive merge bridged by that doc (its old cluster never
+    merges with the colliding one). With both sides label-mapped,
+    re-ingested batches need not be id-disjoint from the corpus."""
     from .components import connected_components
 
     old_lbl = state.select(
         F.col("doc_id").alias("other_id"), F.col("cluster_id").alias("other_lbl")
     )
-    lbl_edges = hits.join(old_lbl, "other_id", "left").select(
-        F.col("new_id").alias("src"),
-        F.coalesce(F.col("other_lbl"), F.col("other_id")).alias("dst"),
+    new_side_lbl = state.select(
+        F.col("doc_id").alias("new_id"), F.col("cluster_id").alias("new_lbl")
+    )
+    lbl_edges = (
+        hits.join(old_lbl, "other_id", "left")
+        .join(new_side_lbl, "new_id", "left")
+        .select(
+            F.coalesce(F.col("new_lbl"), F.col("new_id")).alias("src"),
+            F.coalesce(F.col("other_lbl"), F.col("other_id")).alias("dst"),
+        )
     )
     remap = connected_components(lbl_edges, iterations=iterations).select(
         F.col("v").alias("__lbl"), F.col("component").alias("__new_lbl")

@@ -228,13 +228,18 @@ def incremental_passage_cuts(
 
     Per-batch cost is batch-sized: the batch computes only ITS OWN
     windows, and the index is probed in the ONLY direction Spark can
-    keep shuffle-free — the batch's (small, explicitly broadcast)
-    fingerprint set REDUCES the index first (LeftSemi builds on the
-    broadcast right side; the index streams through as a scan), and the
-    surviving index hashes — at most |batch windows| — broadcast back
-    onto the batch windows. A semi/anti join with the index on the
-    build side would instead hash-partition the whole corpus index per
-    batch (LeftSemi/LeftAnti can only build right — review finding).
+    keep shuffle-free — the batch's (small) fingerprint set REDUCES the
+    index first (LeftSemi builds on the right side; the index streams
+    through as a scan), and the surviving index hashes — at most
+    |batch windows| — build back onto the batch windows. A semi/anti
+    join with the index on the build side would instead hash-partition
+    the whole corpus index per batch (LeftSemi/LeftAnti can only build
+    right — review finding). Both batch-derived build sides are
+    SIZE-GUARDED (round-5 ADVICE), not force-broadcast: a catch-up run
+    feeding a corpus-scale "batch" degrades to a shuffled hash join
+    instead of OOMing executors — the same
+    ``plans.strategy.shuffle_hash_unless_broadcastable`` contract as
+    every other build side in the repo.
     The corpus text is never re-fingerprinted and nothing corpus-sized
     shuffles. Contract for the next batch: append
     ``passage_windows(new_docs)`` to the index after ingest — built
@@ -256,14 +261,31 @@ def incremental_passage_cuts(
         corpus_windows = corpus_windows.withColumn(
             "wh", F.unhex(F.col("wh"))
         )
+    from ..plans.strategy import build_side_mode
+
     batch_whs = nw.select("wh").distinct()
+    # ONE size decision routes BOTH joins: idx_hits is a value-subset of
+    # batch_whs by construction (the semi-join can only keep hashes the
+    # batch presented), so "the batch's fingerprints fit the broadcast
+    # threshold" bounds idx_hits too. Statistics come from new_docs (the
+    # pre-explode relation — Catalyst cannot bound the window explode,
+    # so batch_whs' own estimate is ~2^63 even for one doc) with an 8×
+    # width factor: one window row is ≤ 40 B (16 B digest + two longs +
+    # overhead) per ~6 B source token — ~5.3×, rounded up so the guard
+    # errs toward the shuffle arm.
+    mode = build_side_mode(batch_whs, stats_of=new_docs, scale=8.0)
+    if mode in ("as_is", "broadcast"):
+        batch_whs, hint = F.broadcast(batch_whs), F.broadcast
+    else:
+        batch_whs = batch_whs.hint("shuffle_hash")
+        hint = lambda df: df.hint("shuffle_hash")  # noqa: E731
     idx_hits = (
         corpus_windows.select("wh")
-        .join(F.broadcast(batch_whs), "wh", "left_semi")
+        .join(batch_whs, "wh", "left_semi")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    marked = nw.join(F.broadcast(idx_hits), "wh", "left")
+    marked = nw.join(hint(idx_hits), "wh", "left")
     corpus_hit = marked.where(F.col("__hit") == 1).select(
         "doc_id",
         F.col("start").alias("s"),

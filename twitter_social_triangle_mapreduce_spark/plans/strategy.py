@@ -90,7 +90,12 @@ def scan_partition_count(df: DataFrame) -> int | None:
         return None
 
 
-def build_side_mode(side: DataFrame, conf_key: str | None = None) -> str:
+def build_side_mode(
+    side: DataFrame,
+    conf_key: str | None = None,
+    stats_of: DataFrame | None = None,
+    scale: float = 1.0,
+) -> str:
     """The decision behind ``shuffle_hash_unless_broadcastable``, exposed
     so operators can couple FURTHER plan choices to the same arm (the
     ordered triangle adds a semi-join reduction only on the shuffle arm):
@@ -99,7 +104,19 @@ def build_side_mode(side: DataFrame, conf_key: str | None = None) -> str:
       threshold; leave the side unhinted and the planner broadcasts.
     - ``"broadcast"`` / ``"shuffle_hash"`` — forced by conf, or (for
       shuffle_hash) the auto fallback when statistics are unavailable
-      (Spark Connect), unparseable, or over-threshold."""
+      (Spark Connect), unparseable, or over-threshold.
+
+    ``stats_of`` + ``scale`` (round 5): a build side containing a
+    Generate (explode) gets an effectively unbounded Catalyst estimate
+    — the optimizer cannot bound an explode's multiplier, so ~7e18
+    lands every such side on the shuffle arm even for a one-row input.
+    Derivation-heavy build sides instead pass their PRE-DERIVATION
+    relation (whose scan statistics are real) as ``stats_of`` and a
+    documented row-width expansion factor as ``scale``; the broadcast
+    arm then fires iff ``estimate(stats_of) · scale`` fits the
+    threshold. Callers must pick ``scale`` as an upper bound of the
+    derived/source byte ratio so the guard keeps erring toward the
+    memory-safe side."""
     mode = "auto"
     if conf_key:
         mode = _conf(side, conf_key, "auto") or "auto"
@@ -114,14 +131,17 @@ def build_side_mode(side: DataFrame, conf_key: str | None = None) -> str:
         )
     except Exception:
         thresh = -1
-    est = plan_size_estimate(side)
-    if est is not None and 0 < thresh and 0 <= est <= thresh:
+    est = plan_size_estimate(side if stats_of is None else stats_of)
+    if est is not None and 0 < thresh and 0 <= est * scale <= thresh:
         return "as_is"
     return "shuffle_hash"
 
 
 def shuffle_hash_unless_broadcastable(
-    side: DataFrame, conf_key: str | None = None
+    side: DataFrame,
+    conf_key: str | None = None,
+    stats_of: DataFrame | None = None,
+    scale: float = 1.0,
 ) -> DataFrame:
     """Plan-time join-strategy guard for a build side whose keys are known
     unique (skew-free): return ``side`` unchanged when Catalyst's OWN size
@@ -140,8 +160,11 @@ def shuffle_hash_unless_broadcastable(
        threshold, or a disabled threshold all take the SHUFFLE_HASH arm —
        the scale-safe direction (a missed broadcast costs one exchange; a
        wrong broadcast costs executor memory). This documented fallback
-       is asserted by tests/test_strategy.py."""
-    mode = build_side_mode(side, conf_key)
+       is asserted by tests/test_strategy.py.
+
+    ``stats_of``/``scale`` forward to ``build_side_mode`` — see there
+    (explode-bearing build sides must supply real statistics)."""
+    mode = build_side_mode(side, conf_key, stats_of=stats_of, scale=scale)
     if mode == "broadcast":
         return F.broadcast(side)
     if mode == "as_is":

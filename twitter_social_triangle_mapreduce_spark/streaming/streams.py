@@ -298,21 +298,38 @@ def streaming_dedup_against_corpus(
     arbitrary batch operators per micro-batch with exactly-once parquet
     output via the checkpoint, which no built-in streaming sink offers.
 
+    Build-side contract (round-5 ADVICE): the batch side goes through
+    the SAME size guard as every other build side
+    (``plans.strategy.shuffle_hash_unless_broadcastable``) instead of a
+    forced broadcast — an ``availableNow`` catch-up after downtime can
+    deliver a corpus-scale micro-batch whose forced band broadcast
+    would OOM executors; over-threshold batches degrade to a shuffled
+    hash join. Deployments that want the broadcast arm guaranteed
+    should ALSO bound micro-batch size at the source
+    (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``).
+
     Returns the started StreamingQuery (caller awaits/stops)."""
     from pyspark.sql import functions as F  # noqa: F811
 
     from ..operators.dedup import minhash_bands
+    from ..plans.strategy import shuffle_hash_unless_broadcastable
 
     corpus = corpus_bands.select(
         F.col("doc_id").alias("corpus_doc_id"), "band", "bh"
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # broadcast the BATCH side: the corpus index is the big relation
+        # build on the BATCH side: the corpus index is the big relation
         # and must be probed in place (same direction as the batch
         # operator incremental_dedup — a corpus broadcast would ship the
-        # whole index to every task at scale)
-        bands = F.broadcast(minhash_bands(batch_df))
+        # whole index to every task at scale); size-guarded, never a
+        # forced broadcast. Statistics come from batch_df (the band
+        # derivation contains an explode — unboundable estimate); band
+        # rows are ~24 B/doc·band = ~100 B/doc, far under typical doc
+        # text bytes, so scale=1 on the batch scan still over-estimates.
+        bands = shuffle_hash_unless_broadcastable(
+            minhash_bands(batch_df), stats_of=batch_df
+        )
         matches = (
             bands.join(corpus, ["band", "bh"], "inner")
             .where(F.col("doc_id") != F.col("corpus_doc_id"))
