@@ -322,7 +322,12 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ann_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+    # round 5: the registered IVF query quantizes against the TRAINED
+    # codebook (deterministic farthest-point seed + exact-Lloyd rounds)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_ivf(
+        emb, centroids=similarity.train_ivf_centroids(emb)
+    )
 
 
 def q_ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,9 +773,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 5: cell assignment against the TRAINED codebook
+    emb = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_clusters(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+        centroids=similarity.train_ivf_centroids(emb),
+    )
+
+
+def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_cells(
+        emb, centroids=similarity.train_ivf_centroids(emb)
     )
 
 
@@ -853,6 +868,9 @@ EXT_EXTRA_QUERIES = {
     # the two rotated out of the driver 50 in round 4 (oracled here)
     "ivf_cells": q_ivf_cells,
     "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
+    # round 5: the trainer itself, hash-checked end to end (seeding +
+    # exact-Lloyd rounds must agree with the unrolled SQL bit-for-bit)
+    "ivf_cells_trained": q_ivf_cells_trained,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1413,6 +1431,98 @@ EXT_ORACLES["ivf_cells"] = f"""
 """
 
 
+def _ivf_trained_cells_cte(
+    k: int = similarity.IVF_CELLS,
+    rounds: int = similarity.IVF_TRAIN_ROUNDS,
+) -> str:
+    """DuckDB twin of ``similarity.train_ivf_centroids`` + the final
+    cell assignment, unrolled: deterministic farthest-point seeding
+    (k−1 argmax steps), then ``rounds`` Lloyd iterations whose
+    recentering sums ``floor(x·1e6)`` BIGINTs — the associative-exact
+    integer sums that make the trained codebook bit-identical between
+    engines (a double ``avg`` would drift by accumulation order).
+    Final CTE: ``cells(vec_id, cell)``; the last centroid relation is
+    ``tcents(cid, ce)``."""
+    q = similarity._MEAN_QUANT
+    sqd = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(c.ce[j] AS DOUBLE))"
+        " * (CAST(e.embedding[j] AS DOUBLE) - CAST(c.ce[j] AS DOUBLE))))"
+    )
+    cos = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))"
+        " / sqrt(list_sum(list_transform(c.ce,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    parts = [
+        "seeds0 AS (SELECT 0 AS cid, embedding AS ce FROM embeddings"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"d{i} AS (SELECT e.vec_id, MIN({sqd}) AS d"
+            f" FROM embeddings e CROSS JOIN seeds{i - 1} c"
+            " GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT vec_id FROM d{i}"
+            " ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"seeds{i} AS (SELECT * FROM seeds{i - 1} UNION ALL"
+            f" SELECT {i} AS cid, embedding AS ce FROM embeddings"
+            f" WHERE vec_id = (SELECT vec_id FROM pick{i}))"
+        )
+    prev = f"seeds{k - 1}"
+    for r in range(rounds):
+        parts.append(
+            f"tsc{r} AS (SELECT e.vec_id, c.cid, {cos} AS s"
+            f" FROM embeddings e CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"asg{r} AS (SELECT vec_id, cid AS cell FROM"
+            f" (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY s DESC, cid ASC) AS rn FROM tsc{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"mp{r} AS (SELECT a.cell, e.embedding,"
+            " unnest(range(1, len(e.embedding) + 1)) AS j"
+            f" FROM embeddings e JOIN asg{r} a USING (vec_id))"
+        )
+        parts.append(
+            f"md{r} AS (SELECT cell, j AS pos,"
+            f" SUM(CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * {q})"
+            " AS BIGINT)) AS qsum, COUNT(*) AS n"
+            f" FROM mp{r} GROUP BY cell, j)"
+        )
+        parts.append(
+            f"cents{r} AS (SELECT cell AS cid,"
+            f" list(CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * {q}.0)"
+            f" ORDER BY pos) AS ce FROM md{r} GROUP BY cell)"
+        )
+        prev = f"cents{r}"
+    parts.append(f"tcents AS (SELECT cid, ce FROM {prev})")
+    parts.append(
+        f"fsc AS (SELECT e.vec_id, c.cid, {cos} AS s"
+        " FROM embeddings e CROSS JOIN tcents c)"
+    )
+    parts.append(
+        "tranked AS (SELECT vec_id, cid, s, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM fsc)"
+    )
+    parts.append(
+        "cells AS (SELECT vec_id, cid AS cell FROM tranked WHERE rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+EXT_ORACLES["ivf_cells_trained"] = f"""
+    WITH {_ivf_trained_cells_cte()}
+    SELECT vec_id, cell FROM cells
+"""
+
+
 #: threshold for the registry's semantic-dedup query — the synthetic
 #: embeddings have no planted near-dups (max collision-pair cosine
 #: ≈0.44), so the exercised threshold sits inside the observed range;
@@ -1421,16 +1531,17 @@ SEMANTIC_QUERY_MIN_SIM_E4 = 2000
 
 
 def _semantic_dedup_oracle(dims: int = 64) -> str:
-    """DuckDB twin of ``similarity.semantic_dedup_clusters``: IVF cell
-    assignment + hyperplane signatures, cell-local thresholded cosine
-    pairs, then the SAME unrolled min-label rounds as the MinHash
-    cluster oracle."""
+    """DuckDB twin of ``similarity.semantic_dedup_clusters`` as
+    registered: TRAINED IVF cell assignment (round 5 — the unrolled
+    farthest-point + exact-Lloyd chain) + hyperplane signatures,
+    cell-local thresholded cosine pairs, then the SAME unrolled
+    min-label rounds as the MinHash cluster oracle."""
     from .operators.dedup import NEAR_DUP_CC_ROUNDS
 
     it = NEAR_DUP_CC_ROUNDS
     sig = _lsh_sig_sql(dims)
     parts = [
-        f"WITH {_IVF_CELLS_CTE.strip()},",
+        f"WITH {_ivf_trained_cells_cte()},",
         f"sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
         " FROM embeddings),",
         "em AS (SELECT e.vec_id, e.embedding, c.cell, s.sig"
@@ -1504,7 +1615,7 @@ EXT_ORACLES["ann_topk_ivf2"] = f"""
 """
 
 EXT_ORACLES["ann_topk_ivf"] = f"""
-    WITH {_IVF_CELLS_CTE},
+    WITH {_ivf_trained_cells_cte()},
     q AS (SELECT e.vec_id AS qid, e.embedding AS qe, cl.cell AS qcell
           FROM embeddings e JOIN cells cl ON e.vec_id = cl.vec_id
           WHERE e.vec_id < 5),
