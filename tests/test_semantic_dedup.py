@@ -231,6 +231,58 @@ def test_trained_codebook_beats_standin_on_clustered_data(spark):
     assert r_trained > r_standin, (r_trained, r_standin)
 
 
+def test_banded_embedding_lsh_recall_beats_single_signature(spark):
+    """Round-5 verdict item 2: OR-amplified banding must recover near-dup
+    pairs a single signature misses. 40 planted pairs at cosine ≈0.95 in
+    16 dims (fixed seed — hyperplanes are md5-fixed, so recall here is a
+    DETERMINISTIC number, re-measured identically every run): theory
+    gives per-band hit p^8 ≈ 0.43 at θ≈17°, so bands=1 recalls ~0.43 and
+    bands=3 ~1−(1−0.43)³ ≈ 0.81. Band 0 of the banded variant IS the
+    single signature's 8 planes, so banded candidates are a SUPERSET —
+    banding can only add recall, never lose it."""
+    rng = np.random.default_rng(11)
+    vecs = []
+    truth = set()
+    for i in range(40):
+        v = rng.normal(size=16)
+        d = rng.normal(size=16)
+        d *= 0.30 * np.linalg.norm(v) / np.linalg.norm(d)
+        w = v + d
+        vecs.append(v)
+        vecs.append(w)
+        cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+        assert cos >= 0.94, cos  # the plant is a genuine near-dup
+        truth.add((2 * i, 2 * i + 1))
+    emb = _emb(spark, vecs)
+
+    def recall(bands):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in similarity.embedding_near_dup_pairs(
+                emb, bands=bands, min_sim_e4=9000, dims=16
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 > r1, (r1, r3)
+    assert r3 >= 0.6, r3
+    # superset property: every single-signature pair survives banding
+    p1 = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, bands=1, min_sim_e4=9000, dims=16
+        ).collect()
+    }
+    p3 = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, bands=3, min_sim_e4=9000, dims=16
+        ).collect()
+    }
+    assert p1 <= p3
+
+
 def test_update_semantic_clusters_matches_batch(spark):
     """The semantic incremental fold: batch vectors joining existing
     clusters, bridging two clusters, and arriving as singletons must

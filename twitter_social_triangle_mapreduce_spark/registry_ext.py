@@ -1856,21 +1856,29 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
     """
-    siga = _lsh_sig_sql(dims, col="qe")
-    sigb = _lsh_sig_sql(dims, col="ce")
+    bands, bbits = similarity.LSH_BANDS, LSH_BITS
+    bmask = (1 << bbits) - 1
+    sig_all = _lsh_sig_sql(dims, bits=bbits * bands)
     out["embedding_near_dup_pairs"] = f"""
-        WITH a AS (SELECT vec_id AS vec_a, embedding AS qe,
-                          CAST({siga} AS BIGINT) AS siga
-                   FROM embeddings),
-        b AS (SELECT vec_id AS vec_b, embedding AS ce,
-                     CAST({sigb} AS BIGINT) AS sigb
-              FROM embeddings)
+        WITH sigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+                      FROM embeddings),
+        bx AS (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
+               FROM sigs),
+        banded AS (SELECT vec_id, band,
+                          (sig >> (band * {bbits})) & {bmask} AS bkey
+                   FROM bx),
+        cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                 FROM banded x JOIN banded y
+                   ON x.band = y.band AND x.bkey = y.bkey
+                  AND x.vec_id < y.vec_id),
+        ea AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
+        eb AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
         SELECT vec_a, vec_b,
                CAST(FLOOR(10000 * ({_DOT}
                     / (sqrt({_SQ_SUM.format(col='qe')})
                        * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
                    AS sim_e4
-        FROM a JOIN b ON siga = sigb AND vec_a < vec_b
+        FROM cand JOIN ea USING (vec_a) JOIN eb USING (vec_b)
         WHERE CAST(FLOOR(10000 * ({_DOT}
                    / (sqrt({_SQ_SUM.format(col='qe')})
                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT) >= 0
