@@ -50,10 +50,28 @@ from ..plans.strategy import spread_small_input
 
 #: sliding-window width in whitespace tokens. Real substring-dedup
 #: pipelines use ~50-token thresholds; the testdata documents are short
-#: synthetic prose, so the shipped default keeps the operator exercised
-#: there. The knob changes cost only linearly (windows stay one row per
-#: stride position regardless of width).
+#: synthetic prose (sf0.1: 10–100 tokens, mean 54), so the shipped
+#: default keeps the operator exercised there. The knob changes cost
+#: only linearly (windows stay one row per stride position regardless
+#: of width; on long-doc corpora the windows relation is ~corpus tokens
+#: for ANY width — see the W-cost curve in BASELINE.md, round 5).
 PASSAGE_WINDOW = 8
+#: env override for the REGISTERED doc_passage_cuts width (round-5
+#: verdict item 6). An env var rather than a Spark conf deliberately:
+#: the driver builds the Spark query and the DuckDB oracle SQL in
+#: different sessions, and BOTH must see the same width — fingerprints
+#: of different widths never match, so a one-sided override would not
+#: fail loudly, it would silently diverge the comparison.
+PASSAGE_WINDOW_ENV = "SPARK_GRAFT_PASSAGE_WINDOW"
+
+
+def configured_window() -> int:
+    """The registered-query window width: ``PASSAGE_WINDOW`` unless
+    ``SPARK_GRAFT_PASSAGE_WINDOW`` overrides it (read at query/oracle
+    BUILD time by both sides — see ``PASSAGE_WINDOW_ENV``)."""
+    import os
+
+    return int(os.environ.get(PASSAGE_WINDOW_ENV, PASSAGE_WINDOW))
 #: stride between window starts. 1 = exact detection of every duplicated
 #: ``window``-token substring; k>1 trades recall (duplicates shifted by
 #: <k tokens can slip through) for a k× smaller fingerprint relation.

@@ -792,7 +792,13 @@ def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import passages
 
-    return passages.passage_cut_spans(load_table(spark, sf_dir, "documents"))
+    # width comes from SPARK_GRAFT_PASSAGE_WINDOW (default 8); the
+    # oracle generator reads the SAME env var, so the two sides can
+    # never silently diverge on window width
+    return passages.passage_cut_spans(
+        load_table(spark, sf_dir, "documents"),
+        window=passages.configured_window(),
+    )
 
 
 #: corpus/batch split point for the incremental passage screen: the
@@ -1926,7 +1932,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
                CAST(rn = 1 AS BIGINT) AS is_canonical
         FROM r
     """
-    out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql()
+    out["doc_passage_cuts"] = _passages.passage_cuts_oracle_sql(
+        window=_passages.configured_window()
+    )
     out["doc_passage_decontam"] = _passages.decontam_passage_oracle_sql(
         train_sql=(
             "SELECT doc_id, text FROM documents"
