@@ -355,3 +355,52 @@ def test_capstone_shuffle_budget():
         base,
     )
     assert got["n_stages"] < base["n_stages"], (got, base)
+
+
+def test_passage_hot_window_join_splits_and_stays_bounded():
+    """Round-5 verdict item 3: the adversarial boilerplate fixture (one
+    8-token window = 50% of ALL corpus window occurrences) through the
+    window-hash join in the at-scale (non-broadcast) regime. Pins, via
+    fresh-JVM probes (scripts/skew_probe_passages.py):
+    (1) correctness under skew — exactly n_docs−1 cut spans (the single
+        canonical survives) in BOTH arms;
+    (2) the skew-splittable exchange works — with AQE skew-join ON the
+        join stage runs MORE tasks than shuffle.partitions (the hot
+        partition split) and its max per-task record count drops well
+        below the unsplit arm's;
+    (3) no single-task blowup even UNSPLIT — max task shuffle-read
+        bytes stay small (identical hot rows compress ~perfectly), the
+        structural bound the operator's docstring now states."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def probe(arm: str) -> dict:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "scripts/skew_probe_passages.py"),
+                "400000",
+                arm,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    off = probe("noskew")
+    on = probe("skew")
+    assert off["n_cut_spans"] == on["n_cut_spans"] == 400000 - 1
+    assert on["n_tasks"] > 32, (on, off)  # the hot partition split
+    assert (
+        on["task_read_records_med_max"][1]
+        < 0.6 * off["task_read_records_med_max"][1]
+    ), (on, off)
+    # unsplit worst case still bounded: compression keeps the hot task's
+    # bytes within a few MB even with 50% of all records in one task
+    assert off["task_read_mb_med_max"][1] < 10.0, off

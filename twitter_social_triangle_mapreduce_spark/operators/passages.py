@@ -20,7 +20,11 @@ Scale design — never doc×doc, never corpus-in-one-task:
 - duplicate detection is ONE partial-agg groupBy keyed on the window
   hash (count + lexicographic-min canonical in the same aggregate),
   then an equi-join of occurrences back on the hash — shuffle keyed on
-  hashes, AQE handles mega-duplicated boilerplate keys (skew);
+  hashes; mega-duplicated boilerplate keys are bounded by construction
+  (key-unique build side: no join amplification; identical hot rows
+  compress ~perfectly) plus an explicit skew-splittable exchange on
+  the non-broadcast arm (see ``_noncanonical_cut_windows`` — measured,
+  not assumed: BASELINE.md round 5);
 - span merging windows per doc_id over that doc's CUT SPANS only
   (bounded by the doc's token count, not the corpus);
 - the applier is a doc_id equi-join of the (collision-survivors-only)
@@ -140,7 +144,26 @@ def _noncanonical_cut_windows(wins: DataFrame, window: int) -> DataFrame:
     a duplicated fingerprint in ``wins`` — the keep-first core shared by
     the batch cut list and the incremental screen's batch-internal
     branch: one partial-agg-combinable groupBy(wh) for count +
-    lexicographic-min canonical, occurrences joined back on the hash."""
+    lexicographic-min canonical, occurrences joined back on the hash.
+
+    Skew contract (round-5 verdict item 3, measured — see BASELINE.md):
+    a mega-duplicated boilerplate window puts every one of its
+    occurrences into ONE partition of the join-back's wins-side
+    shuffle. Three things bound that task: the build side is KEY-UNIQUE
+    (one canonical row per hash) so the join never amplifies output;
+    the hot rows are identical 40-byte records that compress to almost
+    nothing (measured: 17× record skew → ~4× bytes → <2× task
+    runtime); and on the non-broadcast arm the build side gets an
+    explicit round-robin exchange below — WITHOUT it, AQE's
+    OptimizeSkewedJoin can never split the hot partition, because the
+    rule only matches joins whose children are both bare
+    EnsureRequirements shuffle stages, and the agg-aligned build
+    pipeline (and even a REPARTITION_BY_COL exchange) fails that
+    pattern. The extra exchange moves only the collision-keys relation
+    (a small fraction of wins); ``spark.graft.passages.dupKeysStrategy``
+    overrides the arm choice."""
+    from ..plans.strategy import build_side_mode
+
     dup_keys = (
         wins.groupBy("wh")
         .agg(
@@ -150,6 +173,22 @@ def _noncanonical_cut_windows(wins: DataFrame, window: int) -> DataFrame:
         .where(F.col("__cnt") > 1)
         .select("wh", "__canon")
     )
+    mode = build_side_mode(
+        dup_keys, conf_key="spark.graft.passages.dupKeysStrategy"
+    )
+    if mode == "broadcast":
+        dup_keys = F.broadcast(dup_keys)
+    elif mode == "shuffle_hash":
+        try:
+            n = int(
+                dup_keys.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+                or "200"
+            )
+        except Exception:
+            n = 200
+        dup_keys = dup_keys.repartition(n)
     return (
         wins.join(dup_keys, "wh")
         .where(
