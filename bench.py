@@ -42,13 +42,16 @@ HEADLINE = [
 #: second section: the expensive extension pipelines (regressions here
 #: were invisible to BENCH_rN before round 3). Separate from HEADLINE so
 #: the stable 12-query total stays comparable across rounds.
-#: prepare_training_corpus is special-cased in main() — it eagerly
-#: writes training shards, so its fn() call is inside the timer.
+#: The capstone entries are special-cased in main() — they eagerly
+#: write training shards, so their fn() calls are inside the timer.
+#: Round 5 adds the cut_passages arm (verdict item 4: the product path
+#: with substring dedup ON was never timed end-to-end before).
 EXTENSION = [
     "ann_topk_ivf",
     "doc_pack_sequences",
     "doc_passage_cuts",  # round-4 flagship: substring-dedup cut lists
     "prepare_training_corpus",
+    "prepare_training_corpus_cut",
 ]
 
 WARMUP_RUNS = 1
@@ -124,13 +127,24 @@ def main() -> None:
     queries = registry.all_queries()
     per_query: dict[str, float] = {}
     plans: dict[str, str] = {}
+    shuffle_headline: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = queries[name]
         plans[name] = plan_digest(fn(spark, sf_dir))
         for _ in range(WARMUP_RUNS):
             run_once(fn(spark, sf_dir))
+        w0, r0 = shuffle_totals(spark)
         times = [run_once(fn(spark, sf_dir)) for _ in range(TIMED_RUNS)]
+        w1, r1 = shuffle_totals(spark)
         per_query[name] = round(statistics.median(times), 4)
+        # round 5 (verdict item 7): shuffle BYTES as the headline gate —
+        # wall-clock on a contended machine swings ±50% at identical
+        # plans, bytes are run-to-run byte-identical; per-run delta over
+        # the timed runs, same accounting as shuffle_ext
+        shuffle_headline[name] = {
+            "write_mb": round((w1 - w0) / TIMED_RUNS / 1e6, 3),
+            "read_mb": round((r1 - r0) / TIMED_RUNS / 1e6, 3),
+        }
 
     total = round(sum(per_query.values()), 4)
 
@@ -139,7 +153,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    def capstone(spark_, sf_dir_):
+    def _capstone(spark_, sf_dir_, cut: bool):
         from twitter_social_triangle_mapreduce_spark.operators.corpus import (
             prepare_training_corpus,
         )
@@ -151,12 +165,17 @@ def main() -> None:
         ev = docs.where("doc_id % 17 = 0")
         out = tempfile.mkdtemp(prefix="bench_shards_")
         try:
-            return prepare_training_corpus(docs, ev, out)
+            return prepare_training_corpus(docs, ev, out, cut_passages=cut)
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
     ext_queries = dict(registry.all_queries(include_extra=True))
-    ext_queries["prepare_training_corpus"] = capstone
+    ext_queries["prepare_training_corpus"] = (
+        lambda s, d: _capstone(s, d, False)
+    )
+    ext_queries["prepare_training_corpus_cut"] = (
+        lambda s, d: _capstone(s, d, True)
+    )
     per_ext: dict[str, float] = {}
     plans_ext: dict[str, str] = {}
     shuffle_ext: dict[str, dict[str, float]] = {}
@@ -180,6 +199,11 @@ def main() -> None:
             "write_mb": round((w1 - w0) / TIMED_RUNS / 1e6, 1),
             "read_mb": round((r1 - r0) / TIMED_RUNS / 1e6, 1),
         }
+        # the capstone arms persist their audit (and the cut arm its
+        # span relation) per call; release between entries so one arm's
+        # cache cannot distort the next arm's measurement
+        if name.startswith("prepare_training_corpus"):
+            spark.catalog.clearCache()
 
     print(
         json.dumps(
@@ -190,6 +214,7 @@ def main() -> None:
                 "queries": per_query,
                 "sf": float(sf),
                 "plans": plans,
+                "shuffle_headline": shuffle_headline,
                 "queries_ext": per_ext,
                 "ext_total": round(sum(per_ext.values()), 4),
                 "plans_ext": plans_ext,

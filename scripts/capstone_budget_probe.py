@@ -11,7 +11,9 @@ are machine-noise-free, so the scale-guard test
 budget against THIS probe: the no-persist replan regime measured ~1.7×
 the bytes and +15 stages at sf0.001, comfortably outside the budget.
 
-Usage: python scripts/capstone_budget_probe.py [sf_dir] [nopersist]
+Usage: python scripts/capstone_budget_probe.py [sf_dir] [nopersist] [cut]
+(`cut` runs the cut_passages arm — round 5 extends the budget guard to
+the substring-dedup product path; flags compose.)
 """
 
 from __future__ import annotations
@@ -34,7 +36,8 @@ from twitter_social_triangle_mapreduce_spark.sources.io import load_table  # noq
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    persist = not (len(sys.argv) > 2 and sys.argv[2] == "nopersist")
+    persist = "nopersist" not in sys.argv[2:]
+    cut = "cut" in sys.argv[2:]
     spark = get_spark(
         app_name="capstone-budget-probe",
         extra_conf={
@@ -47,7 +50,9 @@ def main() -> None:
     ev = docs.where("doc_id % 17 = 0")
     out = tempfile.mkdtemp(prefix="capstone_probe_")
     try:
-        audit = prepare_training_corpus(docs, ev, out, persist_audit=persist)
+        audit = prepare_training_corpus(
+            docs, ev, out, persist_audit=persist, cut_passages=cut
+        )
         audit.write.format("noop").mode("overwrite").save()
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -63,6 +68,7 @@ def main() -> None:
         json.dumps(
             {
                 "persist": persist,
+                "cut": cut,
                 "sf_dir": sf_dir,
                 "shuffle_write_mb": round(
                     sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 2

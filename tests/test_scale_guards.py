@@ -331,7 +331,7 @@ def _run_capstone_probe(arg: str | None = None) -> dict:
         sf_dir,
     ]
     if arg:
-        cmd.append(arg)
+        cmd.extend(arg.split())
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -355,6 +355,79 @@ def test_capstone_shuffle_budget():
         base,
     )
     assert got["n_stages"] < base["n_stages"], (got, base)
+
+
+def test_capstone_cut_arm_shuffle_budget():
+    """Round-5 extension of the capstone budget guard to the
+    cut_passages product path (verdict item 4): with the span-relation
+    persist in place the cut arm must shuffle meaningfully fewer bytes
+    in fewer stages than its nopersist twin (measured at adoption:
+    3.05 MB / 85 stages vs 6.89 MB / 116 — ratio 0.44; dropping either
+    the audit or the span persist pushes the ratio toward 1)."""
+    got = _run_capstone_probe("cut")
+    base = _run_capstone_probe("nopersist cut")
+    assert got["cut"] is True and base["cut"] is True
+    assert got["persist"] is True and base["persist"] is False
+    assert got["shuffle_write_mb"] <= 0.7 * base["shuffle_write_mb"], (
+        got,
+        base,
+    )
+    assert got["n_stages"] < base["n_stages"], (got, base)
+
+
+#: shuffle-write bytes per headline query, measured at sf0.001 on
+#: adoption (round 5, Spark 4.1.2) — run-to-run byte-IDENTICAL, so the
+#: 3× headroom below exists only for Spark-version / AQE-tuning drift
+#: (the round-4 lesson about absolute constants), while still failing
+#: on the real regression class: an order-of-magnitude byte jump from
+#: a new corpus-sized exchange.
+HEADLINE_WRITE_BYTES_SF0001 = {
+    "exact_cardinality": 4849,
+    "approx_cardinality": 4599,
+    "social_triangle_rs": 9330,
+    "social_triangle_ordered": 59783,
+    "triangle_replicated": 8045,
+    "path2_enum": 0,  # scan + broadcast join: zero shuffle by design
+    "dedup_minhash_pairs": 180294,
+    "simhash": 30710,
+    "ann_topk_bruteforce": 439,
+    "text_stats": 228488,
+    "sessionize": 19479,
+    "pricing_summary": 887,
+}
+
+
+def test_headline_shuffle_byte_budgets():
+    """Round-5 verdict item 7: shuffle BYTES as the headline gate.
+    Every headline query's per-run shuffle write must be (a) identical
+    across two runs — bytes are the machine-noise-free metric the wall
+    clock is not — and (b) within 3× of the recorded adoption value
+    (floored at 64 KiB so zero/near-zero queries tolerate small
+    version-drift absolutes)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", SF_SMOKE)
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts/headline_bytes_probe.py"),
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)["write_bytes"]
+    assert set(got) == set(HEADLINE_WRITE_BYTES_SF0001)
+    for name, runs in got.items():
+        assert runs[0] == runs[1], (name, runs)  # byte determinism
+        budget = max(3 * HEADLINE_WRITE_BYTES_SF0001[name], 65536)
+        assert runs[0] <= budget, (name, runs[0], budget)
 
 
 def test_passage_hot_window_join_splits_and_stays_bounded():

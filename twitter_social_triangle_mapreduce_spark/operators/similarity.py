@@ -283,14 +283,25 @@ def _centroid_ranked(
     """(vec_id, cid, s, rn) — every vector's cosine score against each of
     the ``k_cells`` broadcast centroids, ranked per vector (1 = nearest;
     ties toward the smaller centroid id). The shared subtree of
-    ``ivf_cells`` and the multi-probe assignment: deriving both from ONE
-    ranked relation lets Spark reuse the scored exchange instead of
-    recomputing the corpus × centroid dot products per consumer.
+    ``ivf_cells``, the multi-probe assignment, and the k-means trainer's
+    per-round assignment.
 
-    ``centroids`` — an optional TRAINED (cid, centroid) relation, e.g.
-    ``refine_centroids`` output after some Lloyd iterations — replaces
-    the deterministic first-``k_cells``-vectors stand-in; the broadcast
-    scoring shape is identical either way."""
+    ZERO-SHUFFLE shape (round 5): the centroids collapse to ONE
+    broadcast row carrying an array of (cid, vector, norm) structs, and
+    the per-vector ranking is a row-local ``array_sort`` over that
+    array — the corpus is never exchanged. The previous form
+    (crossJoin + ``row_number`` window partitioned by vec_id) shuffled
+    the corpus WITH its embedding payloads once per assignment, which
+    the trainer multiplied per Lloyd round — at 100 TB that is the
+    difference between scan-shaped quantization and R rounds of
+    corpus-wide exchanges (and it showed at bench scale: 0.6 s → 4.0 s
+    when training landed on the old shape). Sorting ``struct(-s, cid)``
+    ascending reproduces the window's (s DESC, cid ASC) order exactly,
+    so every consumer and every DuckDB oracle is value-identical.
+
+    ``centroids`` — an optional TRAINED (cid, centroid) relation
+    (``train_ivf_centroids`` / ``refine_centroids``) replacing the
+    deterministic first-``k_cells``-vectors stand-in."""
     if centroids is not None:
         cents = centroids.select(
             "cid",
@@ -303,14 +314,31 @@ def _centroid_ranked(
             F.col("embedding").alias("ce"),
             _norm("embedding").alias("cn"),
         )
-    dot = _dot("embedding", "ce")
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", (dot / F.col("cn")).alias("s")
+    carr = cents.agg(
+        F.collect_list(F.struct("cid", "ce", "cn")).alias("__cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("s").desc(), F.col("cid").asc()
+    dot_in = (
+        "aggregate(zip_with(embedding, c.ce,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    return scored.withColumn("rn", F.row_number().over(w))
+    ranked_arr = F.expr(
+        f"array_sort(transform(__cents,"
+        f" c -> struct(-({dot_in} / c.cn) AS ns, c.cid AS cid)))"
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(carr))
+        .select(
+            "vec_id",
+            F.posexplode(ranked_arr).alias("__pos", "__r"),
+        )
+        .select(
+            "vec_id",
+            F.col("__r.cid").alias("cid"),
+            (-F.col("__r.ns")).alias("s"),
+            (F.col("__pos") + 1).alias("rn"),
+        )
+    )
 
 
 def ivf_cells(
@@ -773,17 +801,6 @@ IVF_TRAIN_ROUNDS = 2
 _MEAN_QUANT = 1_000_000
 
 
-def _sq_dist(a: str, b: str):
-    """Σ (a_i − b_i)² as the same strictly left-to-right double fold as
-    ``_dot``/``_norm`` — engine-portable term order."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b},"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
 def _seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
     """(cid, centroid) — DETERMINISTIC farthest-point seeding (k-means++
     with the argmax in place of the distance-weighted draw): centroid 0
@@ -793,27 +810,32 @@ def _seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
     — no RNG, no partition-order dependence — which is what lets the
     DuckDB oracle reproduce the trained codebook exactly.
 
-    Scale shape: step i is one broadcast-scored corpus scan (corpus ×
-    i-row centroid relation) + one global arg-max aggregate — k−1 lazy
-    scans total, never collected to the driver. That is the small-k
-    regime (IVF coarse quantizers are typically ≤ 2^12 cells); for
-    k in the thousands use k-means||-style oversampling instead — one
-    scan drawing O(k·log k) candidates — which trades the determinism
-    this oracle-exact path requires."""
+    Scale shape: step i is one broadcast-scored corpus SCAN — the
+    chosen centroids collapse to one broadcast array row and the
+    min-distance is a row-local ``array_min`` (no groupBy, no corpus
+    exchange) — plus one partial-agg global arg-max; k−1 lazy scans
+    total, never collected to the driver. That is the small-k regime
+    (IVF coarse quantizers are typically ≤ 2^12 cells); for k in the
+    thousands use k-means||-style oversampling instead — one scan
+    drawing O(k·log k) candidates — which trades the determinism this
+    oracle-exact path requires."""
     first = embeddings.agg(F.min("vec_id").alias("vec_id"))
     cents = embeddings.join(F.broadcast(first), "vec_id").select(
         F.lit(0).alias("cid"), F.col("embedding").alias("centroid")
     )
+    d2_in = (
+        "aggregate(zip_with(embedding, ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     for i in range(1, k):
-        mind = (
-            embeddings.crossJoin(
-                F.broadcast(cents.select(F.col("centroid").alias("__ce")))
-            )
-            .select(
-                "vec_id", _sq_dist("embedding", "__ce").alias("__d2")
-            )
-            .groupBy("vec_id")
-            .agg(F.min("__d2").alias("__d"))
+        carr = cents.agg(F.collect_list("centroid").alias("__carr"))
+        mind = embeddings.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            F.expr(
+                f"array_min(transform(__carr, ce -> {d2_in}))"
+            ).alias("__d"),
         )
         far = mind.agg(
             F.max(
