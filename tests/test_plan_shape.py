@@ -223,3 +223,32 @@ def test_ordered_semi_reduction_only_on_shuffle_arm(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset(ORDERED_SEMI_CONF)
+
+
+def test_trained_codebook_consumers_embed_a_constant_not_the_trainer(spark):
+    """Round-6 verdict item 1: the registered trained-codebook queries
+    must consume the MATERIALIZED codebook (a LocalRelation constant),
+    never re-embed the training lineage — inline retraining re-ran the
+    k−1 seeding scans plus every Lloyd round inside every consumer
+    action (BENCH_r05: ann_topk_ivf 0.60 → 3.93 s). Markers: the
+    seeding argmax is the only ``array_min`` in the package's
+    similarity tier, and the Lloyd recentering is the only
+    ``posexplode`` over (cell, pos); neither may appear in a consumer
+    plan, while the codebook's LocalRelation must."""
+    from twitter_social_triangle_mapreduce_spark.registry_ext import (
+        q_ann_topk_ivf,
+        q_ivf_cells_trained,
+        q_semantic_dedup_clusters,
+    )
+
+    for q in (q_ann_topk_ivf, q_semantic_dedup_clusters, q_ivf_cells_trained):
+        df = q(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "array_min" not in plan, q.__name__
+        # Spark materializes small createDataFrame inputs as either a
+        # LocalRelation or an RDD-backed leaf depending on the Arrow
+        # conversion path — both are lineage-free constants
+        assert "LocalRelation" in plan or "LogicalRDD" in plan, q.__name__
+        # the Lloyd recentering aggregate keys on (cell, pos) after a
+        # posexplode of member embeddings — absent from consumer plans
+        assert "posexplode(embedding)" not in plan, q.__name__

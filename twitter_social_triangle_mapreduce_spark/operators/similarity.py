@@ -322,9 +322,32 @@ def _centroid_ranked(
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
+    # degenerate-score ordering (round-6 ADVICE): a zero-norm centroid
+    # makes the score division x/0 — under ANSI (Spark 4 default) that
+    # CRASHES the whole assignment; with ANSI off it yields NaN, which
+    # a plain ``-s`` ascending sort ranks LAST while the row_number
+    # form this array_sort replaced (s DESC: NaN = largest double)
+    # ranked FIRST. The DuckDB oracles sit in a third place again:
+    # division by zero returns NULL there (measured — DuckDB is not
+    # IEEE here), and NULL under ORDER BY s DESC ranks LAST. The oracle
+    # is the correctness contract, so all three collapse onto ITS
+    # semantics explicitly: cn = 0 → sort key +inf (ranks last, never
+    # wins an assignment, no division executed — ANSI-safe), s = NULL
+    # (null embedding) → +inf likewise, s = NaN any other way → -inf
+    # (both engines order genuine NaN values first under DESC).
+    # Non-degenerate scores are untouched. Ties inside the degenerate
+    # tail break on cid ASC in both engines (struct sort / window
+    # ORDER BY), so even the pathological ordering is deterministic.
+    ns_in = (
+        f"CASE WHEN c.cn = CAST(0 AS DOUBLE)"
+        f" THEN CAST('Infinity' AS DOUBLE)"
+        f" ELSE -coalesce(nanvl({dot_in} / c.cn,"
+        f" CAST('Infinity' AS DOUBLE)), CAST('-Infinity' AS DOUBLE))"
+        f" END"
+    )
     ranked_arr = F.expr(
         f"array_sort(transform(__cents,"
-        f" c -> struct(-({dot_in} / c.cn) AS ns, c.cid AS cid)))"
+        f" c -> struct({ns_in} AS ns, c.cid AS cid)))"
     )
     return (
         embeddings.crossJoin(F.broadcast(carr))
@@ -801,6 +824,147 @@ IVF_TRAIN_ROUNDS = 2
 _MEAN_QUANT = 1_000_000
 
 
+#: squared-euclidean distance of ``embedding`` to a candidate centroid
+#: ``ce`` — the shared scoring expression of both seeding paths (lazy
+#: and localized); textually single-sourced so they cannot drift
+_SEED_D2_IN = (
+    "aggregate(zip_with(embedding, ce,"
+    " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def codebook_df(spark, rows) -> DataFrame:
+    """(cid, centroid) as a LOCAL relation (``LocalRelation`` — zero
+    lineage, broadcast-trivial): the materialized form of a trained
+    codebook. ``rows`` is the plain-Python output of
+    ``collect_codebook`` — ``[(cid, [floats...]), ...]``. k×dims
+    doubles (a few KB), so the relation embeds in the plan and every
+    consumer sees a constant, never a training subtree."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("cid", IntegerType(), False),
+            StructField("centroid", ArrayType(DoubleType()), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in rows], schema
+    )
+
+
+def collect_codebook(
+    embeddings: DataFrame,
+    k: int = IVF_CELLS,
+    rounds: int = IVF_TRAIN_ROUNDS,
+) -> list[tuple[int, tuple[float, ...]]]:
+    """Run the oracle-exact trainer to COMPLETION once and return the
+    k×dims codebook as plain Python rows (round-6 verdict item 1). The
+    value is bit-identical to the lazy ``train_ivf_centroids(...,
+    localize=False)`` plan (parity-pinned in tests/test_semantic_dedup):
+    every arithmetic decision — seed d², assignment cosine, exact
+    integer recentering — is the same expression text; the only change
+    is WHEN each stage runs (eagerly, against the materialized codebook
+    so far) instead of nesting the whole lineage into one lazy tree.
+
+    Why materialize: the lazy form re-evaluates the k−1 seeding scans
+    plus every Lloyd round inside EVERY consumer's plan, on EVERY
+    action (BENCH_r05: ann_topk_ivf 0.60 s → 3.93 s when training
+    landed inline). The codebook is k×dims ≈ a few KB — driver-trivial
+    — so the 100 TB-correct shape is: train once (k−1+R scan-shaped
+    jobs, flat lineage — stage i scores against a LOCAL relation, so
+    nothing nests), keep the constant, hand consumers a
+    ``LocalRelation``. Float exactness: collected float32/float64
+    values round-trip Python floats exactly, and re-entering as DOUBLE
+    literals equals the ``CAST(x AS DOUBLE)`` every scoring expression
+    already applies."""
+    spark = embeddings.sparkSession
+    first = embeddings.agg(
+        F.min_by("embedding", "vec_id").alias("e")
+    ).collect()[0]["e"]
+    rows: list[tuple[int, tuple[float, ...]]] = [
+        (0, tuple(float(x) for x in first))
+    ]
+    for i in range(1, k):
+        carr = codebook_df(spark, rows).agg(
+            F.collect_list("centroid").alias("__carr")
+        )
+        mind = embeddings.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"array_min(transform(__carr, ce -> {_SEED_D2_IN}))"
+            ).alias("__d"),
+        )
+        # argmax carries the winner's embedding as a NON-ordering third
+        # struct field ((d, nid) is already unique — vec_id is a key),
+        # so the chosen vector comes back in the same scan: one job per
+        # seed step, no join-back
+        win = mind.agg(
+            F.max(
+                F.struct(
+                    F.col("__d").alias("d"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("embedding").alias("e"),
+                )
+            ).alias("__w")
+        ).collect()[0]["__w"]
+        rows.append((i, tuple(float(x) for x in win["e"])))
+    for _ in range(rounds):
+        cents = codebook_df(spark, rows)
+        got = _lloyd_round(embeddings, k, cents).collect()
+        rows = sorted(
+            (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
+            for r in got
+        )
+    return rows
+
+
+def _lloyd_round(
+    embeddings: DataFrame, k: int, cents: DataFrame
+) -> DataFrame:
+    """One exact-integer Lloyd round — assignment against ``cents`` +
+    per-(cell, position) BIGINT recentering. Shared by the lazy and
+    localized trainers (single-sourced so they cannot drift)."""
+    assign = ivf_cells(embeddings, k, centroids=cents)
+    member_dims = (
+        embeddings.join(assign, "vec_id")
+        .select(
+            F.col("cell"), F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("val").cast("double") * _MEAN_QUANT)
+            ).alias("__q"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return (
+        member_dims.withColumn(
+            "__m",
+            F.col("__q").cast("double")
+            / (F.col("__n").cast("double") * F.lit(float(_MEAN_QUANT))),
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("centroid")
+        )
+        .select(F.col("cell").alias("cid"), "centroid")
+    )
+
+
 def _seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
     """(cid, centroid) — DETERMINISTIC farthest-point seeding (k-means++
     with the argmax in place of the distance-weighted draw): centroid 0
@@ -823,18 +987,12 @@ def _seed_centroids(embeddings: DataFrame, k: int) -> DataFrame:
     cents = embeddings.join(F.broadcast(first), "vec_id").select(
         F.lit(0).alias("cid"), F.col("embedding").alias("centroid")
     )
-    d2_in = (
-        "aggregate(zip_with(embedding, ce,"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
     for i in range(1, k):
         carr = cents.agg(F.collect_list("centroid").alias("__carr"))
         mind = embeddings.crossJoin(F.broadcast(carr)).select(
             "vec_id",
             F.expr(
-                f"array_min(transform(__carr, ce -> {d2_in}))"
+                f"array_min(transform(__carr, ce -> {_SEED_D2_IN}))"
             ).alias("__d"),
         )
         far = mind.agg(
@@ -855,6 +1013,7 @@ def train_ivf_centroids(
     embeddings: DataFrame,
     k: int = IVF_CELLS,
     rounds: int = IVF_TRAIN_ROUNDS,
+    localize: bool = True,
 ) -> DataFrame:
     """(cid, centroid) — the ORACLE-EXACT distributed k-means trainer
     behind the registered IVF/semantic queries: deterministic
@@ -878,38 +1037,28 @@ def train_ivf_centroids(
     exchange) + one (cell, position)-keyed partial aggregate — never a
     vector×vector stage. Empty cells vanish (standard Lloyd; the
     farthest-point seeds make that unlikely). WCSS descent across
-    rounds is property-pinned in tests/test_semantic_dedup.py."""
+    rounds is property-pinned in tests/test_semantic_dedup.py.
+
+    ``localize`` (default ON — round-6 verdict item 1): run the
+    identical stages EAGERLY via ``collect_codebook`` and return the
+    k-row codebook as a ``LocalRelation`` constant. The lazy arm
+    (``localize=False``) keeps the whole training lineage in one plan
+    — it is the oracle-shaped reference the parity test compares the
+    localized arm against bit-for-bit, and the arm whose unrolled SQL
+    the DuckDB oracles state — but as a consumer input it re-trains on
+    every action of every consumer (BENCH_r05: 6.5× on ann_topk_ivf),
+    so consumers should always take the localized default. Dtype note:
+    at ``rounds=0`` the lazy arm returns the raw seed vectors (the
+    corpus element type) while the localized arm returns DOUBLE arrays;
+    every scoring expression casts per-element to double, so values
+    are unaffected."""
+    if localize:
+        return codebook_df(
+            embeddings.sparkSession, collect_codebook(embeddings, k, rounds)
+        )
     cents = _seed_centroids(embeddings, k)
     for _ in range(rounds):
-        assign = ivf_cells(embeddings, k, centroids=cents)
-        member_dims = (
-            embeddings.join(assign, "vec_id")
-            .select(
-                F.col("cell"), F.posexplode("embedding").alias("pos", "val")
-            )
-            .groupBy("cell", "pos")
-            .agg(
-                F.sum(
-                    F.floor(F.col("val").cast("double") * _MEAN_QUANT)
-                ).alias("__q"),
-                F.count(F.lit(1)).alias("__n"),
-            )
-        )
-        cents = (
-            member_dims.withColumn(
-                "__m",
-                F.col("__q").cast("double")
-                / (F.col("__n").cast("double") * F.lit(float(_MEAN_QUANT))),
-            )
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "__m"))),
-                    lambda s: s["__m"],
-                ).alias("centroid")
-            )
-            .select(F.col("cell").alias("cid"), "centroid")
-        )
+        cents = _lloyd_round(embeddings, k, cents)
     return cents
 
 

@@ -321,12 +321,47 @@ def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_cells(load_table(spark, sf_dir, "embeddings"))
 
 
+#: process-lifetime cache of trained codebooks, keyed on (corpus path,
+#: k, rounds) and holding PLAIN-PYTHON rows (no session-bound handles —
+#: safe across SparkSession restarts; the DataFrame is rebuilt per call
+#: against the caller's session). Round-6 verdict item 1: the three
+#: trained-codebook consumers share ONE training run instead of each
+#: re-embedding the full seeding+Lloyd lineage into their lazy plans
+#: (BENCH_r05: ann_topk_ivf 0.60 → 3.93 s from exactly that).
+_CODEBOOK_CACHE: dict[tuple[str, int, int], tuple] = {}
+
+
+def trained_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = similarity.IVF_CELLS,
+    rounds: int = similarity.IVF_TRAIN_ROUNDS,
+) -> DataFrame:
+    """The trained (cid, centroid) codebook for ``sf_dir``'s embeddings
+    as a ``LocalRelation`` constant — trained at most once per
+    (corpus, k, rounds) per process; bit-deterministic (the trainer has
+    no RNG or partition-order dependence), so caching cannot change
+    values."""
+    import os as _os
+
+    key = (_os.path.abspath(sf_dir), k, rounds)
+    if key not in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE[key] = tuple(
+            similarity.collect_codebook(
+                load_table(spark, sf_dir, "embeddings"), k, rounds
+            )
+        )
+    return similarity.codebook_df(spark, _CODEBOOK_CACHE[key])
+
+
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 5: the registered IVF query quantizes against the TRAINED
-    # codebook (deterministic farthest-point seed + exact-Lloyd rounds)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # codebook (deterministic farthest-point seed + exact-Lloyd rounds);
+    # round 6: materialized once via trained_codebook — the consumer
+    # plan embeds a constant, not the training lineage
     return similarity.ann_topk_ivf(
-        emb, centroids=similarity.train_ivf_centroids(emb)
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=trained_codebook(spark, sf_dir),
     )
 
 
@@ -773,19 +808,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # round 5: cell assignment against the TRAINED codebook
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round 5: cell assignment against the TRAINED codebook; round 6:
+    # the codebook is the shared materialized constant (one training
+    # run per process, zero training lineage in this plan)
     return similarity.semantic_dedup_clusters(
-        emb,
+        load_table(spark, sf_dir, "embeddings"),
         min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
-        centroids=similarity.train_ivf_centroids(emb),
+        centroids=trained_codebook(spark, sf_dir),
     )
 
 
 def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # end-to-end check of the trained assignment: the codebook values
+    # come from the (cached) trainer, the oracle re-derives them from
+    # scratch in SQL — a cache-corruption or trainer drift breaks the
+    # hash match here first
     return similarity.ivf_cells(
-        emb, centroids=similarity.train_ivf_centroids(emb)
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=trained_codebook(spark, sf_dir),
     )
 
 
