@@ -453,3 +453,41 @@ def test_shard_write_is_idempotent(spark, tmp_path):
     for _shard, _n, _tok, start, end in ma:
         assert start == prev_end
         prev_end = end
+
+
+def test_capstone_cut_arm_releases_intermediate_persists(spark, tmp_path):
+    """Round-6 ADVICE: the cut arm previously left the span persist
+    cached with no handle returned — the only release was a global
+    clearCache. Contract now: after prepare_training_corpus(...,
+    cut_passages=True) returns, the ONLY cached relation is the
+    returned (eagerly materialized) audit, and audit.unpersist()
+    releases everything — a long-lived service calling the capstone
+    repeatedly holds exactly one manifest-sized cache entry per live
+    audit, zero after release."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+
+    def n_cached() -> int:
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    spark.catalog.clearCache()
+    assert n_cached() is True
+    boiler = ("the quick brown fox of the meadow jumps over a lazy dog "
+              "and runs to the river")
+    rows = [
+        (1, f"{boiler} in the morning of a bright day to rest and play"),
+        (2, f"{boiler} at the evening of a quiet night to sleep and dream"),
+        (3, "the cat sat on the mat and it was happy to be there all of "
+            "the long day with a friend of the house"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = docs.where("doc_id < 0")
+    audit = prepare_training_corpus(
+        docs, ev, str(tmp_path / "cut"), cut_passages=True
+    )
+    assert n_cached() is False          # the audit itself is cached
+    verdicts = sorted(map(tuple, audit.collect()))
+    assert len(verdicts) == 3
+    audit.unpersist()
+    assert n_cached() is True, "intermediate persists leaked"

@@ -254,3 +254,25 @@ def test_prepare_corpus_rejects_bad_eval_mod(spark, tmp_path):
 
     with _pytest.raises(SystemExit, match="eval-mod"):
         run_prepare_corpus(spark, SF_SMOKE, str(tmp_path / "x"), eval_mod=0)
+
+
+def test_stats_of_as_is_arm_applies_explicit_broadcast(spark):
+    """Round-6 ADVICE: when the size decision runs on SUBSTITUTE
+    statistics (``stats_of`` — the build side itself contains an
+    explode whose Catalyst estimate is unbounded), the under-threshold
+    arm must apply the broadcast hint explicitly; returning the side
+    unhinted would leave the planner re-deriving the unbounded estimate
+    and never broadcasting. Without stats_of, as_is stays unhinted
+    (the planner re-derives the SAME bounded estimate)."""
+    small = spark.range(10).select(F.col("id").alias("k"))
+    derived = small.select(
+        F.explode(F.array(F.col("k"), F.col("k") + 100)).alias("k")
+    )
+    out = strategy.shuffle_hash_unless_broadcastable(derived, stats_of=small)
+    assert "broadcast" in _analyzed(out).lower()
+    assert not _has_shuffle_hash_hint(out)
+    # without substitute stats the as_is arm stays unhinted (the planner
+    # re-derives the same estimate itself) — the explicit hint is tied
+    # to stats_of, not applied globally
+    sm = strategy.shuffle_hash_unless_broadcastable(small)
+    assert "unresolvedhint" not in _analyzed(sm).lower()

@@ -113,6 +113,7 @@ def prepare_training_corpus(
     kept = documents.join(
         audit.where(F.col("verdict") == "kept").select("doc_id"), "doc_id"
     )
+    base_audit = audit
     if cut_passages:
         from .passages import apply_passage_cuts, passage_cut_spans
 
@@ -154,12 +155,23 @@ def prepare_training_corpus(
     write_training_shards(
         kept, path, budget=budget, packs_per_shard=packs_per_shard
     )
-    # NOTE: the cut-arm span persist is NOT released here — the returned
-    # audit's fully_cut override reads it (an eager unpersist would make
-    # the caller's audit evaluation replan the whole window-fingerprint
-    # pipeline). It is manifest-sized (collision survivors only) and
-    # MEMORY_AND_DISK; callers done with the audit release it with
-    # ``spark.catalog.clearCache()`` or by ending the session.
+    if cut_passages and persist_audit:
+        # round-6 ADVICE: the span persist previously outlived the call
+        # with no handle returned — a long-lived service accumulating
+        # cached relations it could only release via a global
+        # clearCache. Instead the FINAL audit (post fully_cut override)
+        # is persisted and materialized here — one eager manifest-sized
+        # job that reuses the persisted base audit + span relations
+        # plus one scan-shaped HOF rewrite (the same work the caller's
+        # first audit evaluation paid before) — after which the
+        # intermediate persists are released precisely. The caller
+        # holds the ONE remaining cached relation (the returned audit)
+        # and releases it with ``.unpersist()`` when done — the same
+        # contract as the non-cut arm.
+        audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
+        audit.count()
+        spans.unpersist()
+        base_audit.unpersist()
     return audit
 
 

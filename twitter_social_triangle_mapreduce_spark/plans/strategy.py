@@ -163,12 +163,19 @@ def shuffle_hash_unless_broadcastable(
        is asserted by tests/test_strategy.py.
 
     ``stats_of``/``scale`` forward to ``build_side_mode`` — see there
-    (explode-bearing build sides must supply real statistics)."""
+    (explode-bearing build sides must supply real statistics). When
+    ``stats_of`` is supplied, the ``as_is`` arm applies an EXPLICIT
+    broadcast hint (round-6 ADVICE): the whole point of the substitute
+    statistics is that the planner cannot bound the derived side's own
+    estimate, so returning it unhinted would leave Catalyst re-deriving
+    the unbounded number and never actually broadcasting — the two
+    prior call sites handled this inconsistently; now the helper does
+    it."""
     mode = build_side_mode(side, conf_key, stats_of=stats_of, scale=scale)
     if mode == "broadcast":
         return F.broadcast(side)
     if mode == "as_is":
-        return side
+        return F.broadcast(side) if stats_of is not None else side
     return side.hint("shuffle_hash")
 
 

@@ -327,6 +327,9 @@ def streaming_dedup_against_corpus(
         # derivation contains an explode — unboundable estimate); band
         # rows are ~24 B/doc·band = ~100 B/doc, far under typical doc
         # text bytes, so scale=1 on the batch scan still over-estimates.
+        # On the under-threshold arm the helper applies the broadcast
+        # hint itself (round-6 ADVICE — the planner cannot re-derive
+        # the substitute estimate from the band relation's own stats).
         bands = shuffle_hash_unless_broadcastable(
             minhash_bands(batch_df), stats_of=batch_df
         )
