@@ -397,6 +397,63 @@ HEADLINE_WRITE_BYTES_SF0001 = {
 }
 
 
+#: shuffle-write bytes per headline query at the BENCH scale (sf0.1),
+#: measured on adoption (round 6, Spark 4.1.2). These are the budgets
+#: behind BENCH_rN's ``shuffle_headline`` section (BASELINE.md): bytes
+#: are the machine-noise-free headline gate wall-clock cannot be on a
+#: shared machine — byte-identical across runs, so drift means a PLAN
+#: change, and >3× means a new corpus-scale exchange crept in.
+HEADLINE_WRITE_BYTES_SF01 = {
+    "exact_cardinality": 23037,
+    "approx_cardinality": 7997,
+    "social_triangle_rs": 68522,
+    "social_triangle_ordered": 403269,
+    "triangle_replicated": 46513,
+    "path2_enum": 0,
+    "dedup_minhash_pairs": 1509103,
+    "simhash": 268016,
+    "ann_topk_bruteforce": 448,
+    "text_stats": 2319164,
+    "sessionize": 1948170,
+    "pricing_summary": 912,
+}
+
+
+def _headline_bytes_probe(sf_dir: str) -> dict:
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts/headline_bytes_probe.py"),
+            sf_dir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["write_bytes"]
+
+
+def test_headline_shuffle_byte_budgets_at_bench_scale():
+    """Round-6 verdict item 4: the per-query byte budgets asserted at
+    the scale BENCH_rN actually records (sf0.1) — BENCH's
+    ``shuffle_headline`` section was recorded but unasserted. Same
+    contract as the sf0.001 guard: byte determinism across runs, ≤3×
+    the adoption value (64 KiB floor for the near-zero queries)."""
+    got = _headline_bytes_probe("/root/testdata/sf0.1")
+    assert set(got) == set(HEADLINE_WRITE_BYTES_SF01)
+    for name, runs in got.items():
+        assert runs[0] == runs[1], (name, runs)
+        budget = max(3 * HEADLINE_WRITE_BYTES_SF01[name], 65536)
+        assert runs[0] <= budget, (name, runs[0], budget)
+
+
 def test_headline_shuffle_byte_budgets():
     """Round-5 verdict item 7: shuffle BYTES as the headline gate.
     Every headline query's per-run shuffle write must be (a) identical
