@@ -402,3 +402,96 @@ def test_zero_norm_centroid_ranks_last_matching_duckdb_oracle(spark):
     # the degenerate centroid never wins an assignment
     cells = ivf_cells(emb, 3, centroids=cents).collect()
     assert all(r["cell"] != 1 for r in cells), cells
+
+
+def test_kmeanspar_rounds_pinned():
+    """The O(log k) scan-count contract: sampling rounds are
+    ceil(log2 k) + 2 with a floor of 2 — pinned so a refactor cannot
+    silently reintroduce per-center scans."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        kmeanspar_rounds,
+    )
+
+    assert kmeanspar_rounds(2) == 3
+    assert kmeanspar_rounds(4) == 4
+    assert kmeanspar_rounds(16) == 6
+    assert kmeanspar_rounds(256) == 10
+    assert kmeanspar_rounds(4096) == 14
+
+
+def test_kmeanspar_seeder_quality_and_determinism(spark):
+    """Round-6 verdict item 2: the k-means|| seeder must (a) be
+    deterministic end to end (md5-ranked draws — two runs bit-equal),
+    and (b) match the farthest-point seeder's quality on the clustered
+    fixture: trained WCSS within tolerance, and one centroid per true
+    cluster (both seeders must recover the planted structure)."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        train_ivf_centroids,
+        wcss,
+    )
+
+    rng = random.Random(11)
+    centers = [
+        [10.0 if d == c else 0.0 for d in range(DIMS)] for c in range(4)
+    ]
+    vecs = [
+        [x + rng.uniform(-0.5, 0.5) for x in centers[i % 4]]
+        for i in range(160)
+    ]
+    emb = _emb(spark, vecs)
+    far = train_ivf_centroids(emb, k=4, rounds=2)
+    kmp = train_ivf_centroids(emb, k=4, rounds=2, seeder="kmeans||")
+    kmp2 = train_ivf_centroids(emb, k=4, rounds=2, seeder="kmeans||")
+    rows = lambda df: sorted(  # noqa: E731
+        (r["cid"], tuple(r["centroid"])) for r in df.collect()
+    )
+    assert rows(kmp) == rows(kmp2)  # determinism
+    w_far = wcss(emb, far, assign_centroids=far).collect()[0]["wcss"]
+    w_kmp = wcss(emb, kmp, assign_centroids=kmp).collect()[0]["wcss"]
+    assert w_kmp <= 1.3 * w_far, (w_kmp, w_far)
+    # both recover the planted structure: each trained centroid's
+    # dominant dimension is a distinct true-cluster axis
+    doms = {max(range(DIMS), key=lambda d: v[d]) for _, v in rows(kmp)}
+    assert doms == {0, 1, 2, 3}, doms
+
+
+def test_kmeanspar_scan_count_sublinear_in_k(spark):
+    """The whole point of kmeans|| at large k: seeding k=64 centers
+    must run FAR fewer Spark jobs than the farthest-point seeder's
+    k−1 corpus scans — bounded by the O(log k) round structure, not by
+    k."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        _collect_kmeanspar_seeds,
+        kmeanspar_rounds,
+    )
+
+    rng = random.Random(3)
+    vecs = [[rng.uniform(-1, 1) for _ in range(DIMS)] for _ in range(512)]
+    emb = _emb(spark, vecs)
+    sc = spark.sparkContext
+
+    def jobs_for(k: int, tag: str) -> int:
+        sc.setJobGroup(tag, "scan-count probe")
+        try:
+            seeds = _collect_kmeanspar_seeds(emb, k)
+        finally:
+            sc.setJobGroup(None, None)
+        assert len(seeds) == k
+        assert len({v for _, v in seeds}) == k  # distinct centers
+        return len(sc._jsc.sc().statusTracker().getJobIdsForGroup(tag))
+
+    j16 = jobs_for(16, "kmpar_probe_16")
+    j64 = jobs_for(64, "kmpar_probe_64")
+    # Spark multiplies actions into several jobs (AQE query stages +
+    # broadcast exchanges), so pin the STRUCTURE, not an absolute: job
+    # count is linear in the round count (≤ ~6 per round + setup) and
+    # grows with Δrounds, NOT with Δk — k went 16→64 (+48) while
+    # rounds went 6→8 (+2)
+    r16, r64 = kmeanspar_rounds(16), kmeanspar_rounds(64)
+    assert j64 <= 10 + 6 * r64, (j64, r64)
+    assert j64 - j16 <= 6 * (r64 - r16) + 4, (j16, j64)
+    assert j64 < 64, j64  # and strictly under the k-1 farthest scans

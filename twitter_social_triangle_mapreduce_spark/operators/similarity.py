@@ -861,10 +861,188 @@ def codebook_df(spark, rows) -> DataFrame:
     )
 
 
+#: per-round oversampling multiple for k-means|| seeding: each round
+#: draws ~``KMEANSPAR_OVERSAMPLE · k`` candidates in expectation
+#: (Bahmani et al., VLDB 2012 recommend l = Θ(k); 2k is their
+#: experimentally-robust midpoint)
+KMEANSPAR_OVERSAMPLE = 2
+
+
+def kmeanspar_rounds(k: int) -> int:
+    """Number of k-means|| sampling rounds for ``k`` centers:
+    ⌈log₂ k⌉ + 2 (the paper's O(log n·ψ) bound collapses to O(log k)
+    rounds in practice; the +2 floor keeps tiny k robust). This is the
+    SCAN-COUNT contract the seeder's test pins: total corpus scans are
+    ``2 · kmeanspar_rounds(k) + 2`` (per round one φ aggregate + one
+    sample filter, plus the initial center pick and the final
+    weighting scan) — O(log k), vs the farthest-point seeder's k−1."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(k, 2))) + 2)
+
+
+def _collect_kmeanspar_seeds(
+    embeddings: DataFrame,
+    k: int,
+    oversample: int = KMEANSPAR_OVERSAMPLE,
+) -> list[tuple[int, tuple[float, ...]]]:
+    """DETERMINISTIC k-means|| seeding (the large-k path the
+    farthest-point docstring names): O(log k) corpus scans instead of
+    k−1.
+
+    Determinism without RNG: the Bernoulli draw for vector x in round
+    r uses u = md5(vec_id ∥ '#kmpar#' ∥ r) as a fixed-point uniform in
+    [0, 1) — engine-portable, partition-order-free, reproducible
+    across runs and cluster sizes. x is sampled when
+    u < l · d²(x, C) / φ(C) with l = oversample·k and φ the current
+    total cost (points already in C have d² = 0, so no re-draws).
+
+    Scale shape: every round broadcasts the candidate set (≤ l·rounds
+    vectors, KBs) and runs scan-shaped jobs — one global-agg φ, one
+    sample filter collecting ~l rows; the final weighting pass is one
+    more scan with a k-small groupBy. The candidate reduction to k
+    centers is driver-local weighted greedy farthest-point over
+    O(l·log k) rows — exactly the "solve the small weighted instance
+    locally" step of the paper."""
+    spark = embeddings.sparkSession
+    first = embeddings.agg(
+        F.min_by("embedding", "vec_id").alias("e"),
+        F.min("vec_id").alias("v"),
+    ).collect()[0]
+    cands: list[tuple[int, tuple[float, ...]]] = [
+        (int(first["v"]), tuple(float(x) for x in first["e"]))
+    ]
+    n_rounds = kmeanspar_rounds(k)
+    l_factor = float(oversample * k)
+    for r in range(n_rounds):
+        carr = codebook_df(
+            spark, [(i, v) for i, (_, v) in enumerate(cands)]
+        ).agg(F.collect_list("centroid").alias("__carr"))
+        scored = embeddings.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                f"array_min(transform(__carr, ce -> {_SEED_D2_IN}))"
+            ).alias("__d"),
+        )
+        phi = scored.agg(F.sum("__d").alias("p")).collect()[0]["p"]
+        if not phi or phi <= 0:
+            break  # every vector already coincides with a candidate
+        # fixed-point uniform from md5(vec_id # round): 15 hex chars
+        # (60 bits) scaled to [0, 1)
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#kmpar#", F.col("vec_id").cast("string"),
+                            F.lit(str(r)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**15))
+        )
+        picked = (
+            scored.where(
+                u < F.lit(l_factor) * F.col("__d") / F.lit(float(phi))
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        seen = {vid for vid, _ in cands}
+        for row in sorted(picked, key=lambda x: x["vec_id"]):
+            if row["vec_id"] not in seen:
+                cands.append(
+                    (
+                        int(row["vec_id"]),
+                        tuple(float(x) for x in row["embedding"]),
+                    )
+                )
+                seen.add(int(row["vec_id"]))
+    # weighting scan: each corpus vector votes for its nearest
+    # candidate (squared-euclidean argmin, ties to the smaller index)
+    carr = codebook_df(
+        spark, [(i, v) for i, (_, v) in enumerate(cands)]
+    ).agg(
+        F.collect_list(F.struct("cid", F.col("centroid").alias("ce"))).alias(
+            "__cands"
+        )
+    )
+    d2c = (
+        "aggregate(zip_with(embedding, c.ce,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    weights_rows = (
+        embeddings.crossJoin(F.broadcast(carr))
+        .select(
+            F.expr(
+                f"array_min(transform(__cands,"
+                f" c -> struct({d2c} AS d, c.cid AS cid))).cid"
+            ).alias("cid")
+        )
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    weights = {int(r["cid"]): int(r["count"]) for r in weights_rows}
+    return _weighted_greedy_reduce(cands, weights, k)
+
+
+def _weighted_greedy_reduce(
+    cands: list[tuple[int, tuple[float, ...]]],
+    weights: dict[int, int],
+    k: int,
+) -> list[tuple[int, tuple[float, ...]]]:
+    """Reduce the weighted candidate set to k centers, driver-local
+    and deterministic: start from the heaviest candidate (ties to the
+    smaller source vec_id), then greedily add the candidate maximizing
+    weight · d²-to-nearest-chosen (weighted farthest-point — the
+    deterministic stand-in for weighted k-means++ on the small
+    instance; same argmax-for-draw substitution as the distributed
+    farthest-point seeder). Requires |cands| ≥ k — k-means|| draws
+    ~2k·log k candidates, so a shortfall means the corpus itself has
+    fewer distinct vectors than k, which the trainer surfaces rather
+    than silently degrading."""
+    if len(cands) < k:
+        raise ValueError(
+            f"kmeans|| produced {len(cands)} candidates < k={k};"
+            " corpus has too few distinct vectors (use the"
+            " farthest-point seeder for degenerate corpora)"
+        )
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    w = {i: weights.get(i, 0) for i in range(len(cands))}
+    order = sorted(
+        range(len(cands)), key=lambda i: (-w[i], cands[i][0])
+    )
+    chosen = [order[0]]
+    rest = [i for i in order if i != order[0]]
+    mind = {i: d2(cands[i][1], cands[chosen[0]][1]) for i in rest}
+    while len(chosen) < k:
+        best = max(rest, key=lambda i: (w[i] * mind[i], -cands[i][0]))
+        chosen.append(best)
+        rest.remove(best)
+        for i in rest:
+            nd = d2(cands[i][1], cands[best][1])
+            if nd < mind[i]:
+                mind[i] = nd
+    return [(j, cands[i][1]) for j, i in enumerate(chosen)]
+
+
 def collect_codebook(
     embeddings: DataFrame,
     k: int = IVF_CELLS,
     rounds: int = IVF_TRAIN_ROUNDS,
+    seeder: str = "farthest",
 ) -> list[tuple[int, tuple[float, ...]]]:
     """Run the oracle-exact trainer to COMPLETION once and return the
     k×dims codebook as plain Python rows (round-6 verdict item 1). The
@@ -885,8 +1063,27 @@ def collect_codebook(
     ``LocalRelation``. Float exactness: collected float32/float64
     values round-trip Python floats exactly, and re-entering as DOUBLE
     literals equals the ``CAST(x AS DOUBLE)`` every scoring expression
-    already applies."""
+    already applies.
+
+    ``seeder`` — ``"farthest"`` (default): the oracle-exact
+    deterministic farthest-point path, k−1 corpus scans, small-k
+    regime; ``"kmeans||"``: the O(log k)-scan oversampling seeder for
+    large k (``_collect_kmeanspar_seeds`` — deterministic md5-ranked
+    draws, no DuckDB oracle twin: the Lloyd rounds on top remain
+    exact, but the seed set is not SQL-unrolled)."""
     spark = embeddings.sparkSession
+    if seeder == "kmeans||":
+        rows = _collect_kmeanspar_seeds(embeddings, k)
+        for _ in range(rounds):
+            cents = codebook_df(spark, rows)
+            got = _lloyd_round(embeddings, k, cents).collect()
+            rows = sorted(
+                (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
+                for r in got
+            )
+        return rows
+    if seeder != "farthest":
+        raise ValueError(f"unknown seeder {seeder!r}")
     first = embeddings.agg(
         F.min_by("embedding", "vec_id").alias("e")
     ).collect()[0]["e"]
@@ -1014,6 +1211,7 @@ def train_ivf_centroids(
     k: int = IVF_CELLS,
     rounds: int = IVF_TRAIN_ROUNDS,
     localize: bool = True,
+    seeder: str = "farthest",
 ) -> DataFrame:
     """(cid, centroid) — the ORACLE-EXACT distributed k-means trainer
     behind the registered IVF/semantic queries: deterministic
@@ -1051,10 +1249,21 @@ def train_ivf_centroids(
     at ``rounds=0`` the lazy arm returns the raw seed vectors (the
     corpus element type) while the localized arm returns DOUBLE arrays;
     every scoring expression casts per-element to double, so values
-    are unaffected."""
+    are unaffected.
+
+    ``seeder``: ``"farthest"`` (both arms) or ``"kmeans||"``
+    (localized arm only — the O(log k)-scan large-k path; the lazy arm
+    exists to mirror the SQL-unrolled oracle, which states the
+    farthest-point seeding)."""
     if localize:
         return codebook_df(
-            embeddings.sparkSession, collect_codebook(embeddings, k, rounds)
+            embeddings.sparkSession,
+            collect_codebook(embeddings, k, rounds, seeder=seeder),
+        )
+    if seeder != "farthest":
+        raise ValueError(
+            "the lazy (oracle-shaped) trainer supports only the"
+            " farthest-point seeder; use localize=True for kmeans||"
         )
     cents = _seed_centroids(embeddings, k)
     for _ in range(rounds):
