@@ -1,0 +1,118 @@
+"""Multimodal decode arms (operators/multimodal.py): the stub arm is
+oracle-checked in the differential tier; these pin the round-6 codec
+gating contract — same schema both arms, per-row fallback identical to
+the stub, the real arm exercised wherever PIL exists (skipif-guarded),
+and a synthetic-payload parity both arms must share."""
+
+from __future__ import annotations
+
+import pytest
+
+from twitter_social_triangle_mapreduce_spark.operators import multimodal
+
+from conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "payload three")],
+        "doc_id long, text string",
+    )
+
+
+def test_auto_decoder_resolves_by_codec_availability(spark):
+    """``auto`` must pick the real arm iff PIL is importable, and
+    forcing the real arm without PIL must crash at plan time, not
+    silently degrade."""
+    df = multimodal.decode_media_features(_docs(spark), decoder="auto")
+    assert df.columns == [
+        "doc_id", "media_type", "n_bytes", "first_byte", "digest8",
+        "width", "height", "decode_ok",
+    ]
+    if not multimodal.codec_available():
+        with pytest.raises(ImportError, match="PIL"):
+            multimodal.decode_media_features(_docs(spark), decoder="real")
+    with pytest.raises(ValueError, match="decoder"):
+        multimodal.decode_media_features(_docs(spark), decoder="ffmpeg")
+
+
+def test_stub_arm_fallback_fields_are_deterministic(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media_features(
+            _docs(spark), decoder="stub"
+        ).collect()
+    }
+    assert rows[2]["first_byte"] == -1  # empty payload
+    for r in rows.values():
+        assert (r["width"], r["height"], r["decode_ok"]) == (-1, -1, 0)
+
+
+def test_auto_arm_matches_stub_arm_on_synthetic_payloads(spark):
+    """The cross-arm invariant the oracle relies on: synthetic text
+    payloads never parse as images, so the auto arm (real decode when
+    PIL exists, stub otherwise) must produce rows identical to the
+    forced stub arm — in EVERY container."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    stub = sorted(
+        map(tuple, multimodal.decode_media_features(
+            docs, decoder="stub"
+        ).collect())
+    )
+    auto = sorted(
+        map(tuple, multimodal.decode_media_features(
+            docs, decoder="auto"
+        ).collect())
+    )
+    assert stub == auto
+
+
+@pytest.mark.skipif(
+    not multimodal.codec_available(), reason="PIL not installed"
+)
+def test_real_decode_arm_extracts_actual_dimensions(spark):
+    """Exercised only in codec-equipped environments: a genuine PNG
+    payload must decode to its true (width, height) with decode_ok=1,
+    while an unparseable payload in the SAME batch takes the
+    deterministic fallback — the per-row gating, not a per-job one."""
+    import io
+
+    from PIL import Image
+
+    from pyspark.sql import functions as F
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    docs = _docs(spark)
+    # doc 2's payload becomes a real PNG: media_table encodes text, so
+    # inject the binary AFTER media_table by building the media relation
+    # directly through the operator's own contract — here we just remap
+    # text to latin-1-safe bytes is lossy, so drive mapInPandas through
+    # a custom media table instead
+    m = docs.select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        F.when(F.col("doc_id") == 2, F.lit(png))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    import twitter_social_triangle_mapreduce_spark.operators.multimodal as mm
+
+    orig = mm.media_table
+    mm.media_table = lambda _df: m
+    try:
+        rows = {
+            r["doc_id"]: r
+            for r in mm.decode_media_features(
+                docs, decoder="real"
+            ).collect()
+        }
+    finally:
+        mm.media_table = orig
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["decode_ok"]) == (
+        7, 3, 1,
+    )
+    assert rows[1]["decode_ok"] == 0 and rows[1]["width"] == -1

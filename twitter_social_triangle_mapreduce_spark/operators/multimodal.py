@@ -1,13 +1,16 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, decoded / feature-extracted via Arrow-batched ``mapInPandas``.
 
-The image/audio codec libraries are not available in this environment, so
-the decode step is STUBBED: ``decode_media_features`` computes a
-deterministic fake feature vector (first bytes + length + digest prefix)
-behind the same batch-shaped UDF signature a real decoder would use. The
+The decode step is GATED on codec availability (round-6 verdict item 5):
+``decode_media_features`` decodes for real via PIL when it is importable
+(``decoder="auto"``) and otherwise computes a deterministic fake feature
+vector (first bytes + length + digest prefix) behind the same
+batch-shaped UDF signature — SAME output schema either way, with the
+real arm filling (width, height, decode_ok) for payloads that parse and
+the deterministic (-1, -1, 0) fallback for those that don't. The
 Spark-side plumbing — schema, partition sizing, Arrow batch flow, output
-contract — is real and tested; swap ``_fake_decode`` for a PIL/ffmpeg call
-to productionize.
+contract — is real and tested in both arms (the real arm under a
+skipif-codec guard); audio/video (ffmpeg) remain stub-only.
 
 Scale notes: media rows are wide (MBs); ``media_table`` repartitions by
 doc_id so a 100 TB corpus spreads evenly, and the UDF streams Arrow
@@ -45,8 +48,26 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("first_byte", LongType(), False),
         StructField("digest8", StringType(), False),
+        # real-decode fields (round-6 verdict item 5): populated by the
+        # PIL arm when the payload actually parses; the deterministic
+        # fallback (-1, -1, 0) everywhere else — SAME schema both arms
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("decode_ok", LongType(), False),
     ]
 )
+
+
+def codec_available() -> bool:
+    """True when a real image codec (PIL) is importable — the gate for
+    ``decode_media_features(decoder="auto")``. cv2 would serve equally;
+    PIL is checked first as the lighter dependency."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def media_table(documents: DataFrame) -> DataFrame:
@@ -155,36 +176,67 @@ def sample_frames(
     return m.mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
-def decode_media_features(documents: DataFrame) -> DataFrame:
+def decode_media_features(
+    documents: DataFrame, decoder: str = "auto"
+) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table via
     ``mapInPandas`` — the real multimodal UDF shape: one pandas batch in,
     one batch out, bounded memory, schema declared up front.
 
-    The decode step is a STUB (no PIL/ffmpeg in this container): a
-    deterministic fake — (byte length, first byte, md5 prefix) — stands in
-    for decoded dimensions / duration / features. The closure is fully
-    self-contained (no module-level references) so cloudpickle ships it by
-    value and Python workers never need this package on their import path.
-    """
+    ``decoder`` (round-6 verdict item 5): ``"auto"`` decodes for REAL
+    when PIL is importable on the workers (``codec_available``) and
+    falls back to the deterministic stub otherwise; ``"stub"`` /
+    ``"real"`` force an arm (``"real"`` without PIL raises at plan
+    time — crash-not-silently-degrade). Both arms emit the SAME
+    schema: the stub fields (byte length, first byte, md5 prefix) are
+    computed identically in both, and the real arm adds actual decoded
+    (width, height, decode_ok=1) for payloads that parse, with the
+    per-row fallback (-1, -1, 0) for payloads that don't. On the
+    synthetic testdata — UTF-8 text bytes, never a valid image — no
+    payload parses, so BOTH arms produce identical rows and the DuckDB
+    oracle (which states the deterministic arm) stays hash-green
+    whether or not the container has codecs. The closure is fully
+    self-contained (no module-level references) so cloudpickle ships
+    it by value and Python workers never need this package on their
+    import path."""
+    if decoder == "auto":
+        decoder = "real" if codec_available() else "stub"
+    if decoder == "real" and not codec_available():
+        raise ImportError(
+            "decode_media_features(decoder='real') requires PIL"
+        )
+    if decoder not in ("real", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    use_real = decoder == "real"
     m = media_table(documents).repartition("doc_id")
 
     def decode_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
         import pandas as _pd
 
-        def fake_decode(payload: bytes) -> tuple[int, int, str]:
-            # swap for the real codec call to productionize
-            return (
+        if use_real:
+            from PIL import Image
+
+        def decode(payload: bytes) -> tuple[int, int, str, int, int, int]:
+            base = (
                 len(payload),
                 payload[0] if payload else -1,
                 hashlib.md5(payload).hexdigest()[:8],
             )
+            if use_real:
+                try:
+                    with Image.open(io.BytesIO(payload)) as img:
+                        return base + (img.width, img.height, 1)
+                except Exception:
+                    pass  # undecodable payload -> deterministic fallback
+            return base + (-1, -1, 0)
 
         for pdf in batches:
-            feats = pdf["payload"].map(fake_decode)
+            feats = pdf["payload"].map(decode)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -192,6 +244,9 @@ def decode_media_features(documents: DataFrame) -> DataFrame:
                     "n_bytes": feats.map(lambda t: t[0]),
                     "first_byte": feats.map(lambda t: t[1]),
                     "digest8": feats.map(lambda t: t[2]),
+                    "width": feats.map(lambda t: t[3]),
+                    "height": feats.map(lambda t: t[4]),
+                    "decode_ok": feats.map(lambda t: t[5]),
                 }
             )
 

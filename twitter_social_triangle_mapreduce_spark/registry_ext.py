@@ -1290,12 +1290,18 @@ EXT_ORACLES = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
-    # oracle for the STUBBED decode: the fake features are deterministic
-    # functions of the payload, so even the mapInPandas path is checkable.
+    # oracle for the deterministic decode arm: the fake features are
+    # deterministic functions of the payload, so even the mapInPandas
+    # path is checkable.
     # first_byte: the stub returns the first UTF-8 BYTE (-1 when empty);
     # ascii() returns a CODEPOINT, so this oracle assumes ASCII text (true
     # of the synthetic testdata, same assumption as media_frames) and
     # mirrors the empty-payload -1 explicitly.
+    # width/height/decode_ok (round 6): the synthetic payloads are UTF-8
+    # text bytes — never a parseable image — so the REAL decode arm
+    # produces the identical (-1, -1, 0) fallback on every row and this
+    # oracle holds whether or not the container has codecs (the parity
+    # is pinned by tests/test_multimodal.py in codec-equipped envs).
     "media_features": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'image/png'
@@ -1304,7 +1310,10 @@ EXT_ORACLES = {
                CAST(CASE WHEN length(text) = 0 THEN -1
                          ELSE ascii(substr(text, 1, 1)) END
                     AS BIGINT) AS first_byte,
-               substr(md5(text), 1, 8) AS digest8
+               substr(md5(text), 1, 8) AS digest8,
+               CAST(-1 AS BIGINT) AS width,
+               CAST(-1 AS BIGINT) AS height,
+               CAST(0 AS BIGINT) AS decode_ok
         FROM documents
     """,
 }
