@@ -495,3 +495,41 @@ def test_kmeanspar_scan_count_sublinear_in_k(spark):
     assert j64 <= 10 + 6 * r64, (j64, r64)
     assert j64 - j16 <= 6 * (r64 - r16) + 4, (j16, j64)
     assert j64 < 64, j64  # and strictly under the k-1 farthest scans
+
+
+def test_banded_candidates_stay_linear_with_scaled_bits(spark):
+    """Round-6 verdict item 6 guard: with the band width scaled as
+    log2(n / occupancy) — the documented 100 TB rule — doubling the
+    clustered corpus must ~double the banded candidate set (per-vector
+    candidates bounded), never quadruple it; and at FIXED bits the
+    same doubling demonstrably super-doubles (the quadratic regime the
+    rule exists to avoid). Uses the probe's own corpus generator and
+    the operator's own candidate relation — no reimplementation."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from embedding_scale_probe import bits_for, clustered_embeddings
+
+    counts = {}
+    fixed = {}
+    for n in (10_000, 20_000):
+        emb = clustered_embeddings(spark, n)
+        counts[n] = similarity.banded_lsh_candidates(
+            emb, bits=bits_for(n)
+        ).count()
+        fixed[n] = similarity.banded_lsh_candidates(
+            emb, bits=similarity.LSH_BITS
+        ).count()
+    # scaled bits: ~linear (allow 3x for bucket-skew wobble)
+    assert counts[20_000] <= 3 * counts[10_000], counts
+    # per-vector candidates bounded well under n
+    assert counts[20_000] / 20_000 < 100, counts
+    # fixed bits: the quadratic regime is real (>3x on doubling)
+    assert fixed[20_000] > 3 * fixed[10_000], fixed

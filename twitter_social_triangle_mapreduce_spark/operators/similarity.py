@@ -482,6 +482,48 @@ def ann_topk_ivf(
 LSH_BANDS = 3
 
 
+def banded_lsh_candidates(
+    embeddings: DataFrame,
+    bits: int = LSH_BITS,
+    bands: int = LSH_BANDS,
+    dims: int = EMBED_DIMS,
+) -> DataFrame:
+    """(vec_a, vec_b) — the deduped OR-amplified band-collision
+    candidate set behind ``embedding_near_dup_pairs``, exposed so the
+    scale probes and the sub-quadratic guard tests count EXACTLY the
+    relation the operator joins (scripts/embedding_scale_probe.py) —
+    not a reimplementation that could drift. Ids-only through the
+    exchange: each banded row is (vec_id, band, bkey) ≈ 24 bytes."""
+    mask = (1 << bits) - 1
+    sig = embeddings.select(
+        "vec_id", _sig_col(bits * bands, dims).alias("sig")
+    )
+    banded = sig.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band', b, 'bkey',"
+                f" shiftright(sig, b * {bits}) & {mask}))"
+            )
+        ).alias("bb"),
+    ).select(
+        "vec_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").cast("long").alias("bkey"),
+    )
+    return (
+        banded.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
+        .join(
+            banded.select(F.col("vec_id").alias("vec_b"), "band", "bkey"),
+            ["band", "bkey"],
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     bits: int = LSH_BITS,
@@ -506,34 +548,7 @@ def embedding_near_dup_pairs(
     trade from bands ≥ 2. All ``bits·bands`` hyperplanes are computed
     scan-side in one expression; ``dims`` must match the corpus width
     (guarded — see ``_sig_col``)."""
-    mask = (1 << bits) - 1
-    sig = embeddings.select(
-        "vec_id", _sig_col(bits * bands, dims).alias("sig")
-    )
-    banded = sig.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> named_struct("
-                f"'band', b, 'bkey',"
-                f" shiftright(sig, b * {bits}) & {mask}))"
-            )
-        ).alias("bb"),
-    ).select(
-        "vec_id",
-        F.col("bb.band").alias("band"),
-        F.col("bb.bkey").cast("long").alias("bkey"),
-    )
-    cand = (
-        banded.select(F.col("vec_id").alias("vec_a"), "band", "bkey")
-        .join(
-            banded.select(F.col("vec_id").alias("vec_b"), "band", "bkey"),
-            ["band", "bkey"],
-        )
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = banded_lsh_candidates(embeddings, bits, bands, dims)
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),

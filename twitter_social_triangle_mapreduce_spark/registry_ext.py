@@ -415,7 +415,8 @@ EXT_QUERIES = {
     "revenue_by_region": q_revenue_by_region,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
-    "media_resize": q_media_resize,
+    # media_resize rotated to the pytest tier in round 6 (ledger in
+    # __spark_entry__.py) to free the driver row for ivf_cells_trained
     "media_frames": q_media_frames,
     "connected_components": q_connected_components,
     "bfs_levels": q_bfs_levels,  # k-hop BFS, exact unrolled oracle
@@ -908,15 +909,21 @@ def q_doc_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES["doc_passage_cuts"] = q_doc_passage_cuts
 EXT_QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
+# round 6: the trained assignment driver-checked end to end — codebook
+# values come from the (cached) trainer, the oracle re-derives them
+# from scratch in SQL, so trainer drift or cache corruption fails the
+# driver hash gate, not just the pytest tier
+EXT_QUERIES["ivf_cells_trained"] = q_ivf_cells_trained
 
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
     # the two rotated out of the driver 50 in round 4 (oracled here)
     "ivf_cells": q_ivf_cells,
     "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
-    # round 5: the trainer itself, hash-checked end to end (seeding +
-    # exact-Lloyd rounds must agree with the unrolled SQL bit-for-bit)
-    "ivf_cells_trained": q_ivf_cells_trained,
+    # media_resize (round 6): lower-signal media stub — media_frames
+    # covers the fan-out mapInPandas shape and media_features the
+    # decode contract; still hash-oracled here
+    "media_resize": q_media_resize,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
