@@ -47,22 +47,10 @@ from twitter_social_triangle_mapreduce_spark.session import get_spark  # noqa: E
 DIMS = 64
 MEMBERS = 2  # planted pairs = n/2, the recall denominator
 
-#: target expected bucket occupancy for the banded signatures: random
-#: collisions contribute ~bands·n·occupancy/2 candidates, so holding
-#: occupancy constant as n grows keeps the candidate set LINEAR in n.
-#: This is the scale rule the probe demonstrates: at FIXED bits the
-#: candidate count is n²·bands/2^(bits+1) — quadratic — so bits must
-#: track log2(n); the operators take ``bits`` as a parameter for
-#: exactly this reason.
-TARGET_OCCUPANCY = 16
-
-
-def bits_for(n: int) -> int:
-    import math
-
-    return max(
-        similarity.LSH_BITS, math.ceil(math.log2(max(n, 2) / TARGET_OCCUPANCY))
-    )
+# the scale rule under test lives IN the package (round 6): at fixed
+# bits the candidate count is n²·bands/2^(bits+1) — quadratic — so
+# bits must track log2(n/occupancy); see similarity.lsh_bits_for
+bits_for = similarity.lsh_bits_for
 
 
 def clustered_embeddings(spark, n: int, members: int = MEMBERS):
@@ -106,7 +94,10 @@ def shuffle_totals(spark):
     )
 
 
-def probe(spark, n: int, semantic: bool, bits: int | None = None) -> dict:
+def probe(
+    spark, n: int, semantic: bool, bits: int | None = None,
+    nprobe: int = 1,
+) -> dict:
     import shutil
     import tempfile
 
@@ -121,14 +112,15 @@ def probe(spark, n: int, semantic: bool, bits: int | None = None) -> dict:
     try:
         clustered_embeddings(spark, n).write.mode("overwrite").parquet(tmp)
         emb = spark.read.parquet(tmp)
-        out = _probe_on(spark, emb, n, semantic, bits)
+        out = _probe_on(spark, emb, n, semantic, bits, nprobe)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
 def _probe_on(
-    spark, emb, n: int, semantic: bool, bits: int | None
+    spark, emb, n: int, semantic: bool, bits: int | None,
+    nprobe: int = 1,
 ) -> dict:
     bits = bits or bits_for(n)
     planted = n // MEMBERS  # one within-cluster pair per 2-member cluster
@@ -165,7 +157,7 @@ def _probe_on(
         w0, r0 = shuffle_totals(spark)
         t0 = time.perf_counter()
         clusters = similarity.semantic_dedup_clusters(
-            emb, min_sim_e4=9900, bits=bits
+            emb, min_sim_e4=9900, bits=bits, nprobe=nprobe
         )
         nontrivial = (
             clusters.groupBy("cluster_id")
@@ -174,6 +166,7 @@ def _probe_on(
             .count()
         )
         w1, r1 = shuffle_totals(spark)
+        out["semantic_nprobe"] = nprobe
         out["semantic_nontrivial_clusters"] = nontrivial
         out["semantic_planted_clusters"] = n // MEMBERS
         out["sec_semantic"] = round(time.perf_counter() - t0, 2)
@@ -182,11 +175,15 @@ def _probe_on(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]  # sizes
     semantic = "--semantic" in sys.argv
     fixed_bits = (
         similarity.LSH_BITS if "--fixed-bits" in sys.argv else None
     )
+    nprobe = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--nprobe="):
+            nprobe = int(a.split("=", 1)[1])
     sizes = [int(a) for a in args] or [100_000, 1_000_000]
     spark = get_spark(
         app_name="embedding-scale-probe",
@@ -197,7 +194,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        print(json.dumps(probe(spark, n, semantic, bits=fixed_bits)), flush=True)
+        print(
+            json.dumps(
+                probe(spark, n, semantic, bits=fixed_bits, nprobe=nprobe)
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ BNLJ_BY_DESIGN = {
     "ivf_cells",
     "ann_topk_ivf",
     "ann_topk_ivf2",
+    "ivf_cells_trained",  # crossJoin of the 1-row centroid-struct agg
 }
 
 

@@ -533,3 +533,116 @@ def test_banded_candidates_stay_linear_with_scaled_bits(spark):
     assert counts[20_000] / 20_000 < 100, counts
     # fixed bits: the quadratic regime is real (>3x on doubling)
     assert fixed[20_000] > 3 * fixed[10_000], fixed
+
+
+def test_codebook_parquet_roundtrip_is_bit_exact(spark, tmp_path):
+    """save_codebook/load_codebook — the cross-session materialization:
+    the loaded relation must carry the identical doubles and must be a
+    lineage-free constant (no parquet scan in consumer plans)."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        collect_codebook,
+        ivf_cells,
+        load_codebook,
+        save_codebook,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = collect_codebook(emb, rounds=1)
+    path = str(tmp_path / "codebook")
+    save_codebook(spark, rows, path)
+    loaded = load_codebook(spark, path)
+    got = sorted(
+        (r["cid"], tuple(r["centroid"])) for r in loaded.collect()
+    )
+    assert got == sorted((c, tuple(v)) for c, v in rows)
+    # consumer plan sees a constant, not a scan of the codebook file
+    plan = (
+        ivf_cells(emb, centroids=loaded)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation") - plan.count("LocalRelation") <= 1, plan
+    assert "codebook" not in plan  # the saved path never re-scans
+
+
+def test_semantic_nprobe_default_is_plan_identical(spark):
+    """nprobe=1 must be byte-identical to the pre-parameter operator —
+    the registered query and its oracle are untouched by the round-6
+    multi-probe addition."""
+    emb = _planted(spark)
+    p0 = (
+        similarity.semantic_dedup_pairs(emb, dims=DIMS)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    p1 = (
+        similarity.semantic_dedup_pairs(emb, dims=DIMS, nprobe=1)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    # normalize volatile expression ids AND lambda-variable counters
+    # (x_33 vs x_37 — a session-global counter, not a plan difference)
+    norm = lambda s: re.sub(  # noqa: E731
+        r"_\d+", "_", re.sub(r"#\d+", "#", s)
+    )
+    assert norm(p0) == norm(p1)
+
+
+def test_semantic_nprobe_recovers_cell_boundary_pairs(spark):
+    """The recall case FOR multi-probe: a planted near-dup pair whose
+    members quantize into DIFFERENT cells is invisible at nprobe=1
+    (the cell-boundary loss the 1M probe measured at ~7-8%) and must
+    be recovered at nprobe=2 when one member's second-nearest cell is
+    the other's home; pairs found at nprobe=1 stay found (monotone)."""
+    # two centroids on the x and y axes; the planted pair straddles the
+    # diagonal boundary: one member just on the x side, one just on the
+    # y side — cosine between them ≈ 0.9999. The dim-3 ballast keeps
+    # every md5-fixed hyperplane projection far from zero with EQUAL
+    # sign for both members (verified against the coefficients — the
+    # same technique the threshold test uses), so the pair shares its
+    # signature and the ONLY separator is the cell boundary.
+    c_x = [1.0, 0.0] + [0.0] * (DIMS - 2)
+    c_y = [0.0, 1.0] + [0.0] * (DIMS - 2)
+    m1 = [1.0, 1.02, 0.0, 1.0] + [0.0] * (DIMS - 4)  # nearest y, 2nd x
+    m2 = [1.02, 1.0, 0.0, 1.0] + [0.0] * (DIMS - 4)  # nearest x, 2nd y
+    emb = _emb(spark, [m1, m2])
+    cents = similarity.codebook_df(spark, [(0, c_x), (1, c_y)])
+    kw = dict(min_sim_e4=9900, k_cells=2, dims=DIMS, centroids=cents)
+    p1 = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.semantic_dedup_pairs(emb, **kw).collect()
+    }
+    p2 = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.semantic_dedup_pairs(
+            emb, nprobe=2, **kw
+        ).collect()
+    }
+    assert (0, 1) not in p1  # split across cells: invisible at nprobe=1
+    assert (0, 1) in p2      # recovered by probing the second cell
+    assert p1 <= p2          # monotone
+    # and the clusters deliverable reflects the recovery
+    cl = {
+        r["vec_id"]: r["cluster_id"]
+        for r in similarity.semantic_dedup_clusters(
+            emb, nprobe=2, **kw
+        ).collect()
+    }
+    assert cl[0] == cl[1] == 0
+
+
+def test_lsh_bits_for_scale_rule():
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        LSH_BITS,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(1000) == LSH_BITS          # floor at the default
+    assert lsh_bits_for(20_000) == 11
+    assert lsh_bits_for(100_000) == 13
+    assert lsh_bits_for(1_000_000) == 16
+    assert lsh_bits_for(100_000_000) == 23         # the 100 TB regime

@@ -471,6 +471,31 @@ def ann_topk_ivf(
     )
 
 
+#: target expected bucket occupancy behind ``lsh_bits_for`` — random
+#: band collisions contribute ~bands·n·occupancy/2 candidate pairs, so
+#: holding occupancy constant keeps the candidate set linear in n
+LSH_TARGET_OCCUPANCY = 16
+
+
+def lsh_bits_for(n: int, occupancy: int = LSH_TARGET_OCCUPANCY) -> int:
+    """Band width for a corpus of ``n`` vectors — the 100 TB knob the
+    round-6 scale probe measures (BASELINE.md): at FIXED bits the
+    banded candidate set is n²·bands/2^(bits+1) (quadratic — at 8 bits
+    a 20k-vector corpus already generates 137 candidates/vector, and
+    1M vectors would generate ~5.9G pairs); scaling bits as
+    log2(n/occupancy) pins expected bucket occupancy and keeps
+    candidates ~linear (44.6/vector at 1M, recall 0.9996 on planted
+    0.9997-cosine near-dups). Recall falls with bits for LOWER-cosine
+    pairs — p^bits per band — so corpora targeting looser thresholds
+    should raise ``bands`` alongside (the s-curve trade
+    ``LSH_BANDS`` documents)."""
+    import math
+
+    return max(
+        LSH_BITS, math.ceil(math.log2(max(n, 2) / max(occupancy, 1)))
+    )
+
+
 #: OR-amplification width for embedding near-dup detection: ``LSH_BANDS``
 #: independent bands of ``LSH_BITS`` hyperplanes each (3×8 planes total).
 #: A pair is a candidate when it agrees on ALL bits of ANY band —
@@ -637,6 +662,7 @@ def semantic_dedup_pairs(
     bits: int = LSH_BITS,
     dims: int = EMBED_DIMS,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_e4) — CELL-LOCAL embedding near-dup candidates:
     pairs must share BOTH their IVF cell and their hyperplane signature
@@ -648,33 +674,91 @@ def semantic_dedup_pairs(
     small integers and the quadratic blowup needs BOTH buckets to
     collapse (pinned sub-quadratic by the adversarial property test,
     mirroring the MinHash-LSH one). ``centroids`` optionally supplies a
-    TRAINED codebook (``refine_centroids``) for the cell assignment."""
-    cells = ivf_cells(embeddings, k_cells, centroids=centroids)
-    emb = embeddings.join(cells, "vec_id").withColumn(
-        "sig", _sig_col(bits, dims)
+    TRAINED codebook (``refine_centroids``) for the cell assignment.
+
+    ``nprobe`` (round 6): with the default 1 the candidate key is the
+    primary cell on both sides — the plan (and the DuckDB oracle) is
+    byte-identical to before the parameter existed. nprobe ≥ 2 relaxes
+    the CELL-BOUNDARY loss the scale probe measured (~7–8% of planted
+    clusters split across cells at 1M vectors): one side carries its
+    ``nprobe`` nearest cells, the other its primary cell, so a pair is
+    caught when EITHER endpoint probes the other's home cell; directed
+    hits canonicalize through (least, greatest) + distinct before
+    scoring. Candidate volume grows ~nprobe× on one join side only —
+    the signature-agreement requirement still applies, so the
+    candidate set stays near-dup-shaped."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    sig = _sig_col(bits, dims)
+    if nprobe == 1:
+        cells = ivf_cells(embeddings, k_cells, centroids=centroids)
+        emb = embeddings.join(cells, "vec_id").withColumn("sig", sig)
+        a = emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            F.col("cell").alias("cella"),
+            F.col("sig").alias("siga"),
+        )
+        b = emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("ce"),
+            _norm("embedding").alias("cn"),
+            F.col("cell").alias("cellb"),
+            F.col("sig").alias("sigb"),
+        )
+        dot = _dot("qe", "ce")
+        return (
+            a.join(
+                b,
+                (F.col("cella") == F.col("cellb"))
+                & (F.col("siga") == F.col("sigb"))
+                & (F.col("vec_a") < F.col("vec_b")),
+            )
+            .select(
+                "vec_a",
+                "vec_b",
+                F.floor(10000 * (dot / (F.col("qn") * F.col("cn"))))
+                .cast("long")
+                .alias("sim_e4"),
+            )
+            .where(F.col("sim_e4") >= min_sim_e4)
+        )
+    ranked = _centroid_ranked(embeddings, k_cells, centroids=centroids)
+    sigs = embeddings.select("vec_id", sig.alias("sig"))
+    probed = (
+        ranked.where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("vec_p"), F.col("cid").alias("cell"))
+        .join(sigs.select(F.col("vec_id").alias("vec_p"), "sig"), "vec_p")
     )
-    a = emb.select(
+    primary = (
+        ranked.where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("vec_q"), F.col("cid").alias("cell"))
+        .join(sigs.select(F.col("vec_id").alias("vec_q"), "sig"), "vec_q")
+    )
+    cand = (
+        probed.join(primary, ["cell", "sig"])
+        .where(F.col("vec_p") != F.col("vec_q"))
+        .select(
+            F.least("vec_p", "vec_q").alias("vec_a"),
+            F.greatest("vec_p", "vec_q").alias("vec_b"),
+        )
+        .distinct()
+    )
+    a = embeddings.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),
         _norm("embedding").alias("qn"),
-        F.col("cell").alias("cella"),
-        F.col("sig").alias("siga"),
     )
-    b = emb.select(
+    b = embeddings.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),
-        F.col("cell").alias("cellb"),
-        F.col("sig").alias("sigb"),
     )
     dot = _dot("qe", "ce")
     return (
-        a.join(
-            b,
-            (F.col("cella") == F.col("cellb"))
-            & (F.col("siga") == F.col("sigb"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
@@ -694,6 +778,7 @@ def semantic_dedup_clusters(
     dims: int = EMBED_DIMS,
     iterations: int | None = None,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """(vec_id, cluster_id, is_canonical) — the embedding-tier dedup
     DELIVERABLE (round-3 verdict item 6): cell-local thresholded pairs
@@ -721,6 +806,7 @@ def semantic_dedup_clusters(
         bits=bits,
         dims=dims,
         centroids=centroids,
+        nprobe=nprobe,
     )
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
@@ -874,6 +960,34 @@ def codebook_df(spark, rows) -> DataFrame:
     return spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in rows], schema
     )
+
+
+def save_codebook(spark, rows, path: str) -> None:
+    """Persist a trained codebook (the plain rows from
+    ``collect_codebook``) as a one-file parquet (cid, centroid) table —
+    the cross-SESSION form of the round-6 materialization: a 100 TB
+    deployment trains once per corpus snapshot, publishes the k×dims
+    table next to the corpus manifest, and every consumer session
+    ``load_codebook``s it instead of retraining. Doubles round-trip
+    parquet bit-exactly, so a saved/loaded codebook quantizes
+    identically to the in-process one (pinned in
+    tests/test_semantic_dedup.py)."""
+    codebook_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_codebook(spark, path: str) -> DataFrame:
+    """Load a ``save_codebook`` table back as the same lineage-free
+    constant relation ``trained_codebook`` hands out: the k rows are
+    collected once at load (driver-trivial) and re-embedded as a local
+    relation, so consumer plans carry a constant — not a parquet scan
+    that would re-read per action."""
+    rows = sorted(
+        (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
+        for r in spark.read.parquet(path).collect()
+    )
+    return codebook_df(spark, rows)
 
 
 #: per-round oversampling multiple for k-means|| seeding: each round
