@@ -357,3 +357,71 @@ def test_cluster_fold_band_index_survives_version_pruning(spark, tmp_path):
              for r in read_cluster_snapshot(spark, snap).collect()}
     assert state[30] == 1, state  # merged across the pruned horizon
     assert state == {1: 1, 10: 10, 20: 20, 30: 1}
+
+
+def test_streaming_semantic_maintenance_matches_batch(spark, tmp_path):
+    """The embedding-tier foreachBatch twin (round 6): two micro-batches
+    of (vec_id, embedding) rows fold through the versioned semantic
+    snapshot; the final committed state equals the batch
+    ``semantic_dedup_clusters`` recompute over everything ingested, and
+    replaying a committed batch id is a no-op. Batch 1 contains a
+    vector joining a batch-0 cluster — the cross-batch collision the
+    embs/ append-only index exists for."""
+    import json
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+        read_semantic_snapshot,
+        streaming_semantic_maintenance,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    s1 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    b0 = [(0, a), (1, a), (2, b), (3, b), (4, s1)]
+    b1 = [(5, a), (6, s1), (7, [0.0] * 7 + [1.0])]  # append-only ids
+    stream_dir = tmp_path / "emb_stream"
+    stream_dir.mkdir()
+    for i, rows in enumerate((b0, b1)):
+        p = stream_dir / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": v, "embedding": e}) for v, e in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(stream_dir))
+    )
+    snap = str(tmp_path / "snap")
+    q = streaming_semantic_maintenance(
+        stream, snap, str(tmp_path / "ckpt"), dims=8
+    )
+    q.awaitTermination(timeout=120)
+
+    def vstate(df):
+        return sorted(
+            (r["vec_id"], r["cluster_id"], r["is_canonical"])
+            for r in df.collect()
+        )
+
+    all_emb = spark.createDataFrame(
+        [(v, [float(x) for x in e]) for v, e in b0 + b1],
+        "vec_id long, embedding array<float>",
+    )
+    got = vstate(read_semantic_snapshot(spark, snap))
+    assert got == vstate(
+        similarity.semantic_dedup_clusters(all_emb, dims=8)
+    )
+    by_vec = {v: c for v, c, _ in got}
+    assert by_vec[5] == by_vec[0]  # batch-1 vector joined batch-0 cluster
+    assert by_vec[6] == by_vec[4]  # joined the s1 singleton's cluster
+    assert by_vec[7] == 7          # fresh singleton
+
+    # replay of an already-committed batch id must be a no-op
+    fold_semantic_batch(all_emb, 1, snap, dims=8)
+    assert vstate(read_semantic_snapshot(spark, snap)) == got

@@ -660,6 +660,134 @@ def streaming_cluster_maintenance(
     )
 
 
+def _semantic_embs_dir(snapshot_path: str, batch_id: int) -> str:
+    return f"{snapshot_path}/embs/b_{batch_id:020d}"
+
+
+def read_semantic_snapshot(spark, snapshot_path: str) -> DataFrame:
+    """The latest COMMITTED semantic-cluster state (vec_id, cluster_id,
+    is_canonical). Raises if no version has been committed yet."""
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed semantic snapshot under {snapshot_path}"
+        )
+    return spark.read.parquet(
+        f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
+    )
+
+
+def fold_semantic_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    keep_versions: int = 2,
+    centroids: DataFrame | None = None,
+    **dedup_kwargs,
+) -> None:
+    """Fold one micro-batch of embeddings into the versioned SEMANTIC
+    cluster snapshot via ``similarity.update_semantic_clusters`` — the
+    embedding-tier twin of ``fold_cluster_batch``, sharing its
+    crash-safety contract (idempotent replay by committed-version
+    check, atomic marker commit, first-batch detection, prune only
+    after commit).
+
+    Storage: ``v_<id>/state`` per version; ``embs/b_<id>`` holds that
+    batch's embeddings and is append-only — unlike the MinHash fold
+    there is no separate signature index to maintain, because cell and
+    signature derive from the embeddings directly (the corpus
+    embeddings ARE the index, as the batch operator documents), so the
+    per-fold write is batch-sized and the union of batch dirs is the
+    collision-probe side.
+
+    Quantizer contract: pass ``centroids`` (e.g. a
+    ``similarity.load_codebook`` relation — version-pinned next to the
+    snapshot) so every fold and every consumer quantizes identically;
+    with the default stand-in quantizer (first k vec_ids) the
+    fold==batch parity additionally requires the append-only id
+    invariant (every batch id exceeds every prior id), since the
+    stand-in derives from the LOWEST ids — the same invariant the
+    passage fold states for its screen."""
+    from ..operators.similarity import (
+        semantic_dedup_clusters,
+        update_semantic_clusters,
+    )
+
+    spark = batch_df.sparkSession
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if versions and versions[-1] >= batch_id:
+        return  # replayed batch: already folded and committed
+    if versions:
+        state = spark.read.parquet(
+            f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
+        )
+        emb_dirs = _list_batch_dirs(
+            spark, f"{snapshot_path}/embs", "b_", batch_id
+        )
+        corpus = spark.read.parquet(*emb_dirs)
+        new_state = update_semantic_clusters(
+            state, corpus, batch_df, centroids=centroids, **dedup_kwargs
+        )
+    else:
+        new_state = semantic_dedup_clusters(
+            batch_df, centroids=centroids, **dedup_kwargs
+        )
+    batch_df.write.mode("overwrite").parquet(
+        _semantic_embs_dir(snapshot_path, batch_id)
+    )
+    vdir = _rollup_version_dir(snapshot_path, batch_id)
+    new_state.write.mode("overwrite").parquet(f"{vdir}/state")
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/{ROLLUP_APPLIED_MARKER}"), True
+    ).close()
+    for old in versions[: max(0, len(versions) + 1 - keep_versions)]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                _rollup_version_dir(snapshot_path, old)
+            ),
+            True,
+        )
+
+
+def streaming_semantic_maintenance(
+    emb_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    centroids: DataFrame | None = None,
+    **dedup_kwargs,
+):
+    """Incrementally-maintained SemDeDup clusters: each micro-batch of
+    (vec_id, embedding) rows folds into the persistent semantic
+    snapshot through the cluster-graph collapse
+    (``update_semantic_clusters``) — per-batch compute stays
+    batch-sized (the batch derives its own cell/signature columns and
+    equi-joins the corpus side), and the maintained state equals the
+    batch ``semantic_dedup_clusters`` recompute over everything
+    ingested so far (parity pinned in
+    tests/test_incremental_mixture.py). Read the current state with
+    ``read_semantic_snapshot``; see ``fold_semantic_batch`` for the
+    quantizer-pinning contract.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_semantic_batch(
+            batch_df,
+            batch_id,
+            snapshot_path,
+            centroids=centroids,
+            **dedup_kwargs,
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _passage_index_dir(snapshot_path: str, batch_id: int) -> str:
     return f"{snapshot_path}/windows/w_{batch_id:020d}"
 
