@@ -96,7 +96,7 @@ def shuffle_totals(spark):
 
 def probe(
     spark, n: int, semantic: bool, bits: int | None = None,
-    nprobe: int = 1,
+    nprobe: int = 1, sem_bands: int = 1,
 ) -> dict:
     import shutil
     import tempfile
@@ -112,7 +112,7 @@ def probe(
     try:
         clustered_embeddings(spark, n).write.mode("overwrite").parquet(tmp)
         emb = spark.read.parquet(tmp)
-        out = _probe_on(spark, emb, n, semantic, bits, nprobe)
+        out = _probe_on(spark, emb, n, semantic, bits, nprobe, sem_bands)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -120,7 +120,7 @@ def probe(
 
 def _probe_on(
     spark, emb, n: int, semantic: bool, bits: int | None,
-    nprobe: int = 1,
+    nprobe: int = 1, sem_bands: int = 1,
 ) -> dict:
     bits = bits or bits_for(n)
     planted = n // MEMBERS  # one within-cluster pair per 2-member cluster
@@ -157,7 +157,7 @@ def _probe_on(
         w0, r0 = shuffle_totals(spark)
         t0 = time.perf_counter()
         clusters = similarity.semantic_dedup_clusters(
-            emb, min_sim_e4=9900, bits=bits, nprobe=nprobe
+            emb, min_sim_e4=9900, bits=bits, nprobe=nprobe, bands=sem_bands
         )
         nontrivial = (
             clusters.groupBy("cluster_id")
@@ -167,6 +167,7 @@ def _probe_on(
         )
         w1, r1 = shuffle_totals(spark)
         out["semantic_nprobe"] = nprobe
+        out["semantic_bands"] = sem_bands
         out["semantic_nontrivial_clusters"] = nontrivial
         out["semantic_planted_clusters"] = n // MEMBERS
         out["sec_semantic"] = round(time.perf_counter() - t0, 2)
@@ -180,10 +181,12 @@ def main() -> None:
     fixed_bits = (
         similarity.LSH_BITS if "--fixed-bits" in sys.argv else None
     )
-    nprobe = 1
+    nprobe, sem_bands = 1, 1
     for a in sys.argv[1:]:
         if a.startswith("--nprobe="):
             nprobe = int(a.split("=", 1)[1])
+        if a.startswith("--sem-bands="):
+            sem_bands = int(a.split("=", 1)[1])
     sizes = [int(a) for a in args] or [100_000, 1_000_000]
     spark = get_spark(
         app_name="embedding-scale-probe",
@@ -196,7 +199,8 @@ def main() -> None:
     for n in sizes:
         print(
             json.dumps(
-                probe(spark, n, semantic, bits=fixed_bits, nprobe=nprobe)
+                probe(spark, n, semantic, bits=fixed_bits, nprobe=nprobe,
+                      sem_bands=sem_bands)
             ),
             flush=True,
         )

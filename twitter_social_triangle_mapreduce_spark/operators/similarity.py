@@ -663,6 +663,7 @@ def semantic_dedup_pairs(
     dims: int = EMBED_DIMS,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    bands: int = 1,
 ) -> DataFrame:
     """(vec_a, vec_b, sim_e4) — CELL-LOCAL embedding near-dup candidates:
     pairs must share BOTH their IVF cell and their hyperplane signature
@@ -686,11 +687,24 @@ def semantic_dedup_pairs(
     hits canonicalize through (least, greatest) + distinct before
     scoring. Candidate volume grows ~nprobe× on one join side only —
     the signature-agreement requirement still applies, so the
-    candidate set stays near-dup-shaped."""
+    candidate set stays near-dup-shaped.
+
+    ``bands`` (round 6): OR-amplifies the SIGNATURE the same way
+    ``embedding_near_dup_pairs`` does — the 100k probe measured the
+    single 8-bit signature, not the cell boundary, as the dominant
+    recall loss (~6% of planted 0.9997-cosine pairs split on one of
+    the 8 planes; nprobe=2 alone recovered only +0.9%). With bands ≥ 2
+    a pair qualifies when ANY of the ``bands`` independent
+    ``bits``-plane signatures agrees (within a shared/probed cell);
+    the candidate key becomes (cell, band, band_key). The default 1
+    keeps the composite (cell, sig) key — and with nprobe=1 the
+    pre-parameter plan byte-for-byte."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     sig = _sig_col(bits, dims)
-    if nprobe == 1:
+    if nprobe == 1 and bands == 1:
         cells = ivf_cells(embeddings, k_cells, centroids=centroids)
         emb = embeddings.join(cells, "vec_id").withColumn("sig", sig)
         a = emb.select(
@@ -725,19 +739,47 @@ def semantic_dedup_pairs(
             .where(F.col("sim_e4") >= min_sim_e4)
         )
     ranked = _centroid_ranked(embeddings, k_cells, centroids=centroids)
-    sigs = embeddings.select("vec_id", sig.alias("sig"))
+    # banded keys: bands=1 degenerates to (band=0, bkey=sig) — the same
+    # equality the composite-key fast path joins on
+    mask = (1 << bits) - 1
+    keys = (
+        embeddings.select(
+            "vec_id", _sig_col(bits * bands, dims).alias("__wsig")
+        )
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> named_struct('band', b, 'bkey',"
+                    f" shiftright(__wsig, b * {bits}) & {mask}))"
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "vec_id",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bkey").cast("long").alias("bkey"),
+        )
+    )
     probed = (
         ranked.where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("vec_p"), F.col("cid").alias("cell"))
-        .join(sigs.select(F.col("vec_id").alias("vec_p"), "sig"), "vec_p")
+        .join(
+            keys.select(F.col("vec_id").alias("vec_p"), "band", "bkey"),
+            "vec_p",
+        )
     )
     primary = (
         ranked.where(F.col("rn") == 1)
         .select(F.col("vec_id").alias("vec_q"), F.col("cid").alias("cell"))
-        .join(sigs.select(F.col("vec_id").alias("vec_q"), "sig"), "vec_q")
+        .join(
+            keys.select(F.col("vec_id").alias("vec_q"), "band", "bkey"),
+            "vec_q",
+        )
     )
     cand = (
-        probed.join(primary, ["cell", "sig"])
+        probed.join(primary, ["cell", "band", "bkey"])
         .where(F.col("vec_p") != F.col("vec_q"))
         .select(
             F.least("vec_p", "vec_q").alias("vec_a"),
@@ -779,6 +821,7 @@ def semantic_dedup_clusters(
     iterations: int | None = None,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    bands: int = 1,
 ) -> DataFrame:
     """(vec_id, cluster_id, is_canonical) — the embedding-tier dedup
     DELIVERABLE (round-3 verdict item 6): cell-local thresholded pairs
@@ -807,6 +850,7 @@ def semantic_dedup_clusters(
         dims=dims,
         centroids=centroids,
         nprobe=nprobe,
+        bands=bands,
     )
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
