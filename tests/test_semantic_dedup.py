@@ -679,3 +679,59 @@ def test_semantic_banded_signature_recovers_split_pairs(spark):
     assert len(three) >= 97, len(three)         # near-total recall
     # the single signature demonstrably loses a visible fraction
     assert len(one) <= len(three) - 2, (len(one), len(three))
+
+
+def test_update_semantic_clusters_parity_at_nondefault_knobs(spark):
+    """Round-6 contract symmetry: a cluster state maintained with
+    bands/nprobe must FOLD with the same knobs — the incremental
+    update's candidate rule now mirrors the batch operator's
+    (cell, band, band_key) rule in both directions, so incremental ==
+    batch holds when the collisions exist ONLY because of the knobs.
+
+    (a) bands=3 on the clustered corpus: within-cluster pairs split by
+    the single signature still merge across the corpus/batch boundary;
+    (b) nprobe=2 on the cell-boundary fixture: the straddling pair
+    arrives split across corpus and batch and must still cluster."""
+    members = 2
+    rng = np.random.default_rng(29)
+    vecs = []
+    for _ in range(40):
+        base = rng.normal(size=DIMS)
+        base /= np.linalg.norm(base)
+        for _ in range(members):
+            vecs.append(base + rng.normal(scale=0.01, size=DIMS))
+    emb = _emb(spark, vecs)
+    corpus = emb.where("vec_id < 60")
+    new = emb.where("vec_id >= 60")
+    kw = dict(min_sim_e4=9900, k_cells=1, dims=DIMS, bands=3)
+    state0 = similarity.semantic_dedup_clusters(corpus, **kw)
+    upd = similarity.update_semantic_clusters(state0, corpus, new, **kw)
+    batch = similarity.semantic_dedup_clusters(emb, **kw)
+    assert sorted(map(tuple, upd.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # sanity: the parity is not vacuous — cross-boundary merges exist
+    by_vec = {v: c for v, c, _ in map(tuple, batch.collect())}
+    assert any(by_vec[i] == by_vec[i + 1] for i in range(60, 79, 2))
+
+    # (b) the nprobe-only collision across the split
+    c_x = [1.0, 0.0] + [0.0] * (DIMS - 2)
+    c_y = [0.0, 1.0] + [0.0] * (DIMS - 2)
+    m1 = [1.0, 1.02, 0.0, 1.0] + [0.0] * (DIMS - 4)
+    m2 = [1.02, 1.0, 0.0, 1.0] + [0.0] * (DIMS - 4)
+    pemb = _emb(spark, [m1, m2])
+    cents = similarity.codebook_df(spark, [(0, c_x), (1, c_y)])
+    pkw = dict(
+        min_sim_e4=9900, k_cells=2, dims=DIMS, centroids=cents, nprobe=2
+    )
+    pcorpus = pemb.where("vec_id = 0")
+    pnew = pemb.where("vec_id = 1")
+    pstate = similarity.semantic_dedup_clusters(pcorpus, **pkw)
+    pupd = similarity.update_semantic_clusters(
+        pstate, pcorpus, pnew, **pkw
+    )
+    pbatch = similarity.semantic_dedup_clusters(pemb, **pkw)
+    assert sorted(map(tuple, pupd.collect())) == sorted(
+        map(tuple, pbatch.collect())
+    )
+    assert {c for _, c, _ in map(tuple, pupd.collect())} == {0}  # merged

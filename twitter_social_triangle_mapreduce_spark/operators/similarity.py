@@ -882,6 +882,8 @@ def update_semantic_clusters(
     dims: int = EMBED_DIMS,
     iterations: int | None = None,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    bands: int = 1,
 ) -> DataFrame:
     """(vec_id, cluster_id, is_canonical) over corpus ∪ batch — the
     SEMANTIC twin of ``dedup.update_near_dup_clusters``: fold a batch
@@ -904,47 +906,134 @@ def update_semantic_clusters(
     embeddings directly, so the "materialized index" here is just the
     corpus embeddings table itself — per-batch compute is the corpus
     cell/signature projection (scan-shaped, no shuffle) plus
-    batch-sized joins."""
+    batch-sized joins.
+
+    ``nprobe``/``bands`` (round 6): the SAME recall knobs as the batch
+    operator, with the SAME candidate rule — a state maintained at
+    bands=3 must be folded at bands=3, or knob-only collisions
+    (signature-split / cell-split pairs) silently stop merging and the
+    incremental == batch parity theorem breaks; this is the
+    quantizer-consistency contract extended to the knobs (parity at
+    non-default knobs pinned in tests/test_semantic_dedup.py)."""
     from .dedup import NEAR_DUP_CC_ROUNDS, _fold_collision_hits
 
     it = NEAR_DUP_CC_ROUNDS if iterations is None else iterations
     all_emb = corpus_embeddings.unionByName(new_embeddings)
-    cells = ivf_cells(all_emb, k_cells, centroids=centroids)
-    emb = all_emb.join(cells, "vec_id").withColumn(
-        "sig", _sig_col(bits, dims)
-    )
-    nb = emb.join(
-        new_embeddings.select("vec_id"), "vec_id", "left_semi"
-    ).select(
-        F.col("vec_id").alias("new_id"),
-        F.col("embedding").alias("qe"),
-        _norm("embedding").alias("qn"),
-        "cell",
-        "sig",
-    )
-    others = emb.select(
-        F.col("vec_id").alias("other_id"),
-        F.col("embedding").alias("ce"),
-        _norm("embedding").alias("cn"),
-        "cell",
-        "sig",
-    )
     dot = _dot("qe", "ce")
-    hits = (
-        nb.join(
-            others,
-            ["cell", "sig"],
+    if nprobe == 1 and bands == 1:
+        cells = ivf_cells(all_emb, k_cells, centroids=centroids)
+        emb = all_emb.join(cells, "vec_id").withColumn(
+            "sig", _sig_col(bits, dims)
         )
-        .where(F.col("new_id") != F.col("other_id"))
-        .where(
-            F.floor(10000 * (dot / (F.col("qn") * F.col("cn")))).cast(
-                "long"
+        nb = emb.join(
+            new_embeddings.select("vec_id"), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+            "cell",
+            "sig",
+        )
+        others = emb.select(
+            F.col("vec_id").alias("other_id"),
+            F.col("embedding").alias("ce"),
+            _norm("embedding").alias("cn"),
+            "cell",
+            "sig",
+        )
+        hits = (
+            nb.join(
+                others,
+                ["cell", "sig"],
             )
-            >= min_sim_e4
+            .where(F.col("new_id") != F.col("other_id"))
+            .where(
+                F.floor(10000 * (dot / (F.col("qn") * F.col("cn")))).cast(
+                    "long"
+                )
+                >= min_sim_e4
+            )
+            .select("new_id", "other_id")
+            .distinct()
         )
-        .select("new_id", "other_id")
-        .distinct()
-    )
+    else:
+        # knob path: mirror the batch operator's (cell, band, bkey)
+        # rule in BOTH directions — a pair collides when either
+        # endpoint probes the other's primary cell under any agreeing
+        # band — restricted to pairs with a batch endpoint
+        ranked = _centroid_ranked(all_emb, k_cells, centroids=centroids)
+        mask = (1 << bits) - 1
+        keys = (
+            all_emb.select(
+                "vec_id", _sig_col(bits * bands, dims).alias("__wsig")
+            )
+            .select(
+                "vec_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {bands - 1}),"
+                        f" b -> named_struct('band', b, 'bkey',"
+                        f" shiftright(__wsig, b * {bits}) & {mask}))"
+                    )
+                ).alias("bb"),
+            )
+            .select(
+                "vec_id",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bkey").cast("long").alias("bkey"),
+            )
+        )
+
+        def keyed(rn_max, alias, new_only):
+            out = ranked.where(F.col("rn") <= rn_max).select(
+                F.col("vec_id").alias(alias), F.col("cid").alias("cell")
+            )
+            if new_only:
+                out = out.join(
+                    new_embeddings.select(F.col("vec_id").alias(alias)),
+                    alias,
+                    "left_semi",
+                )
+            return out.join(
+                keys.select(F.col("vec_id").alias(alias), "band", "bkey"),
+                alias,
+            )
+
+        directed = (
+            keyed(nprobe, "new_id", True)
+            .join(keyed(1, "other_id", False), ["cell", "band", "bkey"])
+            .unionByName(
+                keyed(1, "new_id", True).join(
+                    keyed(nprobe, "other_id", False),
+                    ["cell", "band", "bkey"],
+                )
+            )
+            .where(F.col("new_id") != F.col("other_id"))
+            .select("new_id", "other_id")
+            .distinct()
+        )
+        qn_side = all_emb.select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+        )
+        cn_side = all_emb.select(
+            F.col("vec_id").alias("other_id"),
+            F.col("embedding").alias("ce"),
+            _norm("embedding").alias("cn"),
+        )
+        hits = (
+            directed.join(qn_side, "new_id")
+            .join(cn_side, "other_id")
+            .where(
+                F.floor(10000 * (dot / (F.col("qn") * F.col("cn")))).cast(
+                    "long"
+                )
+                >= min_sim_e4
+            )
+            .select("new_id", "other_id")
+            .distinct()
+        )
     state_renamed = state.select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
     )
