@@ -735,3 +735,40 @@ def test_update_semantic_clusters_parity_at_nondefault_knobs(spark):
         map(tuple, pbatch.collect())
     )
     assert {c for _, c, _ in map(tuple, pupd.collect())} == {0}  # merged
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """Embedding-tier decontamination (round 6): a train vector that is
+    a near-duplicate of an eval vector (the paraphrase case n-gram
+    screens miss) is flagged with the BEST eval match (max integer sim,
+    ties toward the smaller eval id); unrelated train vectors pass
+    untouched with null match columns."""
+    e1 = [1.0, 0.1] + [0.0] * (DIMS - 2)
+    e2 = [1.0, 0.12] + [0.0] * (DIMS - 2)   # slightly further from t1
+    clean = [0.0] * (DIMS - 1) + [1.0]      # orthogonal
+    t_leak = [1.0, 0.1] + [0.0] * (DIMS - 2)
+    train = spark.createDataFrame(
+        [(10, t_leak), (11, clean)],
+        "vec_id long, embedding array<float>",
+    )
+    ev = spark.createDataFrame(
+        [(0, e1), (1, e2)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (
+            r["contaminated"], r["matched_eval_id"], r["sim_e4"]
+        )
+        for r in similarity.semantic_decontaminate(
+            train, ev, min_sim_e4=9500, dims=DIMS
+        ).collect()
+    }
+    assert set(got) == {10, 11}
+    cont, match, sim = got[10]
+    assert (cont, match) == (1, 0)  # exact twin (sim 1.0) beats e2
+    assert sim == 10000
+    assert got[11] == (0, None, None)
+    # dropping contaminated rows is the pipeline consumption contract
+    kept = similarity.semantic_decontaminate(
+        train, ev, min_sim_e4=9500, dims=DIMS
+    ).where(F.col("contaminated") == 0)
+    assert [r["vec_id"] for r in kept.collect()] == [11]

@@ -872,6 +872,115 @@ def semantic_dedup_clusters(
     )
 
 
+def semantic_decontaminate(
+    train_embeddings: DataFrame,
+    eval_embeddings: DataFrame,
+    min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
+    bits: int = LSH_BITS,
+    bands: int = LSH_BANDS,
+    dims: int = EMBED_DIMS,
+) -> DataFrame:
+    """(vec_id, contaminated, matched_eval_id, sim_e4) per TRAIN vector
+    — EMBEDDING-tier eval-set decontamination, the third screen in the
+    decontamination ladder: ``corpus.decontaminate`` catches verbatim
+    n-gram overlap, ``passages.decontaminate_passage_cuts`` excises
+    exact eval windows, and this catches PARAPHRASED leakage — an eval
+    item rewritten enough that no token n-gram survives but the
+    embedding still sits above the cosine threshold.
+
+    Shape (100 TB): candidates come from a CROSS-SET banded-LSH
+    equi-join — train-side (band, band_key) rows against eval-side rows,
+    ids-only through the exchange, the same OR-amplified keys as
+    ``embedding_near_dup_pairs`` (never train×eval). Survivors score
+    exact cosine once; per train vector the BEST match wins (max
+    integer sim_e4, ties toward the smaller eval id — argmax on
+    integers, so engine-portable), and a final left join marks the
+    untouched majority ``contaminated = 0``. The eval set is typically
+    thousands of rows against billions of train rows — the banded keys
+    of the eval side broadcast, so nothing train-sized shuffles."""
+    mask = (1 << bits) - 1
+
+    def keys(emb: DataFrame, alias: str) -> DataFrame:
+        return (
+            emb.select(
+                F.col("vec_id").alias(alias),
+                _sig_col(bits * bands, dims).alias("__wsig"),
+            )
+            .select(
+                alias,
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {bands - 1}),"
+                        f" b -> named_struct('band', b, 'bkey',"
+                        f" shiftright(__wsig, b * {bits}) & {mask}))"
+                    )
+                ).alias("bb"),
+            )
+            .select(
+                alias,
+                F.col("bb.band").alias("band"),
+                F.col("bb.bkey").cast("long").alias("bkey"),
+            )
+        )
+
+    cand = (
+        keys(train_embeddings, "vec_id")
+        .join(keys(eval_embeddings, "eval_id"), ["band", "bkey"])
+        .select("vec_id", "eval_id")
+        .distinct()
+    )
+    t = train_embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    e = eval_embeddings.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+    )
+    dot = _dot("qe", "ce")
+    best = (
+        cand.join(t, "vec_id")
+        .join(e, "eval_id")
+        .select(
+            "vec_id",
+            "eval_id",
+            F.floor(10000 * (dot / (F.col("qn") * F.col("cn"))))
+            .cast("long")
+            .alias("sim_e4"),
+        )
+        .where(F.col("sim_e4") >= min_sim_e4)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim_e4").alias("s"),
+                    (-F.col("eval_id")).alias("nid"),
+                )
+            ).alias("__w")
+        )
+        .select(
+            "vec_id",
+            (-F.col("__w.nid")).alias("matched_eval_id"),
+            F.col("__w.s").alias("sim_e4"),
+        )
+    )
+    return (
+        train_embeddings.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("sim_e4").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+            "matched_eval_id",
+            "sim_e4",
+        )
+    )
+
+
 def update_semantic_clusters(
     state: DataFrame,
     corpus_embeddings: DataFrame,

@@ -830,6 +830,18 @@ def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-tier decontamination: every 4th vector plays the eval
+    # set; threshold at the same exercised value as the cluster query
+    # (the isotropic testdata's cosine range — see the constant's note)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb.where("vec_id % 4 <> 0"),
+        emb.where("vec_id % 4 = 0"),
+        min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+    )
+
+
 def q_doc_passage_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import passages
 
@@ -924,6 +936,9 @@ EXT_EXTRA_QUERIES = {
     # covers the fan-out mapInPandas shape and media_features the
     # decode contract; still hash-oracled here
     "media_resize": q_media_resize,
+    # round 6: embedding-tier decontamination (paraphrased-leakage
+    # screen — cross-set banded-LSH candidates, best-match election)
+    "semantic_decontam": q_semantic_decontam,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1944,6 +1959,47 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         WHERE CAST(FLOOR(10000 * ({_DOT}
                    / (sqrt({_SQ_SUM.format(col='qe')})
                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT) >= 0
+    """
+    out["semantic_decontam"] = f"""
+        WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+        ev AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+        tsigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+                  FROM train),
+        esigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+                  FROM ev),
+        tb AS (SELECT vec_id, band,
+                      (sig >> (band * {bbits})) & {bmask} AS bkey
+               FROM (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
+                     FROM tsigs)),
+        eb AS (SELECT vec_id AS eval_id, band,
+                      (sig >> (band * {bbits})) & {bmask} AS bkey
+               FROM (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
+                     FROM esigs)),
+        cand AS (SELECT DISTINCT tb.vec_id, eb.eval_id
+                 FROM tb JOIN eb ON tb.band = eb.band
+                                AND tb.bkey = eb.bkey),
+        tq AS (SELECT vec_id, embedding AS qe FROM train),
+        ec AS (SELECT vec_id AS eval_id, embedding AS ce FROM ev),
+        scored AS (
+            SELECT cand.vec_id, cand.eval_id,
+                   CAST(FLOOR(10000 * ({_DOT}
+                        / (sqrt({_SQ_SUM.format(col='qe')})
+                           * sqrt({_SQ_SUM.format(col='ce')}))))
+                        AS BIGINT) AS sim_e4
+            FROM cand JOIN tq USING (vec_id) JOIN ec USING (eval_id)
+        ),
+        best AS (
+            SELECT vec_id, eval_id AS matched_eval_id, sim_e4,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim_e4 DESC,
+                                               eval_id ASC) AS rn
+            FROM scored WHERE sim_e4 >= {SEMANTIC_QUERY_MIN_SIM_E4}
+        )
+        SELECT t.vec_id,
+               CAST(b.vec_id IS NOT NULL AS BIGINT) AS contaminated,
+               b.matched_eval_id, b.sim_e4
+        FROM train t
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
     """
     qsig = _lsh_sig_sql(dims, col="qe")
     csig = _lsh_sig_sql(dims, col="ce")
