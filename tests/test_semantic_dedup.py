@@ -487,14 +487,16 @@ def test_kmeanspar_scan_count_sublinear_in_k(spark):
     j16 = jobs_for(16, "kmpar_probe_16")
     j64 = jobs_for(64, "kmpar_probe_64")
     # Spark multiplies actions into several jobs (AQE query stages +
-    # broadcast exchanges), so pin the STRUCTURE, not an absolute: job
-    # count is linear in the round count (≤ ~6 per round + setup) and
-    # grows with Δrounds, NOT with Δk — k went 16→64 (+48) while
-    # rounds went 6→8 (+2)
+    # broadcast exchanges + the incremental-state persists), so pin the
+    # STRUCTURE, not an absolute: job count is linear in the round
+    # count (≤ ~8 per round + setup) and grows with Δrounds, NOT with
+    # Δk — k went 16→64 (+48) while rounds went 6→8 (+2), so the job
+    # delta must stay far under the +48 extra corpus scans the
+    # farthest-point seeder would add
     r16, r64 = kmeanspar_rounds(16), kmeanspar_rounds(64)
-    assert j64 <= 10 + 6 * r64, (j64, r64)
-    assert j64 - j16 <= 6 * (r64 - r16) + 4, (j16, j64)
-    assert j64 < 64, j64  # and strictly under the k-1 farthest scans
+    assert j64 <= 12 + 8 * r64, (j64, r64)
+    assert j64 - j16 <= 8 * (r64 - r16) + 8, (j16, j64)
+    assert j64 - j16 < 48, (j16, j64)  # sublinear in k, not 1 scan/center
 
 
 def test_banded_candidates_stay_linear_with_scaled_bits(spark):

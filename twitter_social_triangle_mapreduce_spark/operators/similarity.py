@@ -1268,13 +1268,33 @@ def _collect_kmeanspar_seeds(
     u < l · d²(x, C) / φ(C) with l = oversample·k and φ the current
     total cost (points already in C have d² = 0, so no re-draws).
 
-    Scale shape: every round broadcasts the candidate set (≤ l·rounds
-    vectors, KBs) and runs scan-shaped jobs — one global-agg φ, one
-    sample filter collecting ~l rows; the final weighting pass is one
-    more scan with a k-small groupBy. The candidate reduction to k
-    centers is driver-local weighted greedy farthest-point over
-    O(l·log k) rows — exactly the "solve the small weighted instance
-    locally" step of the paper."""
+    Scale shape — INCREMENTAL nearest-candidate state (round 6, after
+    the 200k probe measured the naive form at 389 s): a persisted
+    (vec_id, embedding, d2, cid) working set carries every vector's
+    distance to — and the index of — its nearest candidate SO FAR, the
+    same persist-the-working-set pattern Spark MLlib's KMeans uses.
+    Each round scores the corpus against only that round's ≤ l NEW
+    candidates and folds the min in place (higher-order-function
+    distance lambdas are interpreted, not codegen'd, so per-round work
+    must be O(corpus · l_new), never O(corpus · Σ candidates)); the
+    final candidate weighting is then a FREE groupBy over the tracked
+    nearest index — no closing corpus × candidates scan at all.
+    Incremental min/argmin folding is exact (doubles; candidate
+    indices are discovery-ordered, so keep-on-tie ==
+    smaller-index-on-tie); the d² values themselves come from numpy's
+    fixed-order reductions, so runs are deterministic per platform —
+    this seeder trades the farthest-point path's cross-engine
+    bit-exactness for throughput, which is its documented contract
+    (no SQL-unrolled oracle). The candidate
+    reduction to k centers is driver-local weighted greedy
+    farthest-point over O(l·log k) rows — the "solve the small
+    weighted instance locally" step of the paper. At 100 TB the
+    persisted state is corpus-sized but flat (MEMORY_AND_DISK —
+    spills, never OOMs) and exists only for the O(log k) seeding
+    rounds; the narrow (vec_id, d2, cid) sidecar variant trades a
+    per-round vec_id join for 10× less cached bytes."""
+    from pyspark.storagelevel import StorageLevel
+
     spark = embeddings.sparkSession
     first = embeddings.agg(
         F.min_by("embedding", "vec_id").alias("e"),
@@ -1285,18 +1305,81 @@ def _collect_kmeanspar_seeds(
     ]
     n_rounds = kmeanspar_rounds(k)
     l_factor = float(oversample * k)
-    for r in range(n_rounds):
-        carr = codebook_df(
-            spark, [(i, v) for i, (_, v) in enumerate(cands)]
-        ).agg(F.collect_list("centroid").alias("__carr"))
-        scored = embeddings.crossJoin(F.broadcast(carr)).select(
-            "vec_id",
-            "embedding",
-            F.expr(
-                f"array_min(transform(__carr, ce -> {_SEED_D2_IN}))"
-            ).alias("__d"),
+    def fold_new(state, new_rows):
+        """Score only ``new_rows`` and fold the (d2, cid) min in
+        place; persists the new state, unpersists the old.
+
+        The scoring is an Arrow-batched numpy matmul (``mapInPandas``)
+        — the sanctioned Pandas-UDF case: dense corpus × l_new distance
+        blocks are pure linear algebra, and the interpreted
+        ``aggregate(zip_with(...))`` lambda form measured ~20M element
+        ops/s on the 200k probe (239 s of seeding that numpy does in
+        ~2 s; HOFs never enter whole-stage codegen). The candidate
+        block ships BY VALUE in the closure (l×dims float64, KBs).
+        d² via |x|² + |c|² − 2x·c, clamped at 0; ties keep the
+        first/smallest candidate index, and the cross-round fold keeps
+        the incumbent on equality — indices are discovery-ordered, so
+        keep-on-tie == smallest-index-on-tie, the same rule the
+        driver-local reduction assumes. Platform-deterministic (numpy's
+        fixed reduction order per shape/arch)."""
+        import numpy as _np
+
+        C = _np.array([v for _, v in new_rows], dtype=_np.float64)
+        c_sq = (C * C).sum(axis=1)
+        cid0 = int(new_rows[0][0])  # contiguous discovery-ordered ids
+        has_state = state is not None
+        base = embeddings if state is None else state
+        schema = (
+            "vec_id long, embedding array<float>, d2 double, cid long"
         )
-        phi = scored.agg(F.sum("__d").alias("p")).collect()[0]["p"]
+
+        def score(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.reindex(
+                        columns=["vec_id", "embedding", "d2", "cid"]
+                    )
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                D = (
+                    (X * X).sum(axis=1)[:, None]
+                    + c_sq[None, :]
+                    - 2.0 * (X @ C.T)
+                )
+                np.maximum(D, 0.0, out=D)
+                j = D.argmin(axis=1)  # first occurrence = smallest cid
+                d2n = D[np.arange(len(j)), j]
+                cidn = j + cid0
+                if has_state:
+                    old_d2 = pdf["d2"].to_numpy()
+                    old_cid = pdf["cid"].to_numpy()
+                    take_new = d2n < old_d2
+                    d2n = np.where(take_new, d2n, old_d2)
+                    cidn = np.where(take_new, cidn, old_cid)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "d2": d2n,
+                        "cid": cidn,
+                    }
+                )
+
+        nxt = base.mapInPandas(score, schema).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if state is not None:
+            state.unpersist()
+        return nxt
+
+    state = fold_new(None, [(0, cands[0][1])])
+    for r in range(n_rounds):
+        phi = state.agg(F.sum("d2").alias("p")).collect()[0]["p"]
         if not phi or phi <= 0:
             break  # every vector already coincides with a candidate
         # fixed-point uniform from md5(vec_id # round): 15 hex chars
@@ -1319,49 +1402,26 @@ def _collect_kmeanspar_seeds(
             / F.lit(float(16**15))
         )
         picked = (
-            scored.where(
-                u < F.lit(l_factor) * F.col("__d") / F.lit(float(phi))
+            state.where(
+                u < F.lit(l_factor) * F.col("d2") / F.lit(float(phi))
             )
             .select("vec_id", "embedding")
             .collect()
         )
         seen = {vid for vid, _ in cands}
+        new_rows = []
         for row in sorted(picked, key=lambda x: x["vec_id"]):
             if row["vec_id"] not in seen:
-                cands.append(
-                    (
-                        int(row["vec_id"]),
-                        tuple(float(x) for x in row["embedding"]),
-                    )
-                )
+                vec = tuple(float(x) for x in row["embedding"])
+                new_rows.append((len(cands), vec))
+                cands.append((int(row["vec_id"]), vec))
                 seen.add(int(row["vec_id"]))
-    # weighting scan: each corpus vector votes for its nearest
-    # candidate (squared-euclidean argmin, ties to the smaller index)
-    carr = codebook_df(
-        spark, [(i, v) for i, (_, v) in enumerate(cands)]
-    ).agg(
-        F.collect_list(F.struct("cid", F.col("centroid").alias("ce"))).alias(
-            "__cands"
-        )
-    )
-    d2c = (
-        "aggregate(zip_with(embedding, c.ce,"
-        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    weights_rows = (
-        embeddings.crossJoin(F.broadcast(carr))
-        .select(
-            F.expr(
-                f"array_min(transform(__cands,"
-                f" c -> struct({d2c} AS d, c.cid AS cid))).cid"
-            ).alias("cid")
-        )
-        .groupBy("cid")
-        .count()
-        .collect()
-    )
+        if new_rows:
+            state = fold_new(state, new_rows)
+    # weighting: the nearest-candidate index was tracked incrementally,
+    # so the candidate weights are one k-small groupBy — no scan
+    weights_rows = state.groupBy("cid").count().collect()
+    state.unpersist()
     weights = {int(r["cid"]): int(r["count"]) for r in weights_rows}
     return _weighted_greedy_reduce(cands, weights, k)
 
