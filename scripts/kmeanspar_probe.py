@@ -42,6 +42,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1_000_000
     k = int(args[1]) if len(args) > 1 else 64
+    assign_mode = "numpy" if "--assign=numpy" in sys.argv else "exact"
     # members = n // k so the planted cluster count equals k
     members = max(2, n // k)
     spark = get_spark(
@@ -66,7 +67,10 @@ def main() -> None:
         rows = seeds
         for _ in range(similarity.IVF_TRAIN_ROUNDS):
             cents = similarity.codebook_df(spark, rows)
-            got = similarity._lloyd_round(emb, k, cents).collect()
+            got = similarity._lloyd_round(
+                emb, k, cents,
+                assign_rows=rows if assign_mode == "numpy" else None,
+            ).collect()
             rows = sorted(
                 (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
                 for r in got
@@ -115,7 +119,7 @@ def main() -> None:
                     "k": k,
                     "members": members,
                     "rounds": similarity.kmeanspar_rounds(k),
-                    
+                    "assign": assign_mode,
                     "sec_seed": round(t_seed, 2),
                     "sec_lloyd": round(t_lloyd, 2),
                     "wcss_trained": round(w_trained, 1),

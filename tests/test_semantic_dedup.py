@@ -774,3 +774,48 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
         train, ev, min_sim_e4=9500, dims=DIMS
     ).where(F.col("contaminated") == 0)
     assert [r["vec_id"] for r in kept.collect()] == [11]
+
+
+def test_numpy_assignment_matches_exact_on_clear_margins(spark):
+    """The trainer's large-k assignment arm (round 6): on data with
+    clear decision margins (the planted clustered fixture — no
+    near-ties for numpy ULPs to flip) the Arrow-batched numpy argmax
+    must produce the IDENTICAL cell assignment as the oracle-exact HOF
+    scoring, and a numpy-assigned training run must land on the same
+    codebook as the exact one."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        _assign_cells_numpy,
+        codebook_df,
+        collect_codebook,
+        ivf_cells,
+    )
+
+    rng = random.Random(5)
+    centers = [
+        [10.0 if d == c else 0.0 for d in range(DIMS)] for c in range(4)
+    ]
+    vecs = [
+        [x + rng.uniform(-0.5, 0.5) for x in centers[i % 4]]
+        for i in range(120)
+    ]
+    emb = _emb(spark, vecs)
+    rows = collect_codebook(emb, k=4, rounds=1)
+    exact = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_cells(
+            emb, 4, centroids=codebook_df(spark, rows)
+        ).collect()
+    }
+    fast = {
+        (r["vec_id"], r["cell"])
+        for r in _assign_cells_numpy(emb, rows).collect()
+    }
+    assert exact == fast
+    # end-to-end: numpy-assigned training == exact training here
+    r_exact = collect_codebook(emb, k=4, rounds=2)
+    r_fast = collect_codebook(emb, k=4, rounds=2, assign="numpy")
+    assert [c for c, _ in r_exact] == [c for c, _ in r_fast]
+    for (_, a), (_, b) in zip(r_exact, r_fast):
+        assert a == b  # same members -> identical exact-integer means

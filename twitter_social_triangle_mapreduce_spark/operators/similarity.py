@@ -1474,6 +1474,7 @@ def collect_codebook(
     k: int = IVF_CELLS,
     rounds: int = IVF_TRAIN_ROUNDS,
     seeder: str = "farthest",
+    assign: str = "exact",
 ) -> list[tuple[int, tuple[float, ...]]]:
     """Run the oracle-exact trainer to COMPLETION once and return the
     k×dims codebook as plain Python rows (round-6 verdict item 1). The
@@ -1501,13 +1502,27 @@ def collect_codebook(
     regime; ``"kmeans||"``: the O(log k)-scan oversampling seeder for
     large k (``_collect_kmeanspar_seeds`` — deterministic md5-ranked
     draws, no DuckDB oracle twin: the Lloyd rounds on top remain
-    exact, but the seed set is not SQL-unrolled)."""
+    exact, but the seed set is not SQL-unrolled).
+
+    ``assign`` — ``"exact"`` (default): the oracle-exact HOF cosine
+    assignment inside each Lloyd round; ``"numpy"``: the Arrow-batched
+    large-k arm (``_assign_cells_numpy`` — at 1M×k=64 the interpreted
+    assignment dominates Lloyd wall; measured numbers in BASELINE.md).
+    Recentering stays the exact BIGINT aggregate in both arms. The
+    oracle-paired registered queries use the defaults."""
+    if assign not in ("exact", "numpy"):
+        raise ValueError(f"unknown assign {assign!r}")
     spark = embeddings.sparkSession
     if seeder == "kmeans||":
         rows = _collect_kmeanspar_seeds(embeddings, k)
         for _ in range(rounds):
             cents = codebook_df(spark, rows)
-            got = _lloyd_round(embeddings, k, cents).collect()
+            got = _lloyd_round(
+                embeddings,
+                k,
+                cents,
+                assign_rows=rows if assign == "numpy" else None,
+            ).collect()
             rows = sorted(
                 (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
                 for r in got
@@ -1548,7 +1563,12 @@ def collect_codebook(
         rows.append((i, tuple(float(x) for x in win["e"])))
     for _ in range(rounds):
         cents = codebook_df(spark, rows)
-        got = _lloyd_round(embeddings, k, cents).collect()
+        got = _lloyd_round(
+            embeddings,
+            k,
+            cents,
+            assign_rows=rows if assign == "numpy" else None,
+        ).collect()
         rows = sorted(
             (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
             for r in got
@@ -1556,13 +1576,61 @@ def collect_codebook(
     return rows
 
 
+def _assign_cells_numpy(embeddings: DataFrame, rows) -> DataFrame:
+    """(vec_id, cell) — cosine-argmax assignment against a LOCAL
+    codebook via Arrow-batched numpy (``mapInPandas``): the large-k
+    fast arm of the trainer's assignment step. At k in the tens+, the
+    exact interpreted-HOF scoring (`_centroid_ranked`) is the Lloyd
+    bottleneck (corpus × k × dims lambda evals — same ceiling the
+    seeder hit); the numpy block does the identical argmax with ties
+    toward the smaller cid (rows are cid-sorted; ``argmax`` returns
+    the first maximum). ULP-level score differences vs the sequential
+    HOF fold can flip only exact near-ties, so this arm is
+    deterministic-per-platform, NOT cross-engine bit-exact — the
+    oracle-paired path keeps the exact assignment."""
+    import numpy as _np
+
+    rows = sorted(rows)
+    C = _np.array([v for _, v in rows], dtype=_np.float64)
+    cids = _np.array([c for c, _ in rows], dtype=_np.int64)
+    cn = _np.sqrt((C * C).sum(axis=1))
+    cn[cn == 0] = _np.inf  # zero-norm centroid never wins (oracle rule)
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "cell": []})
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            s = (X @ C.T) / cn[None, :]  # row norm constant per row
+            j = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cids[j]}
+            )
+
+    return embeddings.mapInPandas(assign, "vec_id long, cell int")
+
+
 def _lloyd_round(
-    embeddings: DataFrame, k: int, cents: DataFrame
+    embeddings: DataFrame,
+    k: int,
+    cents: DataFrame,
+    assign_rows=None,
 ) -> DataFrame:
     """One exact-integer Lloyd round — assignment against ``cents`` +
     per-(cell, position) BIGINT recentering. Shared by the lazy and
-    localized trainers (single-sourced so they cannot drift)."""
-    assign = ivf_cells(embeddings, k, centroids=cents)
+    localized trainers (single-sourced so they cannot drift).
+    ``assign_rows`` (large-k arm): plain codebook rows — assignment
+    runs through the numpy block (``_assign_cells_numpy``) instead of
+    the exact HOF scoring; the recentering stays the exact BIGINT
+    aggregate either way."""
+    if assign_rows is not None:
+        assign = _assign_cells_numpy(embeddings, assign_rows)
+    else:
+        assign = ivf_cells(embeddings, k, centroids=cents)
     member_dims = (
         embeddings.join(assign, "vec_id")
         .select(
