@@ -830,6 +830,17 @@ def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the OR-banded semantic candidate rule, hash-oracled end to end
+    # (the knob path, not the composite-key fast path): same-cell AND
+    # any-band-agreement before the exact cosine threshold
+    return similarity.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+        bands=similarity.LSH_BANDS,
+    )
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-tier decontamination: every 4th vector plays the eval
     # set; threshold at the same exercised value as the cluster query
@@ -939,6 +950,8 @@ EXT_EXTRA_QUERIES = {
     # round 6: embedding-tier decontamination (paraphrased-leakage
     # screen — cross-set banded-LSH candidates, best-match election)
     "semantic_decontam": q_semantic_decontam,
+    # round 6: the banded semantic candidate rule, oracle-checked
+    "semantic_pairs_banded": q_semantic_pairs_banded,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1959,6 +1972,38 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         WHERE CAST(FLOOR(10000 * ({_DOT}
                    / (sqrt({_SQ_SUM.format(col='qe')})
                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT) >= 0
+    """
+    # banded semantic pairs: same-cell AND any-band agreement (the knob
+    # path with nprobe=1 — both directed probes collapse to one
+    # symmetric join), then the exact thresholded cosine
+    out["semantic_pairs_banded"] = f"""
+        WITH {_IVF_CELLS_CTE},
+        sigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+                 FROM embeddings),
+        banded AS (SELECT vec_id, band,
+                          (sig >> (band * {bbits})) & {bmask} AS bkey
+                   FROM (SELECT vec_id, sig,
+                                unnest(range(0, {bands})) AS band
+                         FROM sigs)),
+        keyed AS (SELECT b.vec_id, c.cell, b.band, b.bkey
+                  FROM banded b JOIN cells c ON b.vec_id = c.vec_id),
+        cand AS (SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS vec_a,
+                        GREATEST(x.vec_id, y.vec_id) AS vec_b
+                 FROM keyed x JOIN keyed y
+                   ON x.cell = y.cell AND x.band = y.band
+                  AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+        ea AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
+        eb AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
+        SELECT vec_a, vec_b,
+               CAST(FLOOR(10000 * ({_DOT}
+                    / (sqrt({_SQ_SUM.format(col='qe')})
+                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+                   AS sim_e4
+        FROM cand JOIN ea USING (vec_a) JOIN eb USING (vec_b)
+        WHERE CAST(FLOOR(10000 * ({_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+              >= {SEMANTIC_QUERY_MIN_SIM_E4}
     """
     out["semantic_decontam"] = f"""
         WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
