@@ -841,6 +841,17 @@ def q_semantic_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_pairs_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the multi-probe cell rule (nprobe=2, single band), hash-oracled:
+    # a pair qualifies when either endpoint's two nearest cells cover
+    # the other's primary cell and the signatures agree
+    return similarity.semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+        nprobe=2,
+    )
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-tier decontamination: every 4th vector plays the eval
     # set; threshold at the same exercised value as the cluster query
@@ -952,6 +963,8 @@ EXT_EXTRA_QUERIES = {
     "semantic_decontam": q_semantic_decontam,
     # round 6: the banded semantic candidate rule, oracle-checked
     "semantic_pairs_banded": q_semantic_pairs_banded,
+    # round 6: the multi-probe cell rule, oracle-checked
+    "semantic_pairs_probed": q_semantic_pairs_probed,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1992,6 +2005,44 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
                  FROM keyed x JOIN keyed y
                    ON x.cell = y.cell AND x.band = y.band
                   AND x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+        ea AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
+        eb AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
+        SELECT vec_a, vec_b,
+               CAST(FLOOR(10000 * ({_DOT}
+                    / (sqrt({_SQ_SUM.format(col='qe')})
+                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+                   AS sim_e4
+        FROM cand JOIN ea USING (vec_a) JOIN eb USING (vec_b)
+        WHERE CAST(FLOOR(10000 * ({_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
+              >= {SEMANTIC_QUERY_MIN_SIM_E4}
+    """
+    # multi-probe semantic pairs (nprobe=2, single band): the directed
+    # probed×primary join canonicalized by LEAST/GREATEST already
+    # covers both directions (a probing b's home emits (a,b); b
+    # probing a's emits (b,a) — same canonical pair), so one join
+    # suffices where the engine unions two
+    out["semantic_pairs_probed"] = f"""
+        WITH {_IVF_CELLS_CTE},
+        sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig
+                 FROM embeddings),
+        ranked AS (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY s DESC, cid ASC)
+                              AS rn
+                   FROM cscored),
+        probed AS (SELECT r.vec_id, r.cid AS cell, s.sig
+                   FROM ranked r JOIN sigs s USING (vec_id)
+                   WHERE rn <= 2),
+        prim AS (SELECT r.vec_id, r.cid AS cell, s.sig
+                 FROM ranked r JOIN sigs s USING (vec_id)
+                 WHERE rn = 1),
+        cand AS (SELECT DISTINCT LEAST(p.vec_id, q.vec_id) AS vec_a,
+                        GREATEST(p.vec_id, q.vec_id) AS vec_b
+                 FROM probed p JOIN prim q
+                   ON p.cell = q.cell AND p.sig = q.sig
+                  AND p.vec_id <> q.vec_id),
         ea AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
         eb AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
         SELECT vec_a, vec_b,
