@@ -1373,6 +1373,12 @@ def _collect_kmeanspar_seeds(
         nxt = base.mapInPandas(score, schema).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # materialize BEFORE releasing the parent: nxt's lineage runs
+        # through the old state, so unpersisting first would make the
+        # next action recompute the whole fold chain from the source
+        # (cheap cached-scan count; the subsequent φ aggregate then
+        # reads the populated cache)
+        nxt.count()
         if state is not None:
             state.unpersist()
         return nxt
