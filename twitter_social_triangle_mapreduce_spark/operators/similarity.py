@@ -1108,16 +1108,22 @@ def update_semantic_clusters(
                 alias,
             )
 
-        directed = (
-            keyed(nprobe, "new_id", True)
-            .join(keyed(1, "other_id", False), ["cell", "band", "bkey"])
-            .unionByName(
+        directed = keyed(nprobe, "new_id", True).join(
+            keyed(1, "other_id", False), ["cell", "band", "bkey"]
+        )
+        if nprobe > 1:
+            # the second probe direction (the OTHER endpoint probing
+            # the batch vector's primary cell) only differs when
+            # nprobe > 1 — at nprobe == 1 both joins are the same
+            # relation and the union would just double the dedup input
+            directed = directed.unionByName(
                 keyed(1, "new_id", True).join(
                     keyed(nprobe, "other_id", False),
                     ["cell", "band", "bkey"],
                 )
             )
-            .where(F.col("new_id") != F.col("other_id"))
+        directed = (
+            directed.where(F.col("new_id") != F.col("other_id"))
             .select("new_id", "other_id")
             .distinct()
         )
