@@ -819,3 +819,49 @@ def test_numpy_assignment_matches_exact_on_clear_margins(spark):
     assert [c for c, _ in r_exact] == [c for c, _ in r_fast]
     for (_, a), (_, b) in zip(r_exact, r_fast):
         assert a == b  # same members -> identical exact-integer means
+
+
+def test_cluster_balanced_sample_caps_dominant_region(spark):
+    """Diversity pruning (round 6): on a corpus where one semantic
+    region dominates (80% of vectors in one cluster), the per-cell
+    quota must bind on the dominant cell while sparse cells keep
+    everything — the token budget cannot be crowded out by one topic.
+    The kept set is deterministic (md5 rank) and every vector is
+    labeled exactly once."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        cluster_balanced_sample,
+        codebook_df,
+    )
+
+    rng = random.Random(17)
+    dom = [10.0, 0.0] + [0.0] * (DIMS - 2)
+    rare = [0.0, 10.0] + [0.0] * (DIMS - 2)
+    vecs = [
+        [x + rng.uniform(-0.5, 0.5) for x in (dom if i < 80 else rare)]
+        for i in range(100)
+    ]
+    emb = _emb(spark, vecs)
+    cents = codebook_df(spark, [(0, dom), (1, rare)])
+    out = cluster_balanced_sample(
+        emb, per_cell=25, k_cells=2, centroids=cents
+    )
+    rows = out.collect()
+    assert len(rows) == 100  # every vector labeled exactly once
+    assert len({r["vec_id"] for r in rows}) == 100
+    kept = [(r["vec_id"], r["cell"]) for r in rows if r["keep"] == 1]
+    by_cell = {}
+    for _, c in kept:
+        by_cell[c] = by_cell.get(c, 0) + 1
+    assert by_cell[0] == 25  # quota binds on the dominant region
+    assert by_cell[1] == 20  # sparse region keeps everything
+    # deterministic: a second plan keeps the identical set
+    again = {
+        (r["vec_id"], r["cell"])
+        for r in cluster_balanced_sample(
+            emb, per_cell=25, k_cells=2, centroids=cents
+        ).collect()
+        if r["keep"] == 1
+    }
+    assert set(kept) == again

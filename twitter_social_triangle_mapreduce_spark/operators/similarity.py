@@ -872,6 +872,43 @@ def semantic_dedup_clusters(
     )
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    per_cell: int,
+    k_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell, keep) — DIVERSITY sampling over the semantic
+    space: quantize every vector to its IVF cell and keep at most
+    ``per_cell`` representatives per cell, chosen by deterministic
+    md5(vec_id) rank (ties impossible — vec_id is a key). The
+    cluster-balanced pruning step of a curation pipeline: where
+    semantic dedup removes near-identical points, this caps how much
+    of the token budget any one semantic REGION may consume, so a
+    corpus dominated by one topic cannot crowd out the tail
+    (cluster-based data-pruning recipes select per-cluster quotas the
+    same way; the md5 rank stands in for their density scores — swap
+    the ordering column to plug one in).
+
+    Scale shape: one broadcast-scored cell assignment (shared
+    ``_centroid_ranked`` zero-shuffle form) + one window partitioned
+    by cell — k partitions, each streaming its members; nothing
+    vec×vec, nothing collected. Deterministic and SQL-expressible, so
+    the DuckDB oracle reproduces the kept set bit-for-bit."""
+    cells = ivf_cells(embeddings, k_cells, centroids=centroids)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    return (
+        cells.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("__rn") <= per_cell).cast("long").alias("keep"),
+        )
+    )
+
+
 def semantic_decontaminate(
     train_embeddings: DataFrame,
     eval_embeddings: DataFrame,

@@ -830,6 +830,19 @@ def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-cell keep quota for the registered diversity-sampling query
+CLUSTER_SAMPLE_PER_CELL = 50
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diversity pruning: cap each semantic cell's contribution at
+    # CLUSTER_SAMPLE_PER_CELL deterministic-md5-ranked representatives
+    return similarity.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"),
+        per_cell=CLUSTER_SAMPLE_PER_CELL,
+    )
+
+
 def q_semantic_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the OR-banded semantic candidate rule, hash-oracled end to end
     # (the knob path, not the composite-key fast path): same-cell AND
@@ -965,6 +978,8 @@ EXT_EXTRA_QUERIES = {
     "semantic_pairs_banded": q_semantic_pairs_banded,
     # round 6: the multi-probe cell rule, oracle-checked
     "semantic_pairs_probed": q_semantic_pairs_probed,
+    # round 6: semantic diversity sampling (per-cell quota), exact
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1683,6 +1698,19 @@ SELECT e.vec_id,
        COALESCE(cc.l, e.vec_id) AS cluster_id,
        CAST(e.vec_id = COALESCE(cc.l, e.vec_id) AS BIGINT) AS is_canonical
 FROM embeddings e LEFT JOIN it{it} cc ON e.vec_id = cc.v
+"""
+
+EXT_ORACLES["cluster_balanced_sample"] = f"""
+    WITH {_IVF_CELLS_CTE},
+    ranked AS (SELECT vec_id, cell,
+                      row_number() OVER (
+                          PARTITION BY cell
+                          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                   vec_id ASC) AS rn
+               FROM cells)
+    SELECT vec_id, cell,
+           CAST(rn <= {CLUSTER_SAMPLE_PER_CELL} AS BIGINT) AS keep
+    FROM ranked
 """
 
 EXT_ORACLES["ann_topk_ivf2"] = f"""
