@@ -253,3 +253,36 @@ def test_trained_codebook_consumers_embed_a_constant_not_the_trainer(spark):
         # the Lloyd recentering aggregate keys on (cell, pos) after a
         # posexplode of member embeddings — absent from consumer plans
         assert "posexplode(embedding)" not in plan, q.__name__
+
+
+def test_cluster_balanced_sample_rank_is_bucket_split(spark):
+    """Round-6 self-review: the per-cell rank must run through the
+    two-pass bucketed decomposition, never a window partitioned by
+    ``cell`` alone — with k cells, a cell-only window sorts each
+    cell's whole membership in ONE unsplittable task (k tasks for the
+    corpus at 100 TB). The row_number window must key on
+    (cell, __b) — the md5-prefix bucket — and the offsets relation
+    must come back through a broadcast join."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    df = cluster_balanced_sample(
+        load_table(spark, SF_SMOKE, "embeddings"), per_cell=50
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [
+        line
+        for line in plan.splitlines()
+        if "row_number()" in line and "windowspecdefinition" in line
+    ]
+    assert rn_windows, "rank window missing"
+    for line in rn_windows:
+        assert "__b" in line.split("windowspecdefinition", 1)[1], (
+            "rank window partitions by cell alone (unsplittable): "
+            + line.strip()[:120]
+        )
+    # the bucket-offset fold joins back broadcast — its build side is
+    # the k×256-row counts relation, never an exchange of the corpus
+    assert "BroadcastHashJoin [cell" in plan

@@ -891,21 +891,53 @@ def cluster_balanced_sample(
     the ordering column to plug one in).
 
     Scale shape: one broadcast-scored cell assignment (shared
-    ``_centroid_ranked`` zero-shuffle form) + one window partitioned
-    by cell — k partitions, each streaming its members; nothing
-    vec×vec, nothing collected. Deterministic and SQL-expressible, so
-    the DuckDB oracle reproduces the kept set bit-for-bit."""
-    cells = ivf_cells(embeddings, k_cells, centroids=centroids)
-    w = Window.partitionBy("cell").orderBy(
-        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ``_centroid_ranked`` zero-shuffle form), then the per-cell rank
+    through the repo's TWO-PASS bucketed-rank decomposition (the same
+    shape ``pack_sequences`` uses for its global prefix sum) — a
+    window partitioned by ``cell`` ALONE would sort each cell's whole
+    membership in ONE task (k tasks for the corpus: at 1B vectors and
+    k=4 that is four 250M-row single-task sorts, and Spark cannot
+    split a window partition). Instead: (1) bucket each row by the
+    md5 prefix byte — hex-string order IS (prefix byte, remainder)
+    order, so ranks compose exactly — and row_number within
+    (cell, bucket): k×256 window partitions, each ~n/(k·256) rows;
+    (2) per-(cell, bucket) counts — a TINY k×256-row relation —
+    prefix-summed per cell and broadcast-joined back; global rank =
+    preceding-bucket count + intra rank. Nothing vec×vec, nothing
+    collected, no unsplittable partition. Deterministic and
+    SQL-expressible (the oracle keeps the single-window form — exact
+    at oracle scale), so DuckDB reproduces the kept set
+    bit-for-bit."""
+    cells = ivf_cells(embeddings, k_cells, centroids=centroids).withColumn(
+        "__h", F.md5(F.col("vec_id").cast("string"))
     )
-    return (
-        cells.withColumn("__rn", F.row_number().over(w))
-        .select(
-            "vec_id",
-            "cell",
-            (F.col("__rn") <= per_cell).cast("long").alias("keep"),
+    # md5 prefix byte: first two hex chars. '0'-'9' < 'a'-'f' in both
+    # ASCII and the hex value order, so ordering by (__b, __h) equals
+    # ordering by __h — the bucket split preserves the rank order.
+    cells = cells.withColumn("__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("long"))
+    intra_w = Window.partitionBy("cell", "__b").orderBy(
+        F.col("__h").asc(), F.col("vec_id").asc()
+    )
+    intra = cells.withColumn("__rn", F.row_number().over(intra_w))
+    prev_w = (
+        Window.partitionBy("cell")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        cells.groupBy("cell", "__b")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .withColumn(
+            "__prev", F.coalesce(F.sum("__bn").over(prev_w), F.lit(0))
         )
+        .select("cell", "__b", "__prev")
+    )
+    return intra.join(F.broadcast(offsets), ["cell", "__b"]).select(
+        "vec_id",
+        "cell",
+        ((F.col("__prev") + F.col("__rn")) <= per_cell)
+        .cast("long")
+        .alias("keep"),
     )
 
 
