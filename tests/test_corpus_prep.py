@@ -491,3 +491,69 @@ def test_capstone_cut_arm_releases_intermediate_persists(spark, tmp_path):
     assert len(verdicts) == 3
     audit.unpersist()
     assert n_cached() is True, "intermediate persists leaked"
+
+
+def test_pack_shuffled_tape_is_a_permutation(spark):
+    """Seeded tape shuffle (round 6): shuffled packing must be a pure
+    REORDERING of the same corpus — identical n_tokens multiset, same
+    total token count, same set of occupied offsets (the tape has no
+    holes), while the doc→offset assignment actually changes; a second
+    run and a repartitioned input reproduce it bit-for-bit, and a
+    different seed yields a different permutation."""
+    rows = [(i, " ".join(["w"] * (1 + i % 9))) for i in range(200)]
+    docs = _docs(spark, rows)
+    plain = {r["doc_id"]: r for r in corpus.pack_sequences(docs).collect()}
+    shuf = {
+        r["doc_id"]: r
+        for r in corpus.pack_sequences(docs, shuffle_seed="s1").collect()
+    }
+    assert set(shuf) == set(plain)
+    # conservation: same per-doc token counts, and the shuffled
+    # intervals [start, start+n) tile the same gap-free tape
+    assert all(
+        shuf[d]["n_tokens"] == plain[d]["n_tokens"] for d in plain
+    )
+    ivs = sorted(
+        (r["start_off"], r["n_tokens"]) for r in shuf.values()
+    )
+    pos = 0
+    for start, n in ivs:
+        assert start == pos, (start, pos)
+        pos += n
+    assert pos == sum(r["n_tokens"] for r in plain.values())
+    # the permutation is real: most docs moved
+    moved = sum(
+        1 for d in plain if shuf[d]["start_off"] != plain[d]["start_off"]
+    )
+    assert moved > 150
+    # deterministic under a different input partitioning
+    again = {
+        r["doc_id"]: r["start_off"]
+        for r in corpus.pack_sequences(
+            docs.repartition(13), shuffle_seed="s1"
+        ).collect()
+    }
+    assert again == {d: r["start_off"] for d, r in shuf.items()}
+    # seed independence: another seed is another permutation
+    other = {
+        r["doc_id"]: r["start_off"]
+        for r in corpus.pack_sequences(docs, shuffle_seed="s2").collect()
+    }
+    assert other != {d: r["start_off"] for d, r in shuf.items()}
+
+
+def test_pack_shuffled_is_two_pass_on_hash_buckets(spark):
+    """The shuffled tape must keep the two-pass shape: the only
+    single-partition exchange feeds the tiny bucket-totals window, and
+    the corpus-side rank window partitions on the md5-prefix bucket
+    (never one global ordered window over the corpus)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        corpus.pack_sequences(docs, shuffle_seed="s1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(__bucket" in plan
+    assert plan.count("Window") == 2

@@ -24,6 +24,18 @@ from twitter_social_triangle_mapreduce_spark.operators.similarity import (
 from conftest import SF_SMOKE, edges_df
 
 
+def _probe_json_line(out) -> str:
+    """Last JSON line of a probe subprocess — with a legible failure
+    when the probe died without printing one (OOM/timeout under
+    machine load previously surfaced as a bare IndexError)."""
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert lines, (
+        f"probe printed no JSON (rc={out.returncode});"
+        f" stderr tail: {out.stderr[-800:]}"
+    )
+    return lines[-1]
+
+
 def _sig_reference(vec: list[float], bits: int, dims: int) -> int:
     """Independent Python recomputation of the signature definition."""
     sig = 0
@@ -333,7 +345,7 @@ def _run_capstone_probe(arg: str | None = None) -> dict:
     if arg:
         cmd.extend(arg.split())
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    line = _probe_json_line(out)
     return json.loads(line)
 
 
@@ -436,7 +448,7 @@ def _headline_bytes_probe(sf_dir: str) -> dict:
         text=True,
         timeout=420,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    line = _probe_json_line(out)
     return json.loads(line)["write_bytes"]
 
 
@@ -478,7 +490,7 @@ def test_headline_shuffle_byte_budgets():
         text=True,
         timeout=420,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    line = _probe_json_line(out)
     got = json.loads(line)["write_bytes"]
     assert set(got) == set(HEADLINE_WRITE_BYTES_SF0001)
     for name, runs in got.items():
@@ -520,7 +532,7 @@ def test_passage_hot_window_join_splits_and_stays_bounded():
             text=True,
             timeout=420,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        line = _probe_json_line(out)
         return json.loads(line)
 
     off = probe("noskew")

@@ -30,6 +30,9 @@ DECONTAM_THRESHOLD_E6 = 200_000
 PACK_BUDGET = 64
 #: docs per doc_id bucket for the distributed prefix sum
 PACK_BUCKET_SPAN = 100
+#: md5 hex chars forming the shuffled-tape bucket (16^4 = 65536 buckets;
+#: raise at extreme scale so each bucket stays task-sized)
+PACK_SHUFFLE_PREFIX = 4
 
 
 def prepare_training_corpus(
@@ -185,6 +188,7 @@ def write_training_shards(
     budget: int = PACK_BUDGET,
     packs_per_shard: int = PACKS_PER_SHARD,
     bucket_span: int = PACK_BUCKET_SPAN,
+    shuffle_seed: str | None = None,
 ) -> None:
     """Materialize the packing layout as training shards: assign every
     document its pack via ``pack_sequences``, group ``packs_per_shard``
@@ -199,7 +203,7 @@ def write_training_shards(
     tests/test_corpus_prep.py::test_shard_write_is_idempotent):
 
     - **Deterministic layout.** Every row's shard is a pure function of
-      (doc_id, n_tokens): the pack prefix-sum has no RNG, no
+      (doc_id, n_tokens, shuffle_seed): the pack prefix-sum has no RNG, no
       partition-order dependence (exact integer sums), and no
       timestamp, so two runs over the same input produce the same
       (doc_id → shard, start_off) assignment, the same per-shard
@@ -218,8 +222,14 @@ def write_training_shards(
       returns (the _SUCCESS marker is the readiness signal).
     - Appending NEW data goes through a new root (version directory),
       never into an existing shard tree — shard numbering is global
-      (pack_id div packs_per_shard), so appending would re-number."""
-    packed = pack_sequences(documents, budget, bucket_span).select(
+      (pack_id div packs_per_shard), so appending would re-number.
+      Epoch reshuffles (a different ``shuffle_seed``) likewise write a
+      new version root: the seed changes every (shard, start_off)
+      assignment by design while every determinism/recovery property
+      above holds per seed."""
+    packed = pack_sequences(
+        documents, budget, bucket_span, shuffle_seed=shuffle_seed
+    ).select(
         "doc_id",
         "n_tokens",
         "start_off",
@@ -325,11 +335,23 @@ def repetition_oracle_sql(src_sql: str = "SELECT * FROM documents") -> str:
 
 
 def pack_oracle_sql(
-    src_sql: str = "SELECT * FROM documents", budget: int = PACK_BUDGET
+    src_sql: str = "SELECT * FROM documents",
+    budget: int = PACK_BUDGET,
+    shuffle_seed: str | None = None,
 ) -> str:
     """DuckDB twin of ``pack_sequences`` — the oracle states the spec
     directly as one global ordered window (fine at oracle scale; the
-    engine uses the two-pass distributed form)."""
+    engine uses the two-pass distributed form). With ``shuffle_seed``
+    the window orders by the same seeded md5 tape key the engine uses
+    (DuckDB and Spark both emit lowercase-hex md5 of the same bytes)."""
+    order_by = (
+        "doc_id"
+        if shuffle_seed is None
+        else (
+            f"md5(concat('{shuffle_seed}', ':',"
+            " CAST(doc_id AS VARCHAR))), doc_id"
+        )
+    )
     return f"""
         WITH tc AS (SELECT doc_id,
                            CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -337,7 +359,7 @@ def pack_oracle_sql(
                     FROM ({src_sql})),
         c AS (SELECT doc_id, n_tokens,
                      COALESCE(SUM(n_tokens) OVER (
-                         ORDER BY doc_id
+                         ORDER BY {order_by}
                          ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING), 0) AS start_off
               FROM tc)
@@ -519,9 +541,11 @@ def pack_sequences(
     documents: DataFrame,
     budget: int = PACK_BUDGET,
     bucket_span: int = PACK_BUCKET_SPAN,
+    shuffle_seed: str | None = None,
+    shuffle_prefix: int = PACK_SHUFFLE_PREFIX,
 ) -> DataFrame:
     """(doc_id, n_tokens, start_off, pack_id, end_pack) — token-budget
-    sequence packing: documents are concatenated in doc_id order into an
+    sequence packing: documents are concatenated in TAPE ORDER into an
     infinite token tape; training sequence ``k`` owns token span
     ``[k·budget, (k+1)·budget)``. Each document reports its start offset
     on the tape, the pack its first token lands in, and the pack its last
@@ -530,24 +554,59 @@ def pack_sequences(
     start pack). This is the deterministic, join-free packing layout a
     shard writer consumes directly.
 
+    Tape order: ``doc_id`` ascending by default. With ``shuffle_seed``
+    set, the tape order becomes ``md5(seed || ':' || doc_id)`` — a
+    DETERMINISTIC GLOBAL SHUFFLE of the corpus (the training-order
+    randomization step every pretraining pipeline needs: ingest order
+    correlates with source/domain/time, and packing an unshuffled tape
+    feeds the trainer long single-domain runs). Seeded md5 keeps every
+    run, every partitioning, and the DuckDB oracle bit-identical;
+    changing the seed yields an independent permutation (epoch
+    reshuffles = new seed, no data movement until the shard write).
+
     Scale shape — the global running sum is computed as a TWO-PASS
     distributed prefix sum, never a single-partition window over the
-    corpus: (1) an intra-bucket cumulative sum windowed over contiguous
-    ``doc_id div bucket_span`` buckets (shuffle keyed on bucket), and
-    (2) bucket-level totals — #buckets rows, ~corpus/bucket_span —
-    prefix-summed with an ordered window over that TINY relation and
-    joined back. At 100 TB with bucket_span sized so each bucket holds
-    one task's docs, no stage ever materializes a global ordering."""
-    tc = documents.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.expr(f"doc_id div {bucket_span}").alias("__bucket"),
-    )
+    corpus: (1) an intra-bucket cumulative sum windowed per bucket
+    (shuffle keyed on bucket), and (2) bucket-level totals prefix-summed
+    with an ordered window over that TINY relation and joined back. The
+    bucket must be a PREFIX of the tape order so the two levels compose:
+    ``doc_id div bucket_span`` (contiguous ranges, ~corpus/bucket_span
+    buckets) in doc_id order, the first ``shuffle_prefix`` hex chars of
+    the md5 key (16^prefix buckets; hex-string order IS (prefix,
+    remainder) order) in shuffled order. At 100 TB, no stage ever
+    materializes a global ordering; for shuffled packing at extreme
+    scale raise ``shuffle_prefix`` so each bucket stays task-sized."""
     from pyspark.sql.window import Window
+
+    if shuffle_seed is None:
+        tc = documents.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.expr(f"doc_id div {bucket_span}").alias("__bucket"),
+        )
+        order_cols = [F.col("doc_id").asc()]
+    else:
+        tc = documents.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat(
+                    F.lit(shuffle_seed),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("__h"),
+        ).withColumn(
+            "__bucket",
+            F.conv(F.substring("__h", 1, shuffle_prefix), 16, 10).cast(
+                "long"
+            ),
+        )
+        order_cols = [F.col("__h").asc(), F.col("doc_id").asc()]
 
     intra_w = (
         Window.partitionBy("__bucket")
-        .orderBy("doc_id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     intra = tc.withColumn(

@@ -542,6 +542,20 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+#: tape-shuffle seed for the registered shuffled-packing query (an epoch
+#: reshuffle is just a different seed)
+PACK_SHUFFLE_SEED = "epoch0"
+
+
+def q_doc_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global corpus shuffle before packing: tape order is
+    # md5(seed:doc_id), the training-order randomization step
+    return corpus.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        shuffle_seed=PACK_SHUFFLE_SEED,
+    )
+
+
 def q_event_incident_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import timeseries
 
@@ -1043,6 +1057,8 @@ EXT_EXTRA_QUERIES = {
     "doc_repetition": q_doc_repetition,
     # token-budget sequence packing via two-pass prefix sum: exact oracle
     "doc_pack_sequences": q_doc_pack_sequences,
+    # seeded deterministic corpus shuffle before packing: exact oracle
+    "doc_pack_shuffled": q_doc_pack_shuffled,
     # bucketed range join (equi-shuffle on time buckets): exact oracle
     "event_incident_counts": q_event_incident_counts,
     # grid resampling + forward fill (per-user windows): exact oracle
@@ -1844,6 +1860,9 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     )
     out["doc_repetition"] = corpus.repetition_oracle_sql()
     out["doc_pack_sequences"] = corpus.pack_oracle_sql()
+    out["doc_pack_shuffled"] = corpus.pack_oracle_sql(
+        shuffle_seed=PACK_SHUFFLE_SEED
+    )
     from .operators import timeseries
 
     out["event_incident_counts"] = timeseries.incident_oracle_sql()
