@@ -49,6 +49,7 @@ HEADLINE = [
 EXTENSION = [
     "ann_topk_ivf",
     "doc_pack_sequences",
+    "doc_pack_shuffled",  # round 6: seeded tape shuffle before packing
     "doc_passage_cuts",  # round-4 flagship: substring-dedup cut lists
     "prepare_training_corpus",
     "prepare_training_corpus_cut",

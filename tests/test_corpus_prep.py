@@ -557,3 +557,54 @@ def test_pack_shuffled_is_two_pass_on_hash_buckets(spark):
     assert plan.count("SinglePartition") == 1
     assert "hashpartitioning(__bucket" in plan
     assert plan.count("Window") == 2
+
+
+def test_shard_write_shuffled_keeps_layout_invariants(spark, tmp_path):
+    """The seeded-shuffle arm of the shard writer: the manifest must
+    stay contiguous and gap-free (the trainer's epoch precondition —
+    shuffling permutes WHICH doc owns an offset, never the tape
+    structure), carry the same corpus totals as the unshuffled write,
+    and reproduce bit-for-bit on a re-run with the same seed."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plain = str(tmp_path / "plain")
+    s1 = str(tmp_path / "s1")
+    s1b = str(tmp_path / "s1b")
+    write_training_shards(docs, plain, budget=64, packs_per_shard=4)
+    write_training_shards(
+        docs, s1, budget=64, packs_per_shard=4, shuffle_seed="ep1"
+    )
+    write_training_shards(
+        docs, s1b, budget=64, packs_per_shard=4, shuffle_seed="ep1"
+    )
+
+    def manifest_rows(p):
+        return sorted(map(tuple, shard_manifest(spark, p).collect()))
+
+    mp, ms = manifest_rows(plain), manifest_rows(s1)
+    # same tape structure: totals and shard count match the plain arm
+    assert sum(r[1] for r in ms) == sum(r[1] for r in mp)  # n_docs
+    assert sum(r[2] for r in ms) == sum(r[2] for r in mp)  # n_tokens
+    prev_end = 0
+    for _shard, _n, _tok, start, end in ms:
+        assert start == prev_end
+        prev_end = end
+    # determinism per seed
+    assert ms == manifest_rows(s1b)
+    assert sorted(map(tuple, spark.read.parquet(s1).collect())) == sorted(
+        map(tuple, spark.read.parquet(s1b).collect())
+    )
+    # the shuffle moved documents across shards
+    assign = {
+        r["doc_id"]: r["shard"] for r in spark.read.parquet(s1).collect()
+    }
+    assign_plain = {
+        r["doc_id"]: r["shard"]
+        for r in spark.read.parquet(plain).collect()
+    }
+    assert assign != assign_plain
