@@ -161,3 +161,83 @@ def test_streaming_passage_maintenance_matches_batch(spark, tmp_path):
     # replay of a committed batch id must be a no-op
     fold_passage_batch(all_docs, 1, snap)
     assert sorted(map(tuple, read_passage_cuts(spark, snap).collect())) == got
+
+
+def test_streaming_pack_maintenance_matches_batch(spark, tmp_path):
+    """Three micro-batches fold through the packed-tape snapshot; with
+    monotone doc_ids and no seed, the union of committed rows equals
+    the batch pack_sequences over everything ingested (no batch seams
+    — a pack left part-full at a boundary keeps filling), replay is a
+    no-op, and the seeded arm still tiles the tape gap-free."""
+    import json
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators import corpus
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_pack_batch,
+        read_packed_corpus,
+        streaming_pack_maintenance,
+    )
+
+    # token counts chosen so batch boundaries straddle packs (budget 16)
+    b0 = [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 9))]
+    b1 = [(10, " ".join(["c"] * 5)), (11, " ".join(["d"] * 23))]
+    b2 = [(20, " ".join(["e"] * 3)), (21, " ".join(["f"] * 14))]
+    stream_dir = tmp_path / "packdocs"
+    stream_dir.mkdir()
+    for i, rows in enumerate((b0, b1, b2)):
+        p = stream_dir / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t}) for d, t in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(stream_dir))
+    )
+    snap = str(tmp_path / "packsnap")
+    q = streaming_pack_maintenance(
+        stream, snap, str(tmp_path / "packckpt"), budget=16
+    )
+    q.awaitTermination(timeout=120)
+
+    all_docs = spark.createDataFrame(
+        [(d, t) for d, t in b0 + b1 + b2], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    want = sorted(
+        map(tuple, corpus.pack_sequences(all_docs, budget=16).collect())
+    )
+    assert got == want and len(got) == 6
+    # doc 10 starts mid-pack at offset 19 (pack 1): no batch seam
+    by_id = {r[0]: r for r in got}
+    assert by_id[10][2] == 19 and by_id[10][3] == 1
+
+    # replay of a committed batch id must be a no-op
+    fold_pack_batch(all_docs, 1, snap, budget=16)
+    assert sorted(
+        map(tuple, read_packed_corpus(spark, snap).collect())
+    ) == got
+
+    # seeded arm: per-batch shuffle still tiles the tape gap-free
+    snap2 = str(tmp_path / "packsnap2")
+    for i, rows in enumerate((b0, b1, b2)):
+        fold_pack_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i,
+            snap2,
+            budget=16,
+            shuffle_seed="ep1",
+        )
+    ivs = sorted(
+        (r["start_off"], r["n_tokens"])
+        for r in read_packed_corpus(spark, snap2).collect()
+    )
+    pos = 0
+    for start, n in ivs:
+        assert start == pos
+        pos += n
+    assert pos == sum(n for _, n in ivs)

@@ -877,6 +877,136 @@ def streaming_passage_maintenance(
     )
 
 
+def _pack_batch_dir(snapshot_path: str, batch_id: int) -> str:
+    return f"{snapshot_path}/packs/p_{batch_id:020d}"
+
+
+def fold_pack_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    budget: int | None = None,
+    shuffle_seed: str | None = None,
+) -> None:
+    """Fold one micro-batch of documents into the packed-tape state:
+    pack the batch with the batch operator (``corpus.pack_sequences``
+    — seeded tape shuffle applies WITHIN the batch when requested),
+    shift its offsets by the committed tape end so the batch appends
+    contiguously to the global token tape, and commit
+    ``packs/p_<batch_id>`` (``rows/`` = the shifted packed layout,
+    ``meta/`` = the 1-row new tape end) under the same atomic-marker /
+    idempotent-replay contract as the other folds. Pack ids are
+    re-derived from the SHIFTED offsets, so a pack left part-full at a
+    batch boundary keeps filling from the next batch — the tape has no
+    batch seams, exactly as if the corpus had arrived at once.
+
+    Parity (pinned in tests): with monotone-increasing doc_ids across
+    batches and no seed, the union of committed ``rows`` equals the
+    batch ``pack_sequences`` over everything ingested — incremental
+    ingest IS the batch layout. A FULL-corpus reshuffle (new epoch
+    seed) is inherently global and stays the batch operator's job at
+    epoch boundaries; the streaming fold only ever appends.
+
+    Per-batch cost: one batch-sized two-pass prefix sum plus a 1-row
+    meta read — the accumulated corpus is never rescanned."""
+    from ..operators.corpus import PACK_BUDGET, pack_sequences
+
+    budget = PACK_BUDGET if budget is None else budget
+    spark = batch_df.sparkSession
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    base = _pack_batch_dir(snapshot_path, batch_id)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{base}/{ROLLUP_APPLIED_MARKER}"
+    )
+    if fs.exists(marker):
+        return  # replayed batch: already folded and committed
+    committed = _list_batch_dirs(
+        spark,
+        f"{snapshot_path}/packs",
+        "p_",
+        before_batch_id=batch_id,
+        marker_required=True,
+    )
+    prev_end = (
+        spark.read.parquet(f"{committed[-1]}/meta").collect()[0]["tape_end"]
+        if committed
+        else 0
+    )
+    local = pack_sequences(
+        batch_df, budget=budget, shuffle_seed=shuffle_seed
+    )
+    shifted = local.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("start_off") + F.lit(prev_end)).alias("start_off"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {budget}").alias("pack_id"),
+        F.expr(
+            f"(start_off + greatest(n_tokens, 1) - 1) div {budget}"
+        ).alias("end_pack"),
+    )
+    shifted.write.mode("overwrite").parquet(f"{base}/rows")
+    new_end = (
+        local.agg(
+            (
+                F.coalesce(F.sum("n_tokens"), F.lit(0)) + F.lit(prev_end)
+            ).alias("tape_end")
+        )
+    )
+    new_end.write.mode("overwrite").parquet(f"{base}/meta")
+    fs.create(marker, True).close()
+
+
+def read_packed_corpus(spark, snapshot_path: str) -> DataFrame:
+    """(doc_id, n_tokens, start_off, pack_id, end_pack) across all
+    COMMITTED ingest batches — the same schema ``pack_sequences``
+    produces, consumable by the shard writer's grouping rule."""
+    dirs = _list_batch_dirs(
+        spark, f"{snapshot_path}/packs", "p_", marker_required=True
+    )
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed packed batches under {snapshot_path}"
+        )
+    return spark.read.parquet(*[f"{d}/rows" for d in dirs])
+
+
+def streaming_pack_maintenance(
+    docs_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    budget: int | None = None,
+    shuffle_seed: str | None = None,
+):
+    """Incrementally-maintained sequence packing: each micro-batch of
+    documents appends to the global token tape at the committed tape
+    end (``fold_pack_batch``) — the streaming twin of
+    ``corpus.pack_sequences``, closing the ingest loop: documents
+    stream in, the packed layout a trainer consumes grows
+    continuously, and no batch ever re-packs the accumulated corpus.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_pack_batch(
+            batch_df,
+            batch_id,
+            snapshot_path,
+            budget=budget,
+            shuffle_seed=shuffle_seed,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
