@@ -241,3 +241,47 @@ def test_streaming_pack_maintenance_matches_batch(spark, tmp_path):
         assert start == pos
         pos += n
     assert pos == sum(n for _, n in ivs)
+
+
+def test_shards_from_streaming_snapshot_match_batch_write(spark, tmp_path):
+    """The ingest-to-shards loop without a re-pack: materializing
+    shards from the streaming packed snapshot
+    (write_shards_from_packed over read_packed_corpus) produces the
+    byte-identical shard tree the batch writer builds from scratch,
+    when batches arrived in monotone doc_id order."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        write_shards_from_packed,
+        write_training_shards,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_pack_batch,
+        read_packed_corpus,
+    )
+
+    batches = [
+        [(i, " ".join(["w"] * (3 + i % 11))) for i in range(b * 10, b * 10 + 10)]
+        for b in range(3)
+    ]
+    snap = str(tmp_path / "snap")
+    for i, rows in enumerate(batches):
+        fold_pack_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i,
+            snap,
+            budget=16,
+        )
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    from_stream = str(tmp_path / "from_stream")
+    from_batch = str(tmp_path / "from_batch")
+    write_shards_from_packed(
+        all_docs, read_packed_corpus(spark, snap), from_stream,
+        packs_per_shard=4,
+    )
+    write_training_shards(
+        all_docs, from_batch, budget=16, packs_per_shard=4
+    )
+    a = sorted(map(tuple, spark.read.parquet(from_stream).collect()))
+    b = sorted(map(tuple, spark.read.parquet(from_batch).collect()))
+    assert a == b and len(a) == 30

@@ -229,14 +229,36 @@ def write_training_shards(
       above holds per seed."""
     packed = pack_sequences(
         documents, budget, bucket_span, shuffle_seed=shuffle_seed
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "start_off",
-        "pack_id",
-        F.expr(f"pack_id div {packs_per_shard}").alias("shard"),
     )
-    rows = documents.join(packed, "doc_id")
+    write_shards_from_packed(documents, packed, path, packs_per_shard)
+
+
+def write_shards_from_packed(
+    documents: DataFrame,
+    packed: DataFrame,
+    path: str,
+    packs_per_shard: int = PACKS_PER_SHARD,
+) -> None:
+    """The shard-materialization half of ``write_training_shards``, for
+    a packing layout that ALREADY exists: join the text back onto
+    ``packed`` (any relation with the ``pack_sequences`` schema — the
+    batch operator's output, or the streaming ingest snapshot from
+    ``streaming.read_packed_corpus``), group packs into shards, and
+    write the same hive-partitioned tree under the same recovery
+    contract (determinism now relative to the supplied layout). This
+    closes the streaming ingest loop without re-packing: documents
+    stream in, the tape grows incrementally, and shard materialization
+    is a join + one repartition — never a corpus re-pack."""
+    rows = documents.join(
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            "pack_id",
+            F.expr(f"pack_id div {packs_per_shard}").alias("shard"),
+        ),
+        "doc_id",
+    )
     (
         rows.repartition("shard")
         .sortWithinPartitions("start_off")
