@@ -145,7 +145,11 @@ def run_sql(spark, sf_dir: str, query: str, limit: int = 50) -> None:
 
 
 def run_prepare_corpus(
-    spark, sf_dir: str, out_dir: str, eval_mod: int = 17
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    eval_mod: int = 17,
+    shuffle_seed: str | None = None,
 ) -> dict[str, int]:
     """``prepare_corpus`` subcommand: the training-data capstone as a
     user-facing program — curate → near-dup canonical → decontaminate →
@@ -164,7 +168,9 @@ def run_prepare_corpus(
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(f"doc_id % {eval_mod} = 0")
-    audit = prepare_training_corpus(docs, ev, f"{out_dir}/shards")
+    audit = prepare_training_corpus(
+        docs, ev, f"{out_dir}/shards", shuffle_seed=shuffle_seed
+    )
     audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
     hist = {
         r["verdict"]: r["n"]
@@ -216,6 +222,12 @@ def main(argv: list[str] | None = None) -> None:
         help="prepare_corpus only: held-out decontamination probe is "
         "doc_id %% eval_mod == 0",
     )
+    p.add_argument(
+        "--shuffle-seed",
+        default=None,
+        help="prepare_corpus only: deterministic tape shuffle of the "
+        "kept corpus before packing (epoch reshuffle = new seed)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -235,7 +247,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.program == "prepare_corpus":
         # input_dir = testdata dir, output_dir = shards+audit destination
         run_prepare_corpus(
-            spark, args.input_dir, args.output_dir, args.eval_mod
+            spark,
+            args.input_dir,
+            args.output_dir,
+            args.eval_mod,
+            shuffle_seed=args.shuffle_seed,
         )
         return
     run_program(

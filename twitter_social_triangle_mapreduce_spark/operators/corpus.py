@@ -43,6 +43,7 @@ def prepare_training_corpus(
     packs_per_shard: int = 16,
     persist_audit: bool = True,
     cut_passages: bool = False,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -156,7 +157,11 @@ def prepare_training_corpus(
             )
         )
     write_training_shards(
-        kept, path, budget=budget, packs_per_shard=packs_per_shard
+        kept,
+        path,
+        budget=budget,
+        packs_per_shard=packs_per_shard,
+        shuffle_seed=shuffle_seed,
     )
     if cut_passages and persist_audit:
         # round-6 ADVICE: the span persist previously outlived the call
