@@ -286,3 +286,30 @@ def test_cluster_balanced_sample_rank_is_bucket_split(spark):
     # the bucket-offset fold joins back broadcast — its build side is
     # the k×256-row counts relation, never an exchange of the corpus
     assert "BroadcastHashJoin [cell" in plan
+
+
+def test_top_spenders_rank_is_bucket_split(spark):
+    """Constant-partition-window rule (SCALING.md): |regions| is a
+    constant of the problem, so the per-customer rank must pre-reduce
+    within (r_name, hash-bucket) — the only window over the full
+    customer roster keys on the bucket column; the region-only window
+    ranks the B·k pre-reduced candidates."""
+    from twitter_social_triangle_mapreduce_spark.registry_ext import (
+        q_top_spenders_region,
+    )
+
+    plan = (
+        q_top_spenders_region(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rn = [
+        line
+        for line in plan.splitlines()
+        if "row_number()" in line and "windowspecdefinition" in line
+    ]
+    assert len(rn) == 2, plan
+    # exactly one window keys on the bucket (the roster-sized one) and
+    # one on r_name alone (the candidate-sized one)
+    assert sum("__b" in line.split("windowspecdefinition", 1)[1] for line in rn) == 1

@@ -1255,7 +1255,20 @@ def top_spenders_per_region(
     over a pre-aggregated relation, then filter) — never a global sort.
     The fact table aggregates FIRST (shuffle on o_custkey), so the
     window input is one row per customer; dimensions broadcast. Spend
-    ties break by customer key for a deterministic ranking."""
+    ties break by customer key for a deterministic ranking.
+
+    Scale shape: there are only |regions| groups — a CONSTANT of the
+    problem — so a window partitioned by ``r_name`` alone would sort
+    one region's ENTIRE customer roster in one task (the
+    constant-partition-window rule, SCALING.md). Decomposition: a
+    bucketed PRE-REDUCTION ranks within (region, hash-bucket of the
+    customer key) — |regions|·B splittable partitions — and keeps each
+    bucket's local top-k; the true per-region top-k is necessarily
+    inside the union of per-bucket top-ks (any row it contains beats
+    ≥ itself within its own bucket), so the final per-region window
+    ranks at most B·k candidate rows per region — thousands, not the
+    roster. Exact and deterministic; the DuckDB oracle keeps the
+    single-window spec."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__spent")
     )
@@ -1273,11 +1286,22 @@ def top_spenders_per_region(
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
+    n_buckets = 64
+    local_w = Window.partitionBy("r_name", "__b").orderBy(
+        F.col("__spent").desc(), F.col("c_custkey").asc()
+    )
+    cand = (
+        dimmed.withColumn(
+            "__b", F.pmod(F.xxhash64("c_custkey"), F.lit(n_buckets))
+        )
+        .withColumn("__lrk", F.row_number().over(local_w))
+        .where(F.col("__lrk") <= k)
+    )
     w = Window.partitionBy("r_name").orderBy(
         F.col("__spent").desc(), F.col("c_custkey").asc()
     )
     return (
-        dimmed.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(
             "r_name",
