@@ -138,3 +138,74 @@ def test_spend_percentiles_two_pass_rank_uneven_ntile(spark):
     assert rows[-1]["pct_rank_e6"] == 1_000_000
     tiles = [r["decile"] for r in rows]
     assert tiles == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_top_spenders_bucket_prereduction_is_exact_under_ties(spark):
+    """The bucketed top-k pre-reduction must be invisible in the
+    result: on a fixture dense with spend TIES (the adversarial case
+    for any pre-reduction — ties straddle bucket boundaries), the
+    operator equals the naive single-window spec computed directly."""
+    import random
+
+    from pyspark.sql.window import Window
+    from twitter_social_triangle_mapreduce_spark.operators.relational import (
+        top_spenders_per_region,
+    )
+
+    rng = random.Random(11)
+    n_cust = 400
+    # few distinct totals -> massive tie groups across all buckets
+    orders = spark.createDataFrame(
+        [
+            (c, float(rng.choice([10, 20, 30])))
+            for c in range(n_cust)
+            for _ in range(rng.randint(1, 2))
+        ],
+        "o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(c, c % 7) for c in range(n_cust)],
+        "c_custkey long, c_nationkey long",
+    )
+    nation = spark.createDataFrame(
+        [(nk, nk % 3) for nk in range(7)],
+        "n_nationkey long, n_regionkey long",
+    )
+    region = spark.createDataFrame(
+        [(r, f"R{r}") for r in range(3)], "r_regionkey long, r_name string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            top_spenders_per_region(
+                orders, customer, nation, region, k=5
+            ).collect(),
+        )
+    )
+    # naive spec: one window over the joined per-customer relation
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    joined = (
+        spend.join(customer, spend.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("s").desc(), F.col("c_custkey").asc()
+    )
+    want = sorted(
+        map(
+            tuple,
+            joined.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select(
+                "r_name",
+                "c_custkey",
+                F.col("s").cast("double").alias("spent"),
+                F.col("rk").cast("long").alias("rk"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 15
