@@ -865,3 +865,58 @@ def test_cluster_balanced_sample_caps_dominant_region(spark):
         if r["keep"] == 1
     }
     assert set(kept) == again
+
+
+def test_cluster_sample_proximity_arms_select_prototypes_vs_boundary(spark):
+    """rank_by='central' must keep each cell's nearest-to-centroid
+    members and rank_by='outlying' its farthest, both exactly equal to
+    the naive single-window spec (the bucketed top-k pre-reduction is
+    invisible), with every vector labeled exactly once."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        _centroid_ranked,
+        cluster_balanced_sample,
+        codebook_df,
+    )
+
+    base = [10.0, 0.0] + [0.0] * (DIMS - 2)
+    # members at graded angles from the centroid: index i mixes in more
+    # of the second axis, so similarity decreases monotonically with i
+    vecs = [
+        [base[0], 0.4 * i] + [0.0] * (DIMS - 2) for i in range(40)
+    ]
+    emb = _emb(spark, vecs)
+    cents = codebook_df(spark, [(0, base)])
+    for arm in ("central", "outlying"):
+        out = cluster_balanced_sample(
+            emb, per_cell=10, k_cells=1, centroids=cents, rank_by=arm
+        )
+        rows = out.collect()
+        assert len(rows) == 40
+        kept = sorted(r["vec_id"] for r in rows if r["keep"] == 1)
+        want = (
+            list(range(10)) if arm == "central" else list(range(30, 40))
+        )
+        assert kept == want, (arm, kept)
+        # naive spec parity on the same session (full cosine = s/qn)
+        scored = _centroid_ranked(
+            emb, 1, centroids=cents, keep_qnorm=True
+        ).where(F.col("rn") == 1).select(
+            "vec_id",
+            F.floor(1_000_000 * F.col("s") / F.col("qn"))
+            .cast("long")
+            .alias("sim"),
+        )
+        order = (
+            F.col("sim").desc() if arm == "central" else F.col("sim").asc()
+        )
+        w = Window.orderBy(order, F.col("vec_id").asc())
+        naive = {
+            r["vec_id"]
+            for r in scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 10)
+            .collect()
+        }
+        assert set(kept) == naive, arm

@@ -279,12 +279,18 @@ def _centroid_ranked(
     embeddings: DataFrame,
     k_cells: int = IVF_CELLS,
     centroids: DataFrame | None = None,
+    keep_qnorm: bool = False,
 ) -> DataFrame:
     """(vec_id, cid, s, rn) — every vector's cosine score against each of
     the ``k_cells`` broadcast centroids, ranked per vector (1 = nearest;
     ties toward the smaller centroid id). The shared subtree of
     ``ivf_cells``, the multi-probe assignment, and the k-means trainer's
-    per-round assignment.
+    per-round assignment. ``s`` is dot/‖centroid‖ — argmax-equivalent to
+    cosine PER VECTOR (the vector's own norm is a constant within its
+    ranking) but NOT comparable across vectors; consumers that compare
+    across vectors (prototype selection) pass ``keep_qnorm=True`` for an
+    extra ``qn`` = ‖vector‖ column (a per-row expression computed before
+    the explode — the default plan is unchanged) and divide.
 
     ZERO-SHUFFLE shape (round 5): the centroids collapse to ONE
     broadcast row carrying an array of (cid, vector, norm) structs, and
@@ -349,18 +355,27 @@ def _centroid_ranked(
         f"array_sort(transform(__cents,"
         f" c -> struct({ns_in} AS ns, c.cid AS cid)))"
     )
-    return (
-        embeddings.crossJoin(F.broadcast(carr))
-        .select(
+    crossed = embeddings.crossJoin(F.broadcast(carr))
+    if keep_qnorm:
+        return crossed.select(
             "vec_id",
+            _norm("embedding").alias("qn"),
             F.posexplode(ranked_arr).alias("__pos", "__r"),
-        )
-        .select(
+        ).select(
             "vec_id",
+            "qn",
             F.col("__r.cid").alias("cid"),
             (-F.col("__r.ns")).alias("s"),
             (F.col("__pos") + 1).alias("rn"),
         )
+    return crossed.select(
+        "vec_id",
+        F.posexplode(ranked_arr).alias("__pos", "__r"),
+    ).select(
+        "vec_id",
+        F.col("__r.cid").alias("cid"),
+        (-F.col("__r.ns")).alias("s"),
+        (F.col("__pos") + 1).alias("rn"),
     )
 
 
@@ -877,6 +892,7 @@ def cluster_balanced_sample(
     per_cell: int,
     k_cells: int = IVF_CELLS,
     centroids: DataFrame | None = None,
+    rank_by: str = "hash",
 ) -> DataFrame:
     """(vec_id, cell, keep) — DIVERSITY sampling over the semantic
     space: quantize every vector to its IVF cell and keep at most
@@ -887,27 +903,97 @@ def cluster_balanced_sample(
     of the token budget any one semantic REGION may consume, so a
     corpus dominated by one topic cannot crowd out the tail
     (cluster-based data-pruning recipes select per-cluster quotas the
-    same way; the md5 rank stands in for their density scores — swap
-    the ordering column to plug one in).
+    same way). ``rank_by`` picks the selection rule:
+
+    - ``"hash"`` (default): deterministic md5(vec_id) rank — an
+      unbiased uniform draw per cell;
+    - ``"central"``: keep each cell's ``per_cell``
+      HIGHEST-centroid-similarity members (integer ``floor(1e6·s)``
+      rank, ties by vec_id — engine-portable) — prototype selection,
+      the keep-the-most-typical rule of cluster-based pruning recipes;
+    - ``"outlying"``: keep the LOWEST-similarity members —
+      hard-example / boundary selection, and the audit view of what
+      each cell holds at its edge.
 
     Scale shape: one broadcast-scored cell assignment (shared
     ``_centroid_ranked`` zero-shuffle form), then the per-cell rank
-    through the repo's TWO-PASS bucketed-rank decomposition (the same
-    shape ``pack_sequences`` uses for its global prefix sum) — a
-    window partitioned by ``cell`` ALONE would sort each cell's whole
-    membership in ONE task (k tasks for the corpus: at 1B vectors and
-    k=4 that is four 250M-row single-task sorts, and Spark cannot
-    split a window partition). Instead: (1) bucket each row by the
-    md5 prefix byte — hex-string order IS (prefix byte, remainder)
-    order, so ranks compose exactly — and row_number within
-    (cell, bucket): k×256 window partitions, each ~n/(k·256) rows;
-    (2) per-(cell, bucket) counts — a TINY k×256-row relation —
-    prefix-summed per cell and broadcast-joined back; global rank =
-    preceding-bucket count + intra rank. Nothing vec×vec, nothing
-    collected, no unsplittable partition. Deterministic and
-    SQL-expressible (the oracle keeps the single-window form — exact
-    at oracle scale), so DuckDB reproduces the kept set
-    bit-for-bit."""
+    decomposed — a window partitioned by ``cell`` ALONE would sort
+    each cell's whole membership in ONE task (k tasks for the corpus:
+    at 1B vectors and k=4 that is four 250M-row single-task sorts, and
+    Spark cannot split a window partition). The hash arm uses the
+    repo's TWO-PASS bucketed-rank shape (the ``pack_sequences``
+    decomposition): (1) row_number within (cell, md5-prefix-byte) —
+    hex-string order IS (prefix byte, remainder) order, so ranks
+    compose exactly; k×256 splittable window partitions — and (2) a
+    TINY k×256-row per-bucket count relation prefix-summed per cell
+    and broadcast-joined back (global rank = preceding-bucket count +
+    intra rank). The proximity arms rank by an arbitrary score, where
+    a prefix bucket cannot partition the order — they use the
+    bucketed TOP-K PRE-REDUCTION instead (the ``top_spenders`` shape):
+    rank within (cell, hash-bucket), keep ``per_cell`` per bucket, and
+    rank the ≤ B·per_cell survivors in the final cell-only window; the
+    true per-cell top set is necessarily inside the union of bucket
+    top sets. Nothing vec×vec, nothing collected, no unsplittable
+    partition in any arm. Deterministic and SQL-expressible (oracles
+    keep the single-window form — exact at oracle scale), so DuckDB
+    reproduces every kept set bit-for-bit."""
+    if rank_by in ("central", "outlying"):
+        ranked = _centroid_ranked(
+            embeddings, k_cells, centroids=centroids, keep_qnorm=True
+        ).where(F.col("rn") == 1)
+        # FULL cosine (s/qn): _centroid_ranked's s is dot/‖centroid‖ —
+        # argmax-correct per vector but norm-biased across vectors;
+        # dividing by the vector norm makes prototypes angle-based.
+        # Degenerate rows (zero-norm or null/NaN-scored vectors, the
+        # ±inf tail _centroid_ranked assigns them) pin to −2e6 — below
+        # any true cosine·1e6, so they rank last for "central" and
+        # first for "outlying", and the ANSI float→long cast never
+        # sees a non-finite value.
+        sim = F.when(
+            (F.col("qn") == 0)
+            | F.col("s").isNull()
+            | F.isnan("s")
+            | (F.abs("s") == float("inf")),
+            F.lit(-2_000_000),
+        ).otherwise(
+            F.floor(1_000_000 * F.col("s") / F.col("qn")).cast("long")
+        )
+        scored = ranked.select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            sim.alias("__sim"),
+        )
+        order = [
+            F.col("__sim").desc() if rank_by == "central" else F.col("__sim").asc(),
+            F.col("vec_id").asc(),
+        ]
+        n_buckets = 64
+        local_w = Window.partitionBy("cell", "__b").orderBy(*order)
+        cand = (
+            scored.withColumn(
+                "__b", F.pmod(F.xxhash64("vec_id"), F.lit(n_buckets))
+            )
+            .withColumn("__lrk", F.row_number().over(local_w))
+            .where(F.col("__lrk") <= per_cell)
+        )
+        final_w = Window.partitionBy("cell").orderBy(*order)
+        kept = (
+            cand.withColumn("__rk", F.row_number().over(final_w))
+            .where(F.col("__rk") <= per_cell)
+            .select("vec_id", F.lit(1).alias("__keep"))
+        )
+        # kept is bounded at k_cells·per_cell rows by construction —
+        # a justified forced broadcast (the windows above make its
+        # Catalyst estimate unboundable)
+        return scored.join(F.broadcast(kept), "vec_id", "left").select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("__keep"), F.lit(0)).cast("long").alias("keep"),
+        )
+    if rank_by != "hash":
+        raise ValueError(
+            f"rank_by must be hash|central|outlying, got {rank_by!r}"
+        )
     cells = ivf_cells(embeddings, k_cells, centroids=centroids).withColumn(
         "__h", F.md5(F.col("vec_id").cast("string"))
     )

@@ -857,6 +857,16 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_central_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prototype selection: keep each cell's highest-centroid-similarity
+    # members (bucketed top-k pre-reduction — no cell-only full window)
+    return similarity.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"),
+        per_cell=CLUSTER_SAMPLE_PER_CELL,
+        rank_by="central",
+    )
+
+
 def q_semantic_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the OR-banded semantic candidate rule, hash-oracled end to end
     # (the knob path, not the composite-key fast path): same-cell AND
@@ -994,6 +1004,8 @@ EXT_EXTRA_QUERIES = {
     "semantic_pairs_probed": q_semantic_pairs_probed,
     # round 6: semantic diversity sampling (per-cell quota), exact
     "cluster_balanced_sample": q_cluster_balanced_sample,
+    # round 6: prototype selection (per-cell top-sim quota), exact
+    "cluster_central_sample": q_cluster_central_sample,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1724,6 +1736,29 @@ EXT_ORACLES["cluster_balanced_sample"] = f"""
                           ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
                                    vec_id ASC) AS rn
                FROM cells)
+    SELECT vec_id, cell,
+           CAST(rn <= {CLUSTER_SAMPLE_PER_CELL} AS BIGINT) AS keep
+    FROM ranked
+"""
+
+EXT_ORACLES["cluster_central_sample"] = f"""
+    WITH {_IVF_CELLS_CTE},
+    qn AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+           FROM embeddings),
+    cw AS (SELECT c.vec_id, c.cell,
+                  CASE WHEN q.qn = 0 THEN -2000000
+                       ELSE CAST(FLOOR(1000000 * s.s / q.qn) AS BIGINT)
+                  END AS sim_e6
+           FROM cells c
+           JOIN cscored s ON s.vec_id = c.vec_id AND s.cid = c.cell
+           JOIN qn q ON q.vec_id = c.vec_id),
+    ranked AS (SELECT vec_id, cell,
+                      row_number() OVER (
+                          PARTITION BY cell
+                          ORDER BY sim_e6 DESC, vec_id ASC) AS rn
+               FROM cw)
     SELECT vec_id, cell,
            CAST(rn <= {CLUSTER_SAMPLE_PER_CELL} AS BIGINT) AS keep
     FROM ranked
