@@ -14,9 +14,11 @@ cell-only arm must show ~n/k max task records with most shuffle
 partitions empty; the bucketed arm must spread the same bytes across
 every partition. One arm per invocation (fresh JVM per measurement):
 
-  python scripts/diversity_rank_probe.py [n] cellonly|bucketed
+  python scripts/diversity_rank_probe.py [n] cellonly|bucketed|central
 
-Prints ONE JSON line; results recorded in BASELINE.md.
+Prints ONE JSON line; results recorded in BASELINE.md. The ``central``
+arm measures the proximity-ranked variant (bucketed top-k
+pre-reduction over the full-cosine score) on the same corpus.
 """
 
 from __future__ import annotations
@@ -105,11 +107,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     emb = clustered_embeddings(spark, n)
-    fn = (
-        cell_only_sample
-        if arm == "cellonly"
-        else similarity.cluster_balanced_sample
-    )
+    if arm == "cellonly":
+        fn = cell_only_sample
+    elif arm == "central":
+        def fn(e, q):
+            return similarity.cluster_balanced_sample(
+                e, q, rank_by="central"
+            )
+    else:
+        fn = similarity.cluster_balanced_sample
     t0 = time.time()
     kept = (
         fn(emb, PER_CELL)
