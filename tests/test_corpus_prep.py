@@ -608,3 +608,56 @@ def test_shard_write_shuffled_keeps_layout_invariants(spark, tmp_path):
         for r in spark.read.parquet(plain).collect()
     }
     assert assign != assign_plain
+
+
+def test_prepare_training_corpus_semantic_arm(spark, tmp_path):
+    """The semantic tier joined into the capstone: embedding-cosine
+    duplicates drop as semantic_dup, the per-cell diversity quota
+    drops as diversity_cut, docs without an embedding row pass both
+    gates, each semantic verdict agrees with its stage operator run
+    standalone, and the shard tree still holds exactly the kept
+    docs."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        prepare_training_corpus,
+    )
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        cluster_balanced_sample,
+        semantic_dedup_clusters,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ev = docs.where("doc_id % 17 = 0")
+    out = str(tmp_path / "corpus_sem")
+    audit = prepare_training_corpus(
+        docs, ev, out, embeddings=emb, diversity_per_cell=40
+    )
+    verdicts = {r["doc_id"]: r["verdict"] for r in audit.collect()}
+    assert len(verdicts) == docs.count()
+
+    kept_ids = {d for d, v in verdicts.items() if v == "kept"}
+    assert kept_ids
+    shard_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert shard_ids == kept_ids
+
+    sem = {
+        r["vec_id"]: r["is_canonical"]
+        for r in semantic_dedup_clusters(emb).collect()
+    }
+    div = {
+        r["vec_id"]: r["keep"]
+        for r in cluster_balanced_sample(emb, per_cell=40).collect()
+    }
+    n_sem = sum(1 for v in verdicts.values() if v == "semantic_dup")
+    n_div = sum(1 for v in verdicts.values() if v == "diversity_cut")
+    for d, v in verdicts.items():
+        if v == "semantic_dup":
+            assert sem[d] == 0, d
+        elif v == "diversity_cut":
+            assert sem.get(d, 1) == 1 and div[d] == 0, d
+        elif v == "kept":
+            # kept docs either lack an embedding row or pass both gates
+            assert sem.get(d, 1) == 1 and div.get(d, 1) == 1, d
+    # both semantic gates actually fired on this corpus
+    assert n_div > 0, "diversity quota never bound (weak fixture)"
+    audit.unpersist()

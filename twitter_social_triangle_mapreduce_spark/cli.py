@@ -150,6 +150,8 @@ def run_prepare_corpus(
     out_dir: str,
     eval_mod: int = 17,
     shuffle_seed: str | None = None,
+    semantic: bool = False,
+    diversity_per_cell: int | None = None,
 ) -> dict[str, int]:
     """``prepare_corpus`` subcommand: the training-data capstone as a
     user-facing program — curate → near-dup canonical → decontaminate →
@@ -168,8 +170,18 @@ def run_prepare_corpus(
 
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where(f"doc_id % {eval_mod} = 0")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        if (semantic or diversity_per_cell is not None)
+        else None
+    )
     audit = prepare_training_corpus(
-        docs, ev, f"{out_dir}/shards", shuffle_seed=shuffle_seed
+        docs,
+        ev,
+        f"{out_dir}/shards",
+        shuffle_seed=shuffle_seed,
+        embeddings=emb,
+        diversity_per_cell=diversity_per_cell,
     )
     audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
     hist = {
@@ -228,6 +240,19 @@ def main(argv: list[str] | None = None) -> None:
         help="prepare_corpus only: deterministic tape shuffle of the "
         "kept corpus before packing (epoch reshuffle = new seed)",
     )
+    p.add_argument(
+        "--semantic",
+        action="store_true",
+        help="prepare_corpus only: join the embeddings table and drop "
+        "embedding-cosine duplicates (semantic_dup)",
+    )
+    p.add_argument(
+        "--diversity-per-cell",
+        type=int,
+        default=None,
+        help="prepare_corpus only: cap each semantic cell at N kept "
+        "docs (diversity_cut; implies --semantic)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -252,6 +277,8 @@ def main(argv: list[str] | None = None) -> None:
             args.output_dir,
             args.eval_mod,
             shuffle_seed=args.shuffle_seed,
+            semantic=args.semantic,
+            diversity_per_cell=args.diversity_per_cell,
         )
         return
     run_program(

@@ -44,6 +44,8 @@ def prepare_training_corpus(
     persist_audit: bool = True,
     cut_passages: bool = False,
     shuffle_seed: str | None = None,
+    embeddings: DataFrame | None = None,
+    diversity_per_cell: int | None = None,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -64,7 +66,20 @@ def prepare_training_corpus(
        (round-5 ADVICE: a ``kept`` verdict for a doc absent from every
        shard would break audit-vs-shard reconciliation — the audit's
        ``kept`` count must equal the packed doc count exactly);
-    5. the survivors pack onto the token tape and land as
+    5. optionally the SEMANTIC tier joins in (``embeddings`` — a
+       (doc_id, embedding) relation; testdata's ``vec_id`` doubles as
+       the doc key): ``similarity.semantic_dedup_clusters`` drops
+       non-canonical members of embedding-cosine clusters
+       (``semantic_dup`` — paraphrase-level duplicates no text gate
+       sees), and ``diversity_per_cell`` caps each IVF cell's
+       contribution (``diversity_cut`` — cluster-balanced pruning, so
+       one dominant topic cannot crowd out the tail). Documents with
+       no embedding row pass both gates untouched. Like every other
+       stage, each verdict relation is computed over the FULL input
+       independently and the audit takes the FIRST drop by priority
+       (curation → near_dup → contaminated → semantic_dup →
+       diversity_cut) — the established capstone convention;
+    6. the survivors pack onto the token tape and land as
        hive-partitioned shards (``write_training_shards``).
 
     Returns the per-document audit relation (doc_id, verdict) — every
@@ -91,6 +106,11 @@ def prepare_training_corpus(
     from .dedup import near_dup_clusters
     from .text import curate_corpus
 
+    if diversity_per_cell is not None and embeddings is None:
+        raise ValueError(
+            "diversity_per_cell requires the embeddings relation"
+        )
+
     cur = curate_corpus(documents).select(
         "doc_id", F.col("reason").alias("__cur_reason")
     )
@@ -103,14 +123,48 @@ def prepare_training_corpus(
         .when(F.col("is_canonical") == 0, F.lit("near_dup"))
         .when(F.coalesce(F.col("__contam"), F.lit(0)) == 1,
               F.lit("contaminated"))
-        .otherwise(F.lit("kept"))
     )
-    audit = (
+    base = (
         documents.select("doc_id")
         .join(cur, "doc_id")
         .join(nd, "doc_id")
         .join(decon, "doc_id", "left")
-        .select("doc_id", verdict.alias("verdict"))
+    )
+    if embeddings is not None:
+        from .similarity import (
+            cluster_balanced_sample,
+            semantic_dedup_clusters,
+        )
+
+        emb = embeddings.select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ) if "vec_id" in embeddings.columns else embeddings
+        sem = semantic_dedup_clusters(
+            emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+        ).select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("is_canonical").alias("__sem_canon"),
+        )
+        base = base.join(sem, "doc_id", "left")
+        verdict = verdict.when(
+            F.coalesce(F.col("__sem_canon"), F.lit(1)) == 0,
+            F.lit("semantic_dup"),
+        )
+        if diversity_per_cell is not None:
+            div = cluster_balanced_sample(
+                emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                per_cell=diversity_per_cell,
+            ).select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("keep").alias("__div_keep"),
+            )
+            base = base.join(div, "doc_id", "left")
+            verdict = verdict.when(
+                F.coalesce(F.col("__div_keep"), F.lit(1)) == 0,
+                F.lit("diversity_cut"),
+            )
+    audit = base.select(
+        "doc_id", verdict.otherwise(F.lit("kept")).alias("verdict")
     )
     if persist_audit:
         audit = audit.persist(StorageLevel.MEMORY_AND_DISK)
