@@ -53,6 +53,7 @@ EXTENSION = [
     "doc_passage_cuts",  # round-4 flagship: substring-dedup cut lists
     "prepare_training_corpus",
     "prepare_training_corpus_cut",
+    "prepare_training_corpus_semantic",  # round 6: embeddings tier joined
 ]
 
 WARMUP_RUNS = 1
@@ -154,7 +155,7 @@ def main() -> None:
     import shutil
     import tempfile
 
-    def _capstone(spark_, sf_dir_, cut: bool):
+    def _capstone(spark_, sf_dir_, cut: bool, semantic: bool = False):
         from twitter_social_triangle_mapreduce_spark.operators.corpus import (
             prepare_training_corpus,
         )
@@ -164,9 +165,12 @@ def main() -> None:
 
         docs = load_table(spark_, sf_dir_, "documents")
         ev = docs.where("doc_id % 17 = 0")
+        emb = load_table(spark_, sf_dir_, "embeddings") if semantic else None
         out = tempfile.mkdtemp(prefix="bench_shards_")
         try:
-            return prepare_training_corpus(docs, ev, out, cut_passages=cut)
+            return prepare_training_corpus(
+                docs, ev, out, cut_passages=cut, embeddings=emb
+            )
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
@@ -176,6 +180,9 @@ def main() -> None:
     )
     ext_queries["prepare_training_corpus_cut"] = (
         lambda s, d: _capstone(s, d, True)
+    )
+    ext_queries["prepare_training_corpus_semantic"] = (
+        lambda s, d: _capstone(s, d, False, semantic=True)
     )
     per_ext: dict[str, float] = {}
     plans_ext: dict[str, str] = {}
