@@ -920,3 +920,48 @@ def test_cluster_sample_proximity_arms_select_prototypes_vs_boundary(spark):
             .collect()
         }
         assert set(kept) == naive, arm
+
+
+def test_ivf_index_at_rest_serves_pruned_parity(spark, tmp_path):
+    """The materialized IVF index (round 6): write_ivf_index lays the
+    corpus out hive-partitioned by cell next to its codebook, and
+    ann_topk_indexed serves top-k FROM DISK with the cell filter
+    derived at runtime (dynamic partition pruning on the vectors
+    scan) — results must equal the in-memory ann_topk_ivf on the same
+    corpus and stand-in codebook, at nprobe=1 and 2, and a re-written
+    index must serve the identical answer (deterministic layout)."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_indexed,
+        ann_topk_ivf,
+        write_ivf_index,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, idx)
+    qs = emb.where("vec_id < 5")
+    for nprobe in (1, 2):
+        got = ann_topk_indexed(spark, idx, qs, k=3, nprobe=nprobe)
+        rows = sorted(map(tuple, got.collect()))
+        want = sorted(
+            map(tuple, ann_topk_ivf(emb, 5, 3, nprobe).collect())
+        )
+        assert rows == want and len(rows) == 15, nprobe
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), (
+            "vectors scan not partition-pruned at nprobe=%d" % nprobe
+        )
+    # overwrite recovery: re-running the writer serves identically
+    write_ivf_index(emb, idx)
+    again = sorted(
+        map(
+            tuple,
+            ann_topk_indexed(spark, idx, qs, k=3, nprobe=1).collect(),
+        )
+    )
+    assert again == sorted(
+        map(tuple, ann_topk_ivf(emb, 5, 3, 1).collect())
+    )

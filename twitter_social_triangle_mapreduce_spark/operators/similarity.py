@@ -275,6 +275,32 @@ def _sig_col(bits: int, dims: int):
 IVF_CELLS = 4
 
 
+def _centroid_struct_row(
+    embeddings: DataFrame,
+    k_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """ONE row holding the (cid, vector, norm) centroid-struct array —
+    the broadcast side every centroid-scoring consumer crosses in.
+    ``centroids`` supplies a trained codebook; omitted, the
+    deterministic first-``k_cells``-vectors stand-in applies."""
+    if centroids is not None:
+        cents = centroids.select(
+            "cid",
+            F.col("centroid").alias("ce"),
+            _norm("centroid").alias("cn"),
+        )
+    else:
+        cents = embeddings.where(F.col("vec_id") < k_cells).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            _norm("embedding").alias("cn"),
+        )
+    return cents.agg(
+        F.collect_list(F.struct("cid", "ce", "cn")).alias("__cents")
+    )
+
+
 def _centroid_ranked(
     embeddings: DataFrame,
     k_cells: int = IVF_CELLS,
@@ -308,21 +334,37 @@ def _centroid_ranked(
     ``centroids`` — an optional TRAINED (cid, centroid) relation
     (``train_ivf_centroids`` / ``refine_centroids``) replacing the
     deterministic first-``k_cells``-vectors stand-in."""
-    if centroids is not None:
-        cents = centroids.select(
-            "cid",
-            F.col("centroid").alias("ce"),
-            _norm("centroid").alias("cn"),
+    carr = _centroid_struct_row(embeddings, k_cells, centroids)
+    ranked_arr = _ranked_arr_expr()
+    crossed = embeddings.crossJoin(F.broadcast(carr))
+    if keep_qnorm:
+        return crossed.select(
+            "vec_id",
+            _norm("embedding").alias("qn"),
+            F.posexplode(ranked_arr).alias("__pos", "__r"),
+        ).select(
+            "vec_id",
+            "qn",
+            F.col("__r.cid").alias("cid"),
+            (-F.col("__r.ns")).alias("s"),
+            (F.col("__pos") + 1).alias("rn"),
         )
-    else:
-        cents = embeddings.where(F.col("vec_id") < k_cells).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            _norm("embedding").alias("cn"),
-        )
-    carr = cents.agg(
-        F.collect_list(F.struct("cid", "ce", "cn")).alias("__cents")
+    return crossed.select(
+        "vec_id",
+        F.posexplode(ranked_arr).alias("__pos", "__r"),
+    ).select(
+        "vec_id",
+        F.col("__r.cid").alias("cid"),
+        (-F.col("__r.ns")).alias("s"),
+        (F.col("__pos") + 1).alias("rn"),
     )
+
+
+def _ranked_arr_expr():
+    """The row-local sorted (ns, cid) centroid array — the shared
+    scoring expression of ``_centroid_ranked`` and the payload-carrying
+    index assignment. References the current row's ``embedding`` and
+    the crossed-in ``__cents`` struct array."""
     dot_in = (
         "aggregate(zip_with(embedding, c.ce,"
         " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
@@ -351,31 +393,9 @@ def _centroid_ranked(
         f" CAST('Infinity' AS DOUBLE)), CAST('-Infinity' AS DOUBLE))"
         f" END"
     )
-    ranked_arr = F.expr(
+    return F.expr(
         f"array_sort(transform(__cents,"
         f" c -> struct({ns_in} AS ns, c.cid AS cid)))"
-    )
-    crossed = embeddings.crossJoin(F.broadcast(carr))
-    if keep_qnorm:
-        return crossed.select(
-            "vec_id",
-            _norm("embedding").alias("qn"),
-            F.posexplode(ranked_arr).alias("__pos", "__r"),
-        ).select(
-            "vec_id",
-            "qn",
-            F.col("__r.cid").alias("cid"),
-            (-F.col("__r.ns")).alias("s"),
-            (F.col("__pos") + 1).alias("rn"),
-        )
-    return crossed.select(
-        "vec_id",
-        F.posexplode(ranked_arr).alias("__pos", "__r"),
-    ).select(
-        "vec_id",
-        F.col("__r.cid").alias("cid"),
-        (-F.col("__r.ns")).alias("s"),
-        (F.col("__pos") + 1).alias("rn"),
     )
 
 
@@ -1391,6 +1411,130 @@ def load_codebook(spark, path: str) -> DataFrame:
         for r in spark.read.parquet(path).collect()
     )
     return codebook_df(spark, rows)
+
+
+def ivf_assign_with_payload(
+    embeddings: DataFrame,
+    k_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, embedding, cell) — the ``ivf_cells`` assignment CARRYING
+    the embedding payload, computed with NO self-join: the nearest cell
+    is element 1 of the same row-local sorted centroid array
+    (``element_at`` instead of the explode+rank-filter, so the payload
+    never has to be joined back on vec_id — at index-build scale that
+    join would re-shuffle the corpus WITH its vector payloads)."""
+    carr = _centroid_struct_row(embeddings, k_cells, centroids)
+    return embeddings.crossJoin(F.broadcast(carr)).select(
+        "vec_id",
+        "embedding",
+        F.element_at(_ranked_arr_expr(), 1)["cid"].alias("cell"),
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k_cells: int = IVF_CELLS,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index AT REST: ``<path>/vectors`` is the
+    corpus hive-partitioned by cell (``cell=K/``) and
+    ``<path>/codebook`` the (cid, centroid) table that produced the
+    assignment — the serving layout where a query touches only its
+    probed cells' files. The codebook is persisted WITH the vectors
+    because the two are one artifact: re-quantizing against a different
+    codebook silently mis-routes every probe (``ann_topk_indexed``
+    always loads the stored codebook, so index and probes cannot
+    drift). One repartition by cell beyond the scan; same determinism /
+    commit-protocol / overwrite-recovery contract as the shard
+    writer."""
+    spark = embeddings.sparkSession
+    if centroids is not None:
+        rows = sorted(
+            (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
+            for r in centroids.collect()
+        )
+    else:
+        rows = sorted(
+            (int(r["vec_id"]), tuple(float(x) for x in r["embedding"]))
+            for r in embeddings.where(
+                F.col("vec_id") < k_cells
+            ).collect()
+        )
+    save_codebook(spark, rows, f"{path}/codebook")
+    (
+        ivf_assign_with_payload(
+            embeddings, k_cells, centroids=codebook_df(spark, rows)
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ann_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — ANN top-k served FROM the
+    materialized index: probe cells come from ranking the (small) query
+    set against the STORED codebook, and the scan of
+    ``<index_path>/vectors`` prunes to the probed cells' partitions —
+    Spark's dynamic partition pruning derives the cell filter from the
+    broadcast query side at runtime, so query cost is proportional to
+    nprobe inverted lists ON DISK, not the corpus (the plan-shape test
+    pins the dynamicpruning filter on the scan). Scoring, tie-breaks,
+    and the self-exclusion mirror ``ann_topk_ivf`` exactly — the only
+    difference is WHERE the corpus side comes from."""
+    cents = load_codebook(spark, f"{index_path}/codebook")
+    probes = (
+        _centroid_ranked(
+            queries.select("vec_id", "embedding"), centroids=cents
+        )
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
+    )
+    q = (
+        queries.select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+        )
+        .join(probes, "qid")
+        .select("qid", "qe", "qn", "qcell")
+    )
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    c = vecs.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("ce"),
+        _norm("embedding").alias("cn"),
+        F.col("cell").alias("ccell"),
+    )
+    dot = _dot("qe", "ce")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("nid")),
+    ).select(
+        "qid", "nid", (dot / (F.col("qn") * F.col("cn"))).alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
+        )
+    )
 
 
 #: per-round oversampling multiple for k-means|| seeding: each round
