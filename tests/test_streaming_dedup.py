@@ -285,3 +285,110 @@ def test_shards_from_streaming_snapshot_match_batch_write(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(from_stream).collect()))
     b = sorted(map(tuple, spark.read.parquet(from_batch).collect()))
     assert a == b and len(a) == 30
+
+
+def test_streaming_ann_index_matches_batch_index(spark, tmp_path):
+    """Three embedding micro-batches fold into the at-rest ANN index
+    through the real readStream path; snapshot serving must equal the
+    batch write_ivf_index over the union (same pinned codebook),
+    replay must be a no-op, and a batch whose marker never committed
+    must be invisible to serving."""
+    import json
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_indexed,
+        codebook_df,
+        write_ivf_index,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        fold_ann_index_batch,
+        streaming_ann_index_maintenance,
+    )
+
+    dims = 8
+    rng_vecs = [
+        [float((17 * i + 3 * d) % 11 - 5) for d in range(dims)]
+        for i in range(60)
+    ]
+    batches = [list(enumerate(rng_vecs))[b * 20:(b + 1) * 20] for b in range(3)]
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(4)]
+
+    stream_dir = tmp_path / "embstream"
+    stream_dir.mkdir()
+    for i, rows in enumerate(batches):
+        p = stream_dir / f"b{i}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": v, "embedding": e}) for v, e in rows
+            )
+        )
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(stream_dir))
+    )
+    snap = str(tmp_path / "annsnap")
+    q = streaming_ann_index_maintenance(
+        stream,
+        snap,
+        str(tmp_path / "annckpt"),
+        centroids=codebook_df(spark, cents),
+    )
+    q.awaitTermination(timeout=120)
+
+    all_emb = spark.createDataFrame(
+        [r for b in batches for r in b], "vec_id long, embedding array<float>"
+    )
+    queries = all_emb.where("vec_id < 3")
+    got = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, queries, k=3, nprobe=1).collect(),
+        )
+    )
+    batch_idx = str(tmp_path / "batchidx")
+    write_ivf_index(
+        all_emb, batch_idx, centroids=codebook_df(spark, cents)
+    )
+    want = sorted(
+        map(
+            tuple,
+            ann_topk_indexed(
+                spark, batch_idx, queries, k=3, nprobe=1
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 9
+
+    # replay of a committed batch id is a no-op
+    fold_ann_index_batch(all_emb, 1, snap)
+    assert sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, queries, k=3, nprobe=1).collect(),
+        )
+    ) == got
+
+    # a batch whose marker never committed is invisible to serving
+    import glob
+
+    fold_ann_index_batch(
+        spark.createDataFrame(
+            [(999, [100.0] * dims)], "vec_id long, embedding array<float>"
+        ),
+        99,
+        snap,
+    )
+    marker = glob.glob(f"{snap}/markers/b_*99_APPLIED")
+    assert marker, "fold 99 did not commit"
+    os.remove(marker[0])
+    rolled_back = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, queries, k=3, nprobe=1).collect(),
+        )
+    )
+    assert rolled_back == got  # uncommitted partitions pruned out

@@ -1492,9 +1492,26 @@ def ann_topk_indexed(
     and the self-exclusion mirror ``ann_topk_ivf`` exactly — the only
     difference is WHERE the corpus side comes from."""
     cents = load_codebook(spark, f"{index_path}/codebook")
+    vecs = spark.read.parquet(f"{index_path}/vectors")
+    return ann_topk_over_cells(vecs, queries, cents, k=k, nprobe=nprobe)
+
+
+def ann_topk_over_cells(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """The serving tail shared by the batch index and the streaming
+    snapshot: ``vectors`` is any (vec_id, embedding, cell) relation
+    (a cell-partitioned scan — the cell equi-join below is what the
+    partition pruning latches onto), ``centroids`` the codebook that
+    produced its assignment. Scoring, tie-breaks and self-exclusion
+    mirror ``ann_topk_ivf`` exactly."""
     probes = (
         _centroid_ranked(
-            queries.select("vec_id", "embedding"), centroids=cents
+            queries.select("vec_id", "embedding"), centroids=centroids
         )
         .where(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
@@ -1508,8 +1525,7 @@ def ann_topk_indexed(
         .join(probes, "qid")
         .select("qid", "qe", "qn", "qcell")
     )
-    vecs = spark.read.parquet(f"{index_path}/vectors")
-    c = vecs.select(
+    c = vectors.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("ce"),
         _norm("embedding").alias("cn"),

@@ -1007,6 +1007,147 @@ def streaming_pack_maintenance(
     )
 
 
+def fold_ann_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    k_cells: int | None = None,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Fold one micro-batch of embeddings into the at-rest ANN index:
+    quantize against the snapshot's PINNED codebook (written on the
+    first fold — from ``centroids`` if supplied, else the batch's
+    first-``k_cells``-vectors stand-in; every later fold LOADS the
+    stored one, so appends can never mis-route against a drifted
+    quantizer) and write the batch's vectors hive-partitioned as
+    ``vectors/batch=<id>/cell=K/``. Retry safety comes from dynamic
+    partition overwrite (a replayed write replaces exactly its own
+    ``batch=<id>`` partitions, never appends duplicates) plus the
+    shared marker contract: readers only see batches whose marker
+    committed. ``batch`` and ``cell`` are both partition columns, so
+    the serving scan prunes uncommitted batches STATICALLY and probed
+    cells dynamically."""
+    from ..operators.similarity import (
+        IVF_CELLS,
+        ivf_assign_with_payload,
+        load_codebook,
+        save_codebook,
+    )
+
+    k_cells = IVF_CELLS if k_cells is None else k_cells
+    spark = batch_df.sparkSession
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{snapshot_path}/markers/b_{batch_id:020d}{ROLLUP_APPLIED_MARKER}"
+    )
+    if fs.exists(marker):
+        return  # replayed batch: already folded and committed
+    cb_path = f"{snapshot_path}/codebook"
+    cb_marker = jvm.org.apache.hadoop.fs.Path(
+        f"{snapshot_path}/markers/codebook{ROLLUP_APPLIED_MARKER}"
+    )
+    if not fs.exists(cb_marker):
+        if centroids is not None:
+            rows = sorted(
+                (int(r["cid"]), tuple(float(x) for x in r["centroid"]))
+                for r in centroids.collect()
+            )
+        else:
+            rows = sorted(
+                (int(r["vec_id"]), tuple(float(x) for x in r["embedding"]))
+                for r in batch_df.where(
+                    F.col("vec_id") < k_cells
+                ).collect()
+            )
+        save_codebook(spark, rows, cb_path)
+        fs.create(cb_marker, True).close()
+    cents = load_codebook(spark, cb_path)
+    (
+        ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+        .withColumn("batch", F.lit(batch_id))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(f"{snapshot_path}/vectors")
+    )
+    fs.create(marker, True).close()
+
+
+def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if name.startswith("b_") and name.endswith(ROLLUP_APPLIED_MARKER):
+            out.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
+    return sorted(out)
+
+
+def ann_topk_snapshot(
+    spark,
+    snapshot_path: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — ANN top-k over every COMMITTED ingest
+    batch of the snapshot: the ``batch isin committed`` filter prunes
+    uncommitted/half-written batches at the partition level, the cell
+    equi-join prunes to the probed inverted lists, and scoring is the
+    shared ``ann_topk_over_cells`` tail — so snapshot serving equals
+    batch-index serving over the same vectors bit-for-bit."""
+    from ..operators.similarity import ann_topk_over_cells, load_codebook
+
+    committed = _ann_committed_batches(spark, snapshot_path)
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed ANN batches under {snapshot_path}"
+        )
+    vecs = (
+        spark.read.parquet(f"{snapshot_path}/vectors")
+        .where(F.col("batch").isin(committed))
+        .drop("batch")
+    )
+    cents = load_codebook(spark, f"{snapshot_path}/codebook")
+    return ann_topk_over_cells(vecs, queries, cents, k=k, nprobe=nprobe)
+
+
+def streaming_ann_index_maintenance(
+    emb_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    k_cells: int | None = None,
+    centroids: DataFrame | None = None,
+):
+    """Incrementally-maintained ANN index: each micro-batch of
+    embeddings quantizes against the pinned codebook and lands as its
+    own committed (batch, cell) partitions — the streaming twin of
+    ``write_ivf_index``, closing the embedding-ingest loop: vectors
+    stream in, the at-rest index grows, and serving
+    (``ann_topk_snapshot``) reads only committed batches and probed
+    cells. Returns the started StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_ann_index_batch(
+            batch_df,
+            batch_id,
+            snapshot_path,
+            k_cells=k_cells,
+            centroids=centroids,
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
