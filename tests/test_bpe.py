@@ -1,0 +1,121 @@
+"""Distributed BPE trainer (operators/bpe.py): the trained merge table
+and the encoder must match an independent pure-Python reference
+implementation of classic word-frequency BPE bit-for-bit (the same
+role the `_sig_reference` plays for LSH signatures — an oracle
+stronger than SQL for an iterative trainer), stay deterministic under
+repartitioning, and honor the greedy left-to-right application
+semantics on adversarial repeats."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from twitter_social_triangle_mapreduce_spark.operators import bpe
+from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+from conftest import SF_SMOKE
+
+
+def _ref_train(texts, n_merges):
+    """Classic BPE over the word-frequency table: max-count pair per
+    round (ties: lexicographic min), greedy left-to-right rewrite."""
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) + [bpe.EOW] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, n))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges, syms
+
+
+def _ref_encode(text, syms):
+    out = []
+    for w in text.split(" "):
+        if w:
+            out.extend(syms[w])
+    return out
+
+
+def test_trainer_matches_reference_on_testdata(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = bpe.train_bpe_merges(docs, bpe.BPE_MERGES)
+    want, _ = _ref_train(texts, bpe.BPE_MERGES)
+    assert got == want
+    assert len(got) == bpe.BPE_MERGES  # corpus large enough to fill
+
+
+def test_encoder_matches_reference_and_compresses(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+    merges, syms = _ref_train(texts, bpe.BPE_MERGES)
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    n_chars = n_tokens = 0
+    for r in rows:
+        want = _ref_encode(r["text"], syms)
+        assert enc[r["doc_id"]][1] == want, r["doc_id"]
+        assert enc[r["doc_id"]][0] == len(want)
+        n_chars += sum(len(w) + 1 for w in r["text"].split(" ") if w)
+        n_tokens += len(want)
+    # the merges actually compress relative to character tokens
+    assert n_tokens < n_chars
+
+
+def test_trainer_deterministic_under_repartition(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = bpe.train_bpe_merges(docs, 5)
+    b = bpe.train_bpe_merges(docs.repartition(13), 5)
+    assert a == b
+
+
+def test_greedy_overlap_and_merged_symbol_recombination(spark):
+    """aaa under merge (a,a) must encode [aa, a</w>] — an occurrence
+    consumed by a merge cannot start the next one — while a later
+    round CAN merge the merged symbol with its neighbor (aa + a</w>);
+    and the trainer must pick ties lexicographically."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa ab")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(docs, 3)
+    # round 0: (a,a) count 2·2=4 beats (a,b) 1 and sentinel pairs
+    assert merges[0][1:3] == ("a", "a")
+    ranks = [(m[1], m[2]) for m in merges]
+    enc = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe.bpe_encode(docs, merges[:1]).collect()
+    }
+    assert enc[1][:2] == ["aa", "a"]  # greedy left-to-right, no overlap
+    # merged symbol recombines in a later round
+    assert ("aa", f"a{bpe.EOW}") in ranks or ("aa", "a") in ranks
+
+
+def test_empty_and_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.train_bpe_merges(empty, 4) == []
+    # single-char words: pairs exist only with the sentinel
+    docs = spark.createDataFrame(
+        [(1, "a a b")], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(docs, 10)
+    texts = ["a a b"]
+    want, _ = _ref_train(texts, 10)
+    assert merges == want

@@ -1,0 +1,286 @@
+"""Distributed BPE tokenizer training — the tokenizer-fitting step of
+an LLM data pipeline, re-expressed Spark-first.
+
+The reference corpus for this engine (SURVEY.md §2) has no tokenizer
+tier; this extends the text family the same way the trained-IVF tier
+extends similarity: an ORACLE-EXACT, deterministic, eager trainer whose
+output is a small constant (the merge table) every consumer embeds.
+
+Shape — the trainer never iterates over raw documents. Like every
+production BPE trainer (subword-nmt, HuggingFace, SentencePiece), it
+first collapses the corpus to the WORD FREQUENCY table (one
+``groupBy(word)`` — vocabulary-sized, orders of magnitude smaller than
+the corpus) and runs every merge round against that: pair counts are a
+``posexplode`` of each distinct word's adjacent symbol pairs WEIGHTED
+by the word's corpus count, the argmax is a 1-row aggregate, and the
+merge applies to the word table as a row-local sequential fold
+(``F.aggregate`` — greedy left-to-right, the standard BPE application
+order). Per round: one vocabulary-scan aggregate + one vocabulary-scan
+rewrite, both partial-aggregated map-side; the corpus is touched
+exactly once, ever. The per-round word table is persisted and the
+previous one released only after materialization (the
+materialize-before-release rule the k-means trainer established —
+without it every round re-folds the whole merge history from the raw
+words).
+
+Determinism: ties on pair count break lexicographically on (left,
+right) ascending — no RNG, no partition-order dependence (counts are
+exact integer sums), so the merge table is bit-identical on any
+cluster size and against the pure-Python reference implementation in
+the tests.
+
+Scale: vocabulary at 100 TB is tens of millions of distinct words —
+the word table shuffles once at build and each round's pair aggregate
+is vocab-sized with map-side combining. The fold allocates one array
+per word per round; words are short (symbol count ≤ word length), so
+the rewrite is scan-shaped. ``n_merges`` rounds = ``n_merges``
+vocab-scans — the same rounds-times-scans contract as Lloyd
+iterations, and like there the trained artifact is k rows the
+consumers embed as literals, never a lineage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: merge rounds for the registered queries — small enough that the
+#: pytest reference unrolls instantly, large enough to exercise
+#: merged-symbol-recombines-with-neighbor rounds
+BPE_MERGES = 8
+
+#: end-of-word sentinel appended to every word's symbol sequence — the
+#: classic BPE boundary marker: merges that absorb it produce
+#: whole-word/suffix tokens and word boundaries survive decoding.
+#: Chosen outside the testdata alphabet (plain lowercase words).
+EOW = "</w>"
+
+
+def word_symbol_table(documents: DataFrame) -> DataFrame:
+    """(word, cnt, syms) — the word-frequency table with each distinct
+    word exploded into its initial symbol sequence (characters + the
+    end-of-word sentinel). One corpus pass; everything downstream is
+    vocabulary-sized."""
+    return (
+        documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "word",
+            "cnt",
+            F.expr(
+                "concat(filter(split(word, ''), x -> x <> ''),"
+                f" array('{EOW}'))"
+            ).alias("syms"),
+        )
+    )
+
+
+def pair_counts(wtab: DataFrame) -> DataFrame:
+    """(left, right, n) — corpus-weighted adjacent-symbol pair counts
+    over the word table. ``n`` sums each word's occurrence count once
+    per occurrence of the pair INSIDE the word (aab → (a,a) once and
+    (a,b) once; aaa → (a,a) twice), matching the reference
+    subword-nmt counting."""
+    return (
+        wtab.select(
+            "cnt",
+            # guard: Spark's sequence(1, 0) counts DOWN, so a
+            # single-symbol word must emit an empty pair array
+            F.explode(
+                F.expr(
+                    "if(size(syms) < 2, array(),"
+                    " transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS left,"
+                    " element_at(syms, i + 1) AS right)))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def _apply_merge_col(a: str, b: str):
+    """Column rewriting ``syms`` with every adjacent (a, b) merged
+    greedily left-to-right — the standard BPE application order: a
+    sequential fold whose accumulator is the rewritten prefix, so an
+    occurrence consumed by a merge cannot also start the next one
+    (aaa under (a,a) → [aa, a]), while a merged symbol CAN combine
+    with a later literal (the next round sees it). Built with the
+    Python ``F.aggregate`` HOF so the symbols pass as proper literals
+    (no SQL-string escaping of corpus-controlled text)."""
+    merged = a + b
+    return F.aggregate(
+        "syms",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    documents: DataFrame, n_merges: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """The trained merge table — ``[(rank, left, right, n), ...]`` in
+    merge order, each row the pair chosen at that round and its count
+    at selection time. Eager, like ``collect_codebook``: each round
+    materializes the rewritten vocabulary-sized word table, collects
+    ONE argmax row, and releases the previous round's table only after
+    the new one is materialized. Deterministic (exact integer counts,
+    lexicographic tie-break), so bit-identical on any partitioning.
+    Stops early if no pair remains (all words collapsed to single
+    symbols)."""
+    from pyspark.storagelevel import StorageLevel
+
+    wtab = word_symbol_table(documents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    wtab.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            best = (
+                pair_counts(wtab)
+                .orderBy(
+                    F.col("n").desc(),
+                    F.col("left").asc(),
+                    F.col("right").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, n = best[0]["left"], best[0]["right"], int(best[0]["n"])
+            merges.append((rank, a, b, n))
+            nxt = wtab.select(
+                "word", "cnt", _apply_merge_col(a, b).alias("syms")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize BEFORE releasing the parent
+            wtab.unpersist()
+            wtab = nxt
+    finally:
+        wtab.unpersist()
+    return merges
+
+
+def merge_table_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """The trained merge table as a lineage-free local relation
+    (rank, left, right, merged, n) — the consumable artifact, exactly
+    like ``codebook_df`` for the IVF tier."""
+    return spark.createDataFrame(
+        [(r, a, b, a + b, n) for r, a, b, n in merges],
+        "rank long, left string, right string, merged string, n long",
+    )
+
+
+def bpe_encode(
+    documents: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """(doc_id, n_tokens, tokens) — every document encoded with the
+    trained merges: split to words, each word to symbols + sentinel,
+    then the merge folds applied IN RANK ORDER (one nested HOF per
+    merge, all inside a single projection — plan depth grows with the
+    merge count, so large production vocabularies would chunk the
+    merge list or move this one step to an Arrow-batched ``mapInPandas``
+    with the same greedy semantics; at the registered
+    ``BPE_MERGES`` the whole pipeline stays in codegen). Token counts
+    against ``text_stats``' whitespace counts measure tokenizer
+    fertility."""
+    out = documents.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(split(text, ' '), w -> w <> ''),"
+            " w -> concat(filter(split(w, ''), x -> x <> ''),"
+            f" array('{EOW}')))"
+        ).alias("__words"),
+    )
+    def _word_merge_fn(a: str, b: str, merged: str):
+        # closure factory: PySpark introspects HOF lambda arity, so
+        # captured values must not appear as default parameters
+        def fn(syms):
+            return F.aggregate(
+                syms,
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        return fn
+
+    for _, a, b, _n in merges:
+        out = out.select(
+            "doc_id",
+            F.transform("__words", _word_merge_fn(a, b, a + b)).alias(
+                "__words"
+            ),
+        )
+    return out.select(
+        "doc_id",
+        F.expr("flatten(__words)").alias("tokens"),
+    ).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+    )
+
+
+def word_symbols_oracle_sql(
+    src_sql: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB twin of ``word_symbol_table`` (symbols joined to one
+    string — array hashing differs between engines; the JOINED form is
+    the comparable value)."""
+    return f"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM ({src_sql})),
+        t AS (SELECT word, COUNT(*) AS cnt FROM w
+              WHERE word <> '' GROUP BY word)
+        SELECT word, CAST(cnt AS BIGINT) AS cnt,
+               concat(array_to_string(
+                   list_filter(string_split(word, ''), x -> x <> ''),
+                   ' '), ' {EOW}') AS syms_str
+        FROM t
+    """
+
+
+def pair_counts_oracle_sql(
+    src_sql: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB twin of the FIRST-round ``pair_counts`` (over initial
+    character symbols — later rounds depend on trained merges, which
+    the pytest reference covers)."""
+    return f"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM ({src_sql})),
+        t AS (SELECT word, COUNT(*) AS cnt FROM w
+              WHERE word <> '' GROUP BY word),
+        s AS (SELECT cnt,
+                     list_append(list_filter(string_split(word, ''),
+                                             x -> x <> ''),
+                                 '{EOW}') AS syms
+              FROM t),
+        p AS (SELECT cnt,
+                     unnest(range(1, len(syms))) AS i, syms
+              FROM s)
+        SELECT syms[i] AS left, syms[i + 1] AS right,
+               CAST(SUM(cnt) AS BIGINT) AS n
+        FROM p GROUP BY syms[i], syms[i + 1]
+    """

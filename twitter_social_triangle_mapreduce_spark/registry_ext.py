@@ -857,6 +857,29 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    # initial BPE state: word-frequency table with char+sentinel
+    # symbols (joined form — array hashing is engine-specific)
+    return bpe.word_symbol_table(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "word", "cnt", F.array_join("syms", " ").alias("syms_str")
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    # round-0 corpus-weighted adjacent-pair counts (the trainer's
+    # argmax input; later rounds depend on trained merges, covered by
+    # the pure-Python reference in tests/test_bpe.py)
+    return bpe.pair_counts(
+        bpe.word_symbol_table(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_cluster_central_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prototype selection: keep each cell's highest-centroid-similarity
     # members (bucketed top-k pre-reduction — no cell-only full window)
@@ -1006,6 +1029,10 @@ EXT_EXTRA_QUERIES = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     # round 6: prototype selection (per-cell top-sim quota), exact
     "cluster_central_sample": q_cluster_central_sample,
+    # round 6: BPE trainer inputs (word table + round-0 pair counts),
+    # exact oracles; the iterative trainer itself is reference-tested
+    "bpe_word_symbols": q_bpe_word_symbols,
+    "bpe_pair_counts": q_bpe_pair_counts,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
@@ -1740,6 +1767,17 @@ EXT_ORACLES["cluster_balanced_sample"] = f"""
            CAST(rn <= {CLUSTER_SAMPLE_PER_CELL} AS BIGINT) AS keep
     FROM ranked
 """
+
+def _bpe_oracles() -> dict[str, str]:
+    from .operators import bpe
+
+    return {
+        "bpe_word_symbols": bpe.word_symbols_oracle_sql(),
+        "bpe_pair_counts": bpe.pair_counts_oracle_sql(),
+    }
+
+
+EXT_ORACLES.update(_bpe_oracles())
 
 EXT_ORACLES["cluster_central_sample"] = f"""
     WITH {_IVF_CELLS_CTE},
