@@ -119,3 +119,27 @@ def test_empty_and_degenerate_inputs(spark):
     texts = ["a a b"]
     want, _ = _ref_train(texts, 10)
     assert merges == want
+
+
+def test_pandas_encoding_arm_equals_sql_arm(spark):
+    """The Arrow-batched large-vocabulary encoder must produce the
+    byte-identical encoding of the nested-fold SQL arm on testdata."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = bpe.train_bpe_merges(docs, bpe.BPE_MERGES)
+    sql_arm = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    pd_arm = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in bpe.bpe_encode_pandas(docs, merges).collect()
+    }
+    assert {k: (n, list(t)) for k, (n, t) in sql_arm.items()} == pd_arm
+
+
+def test_merge_table_roundtrips_parquet(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = bpe.train_bpe_merges(docs, 5)
+    p = str(tmp_path / "merges")
+    bpe.save_merges(spark, merges, p)
+    assert bpe.load_merges(spark, p) == merges

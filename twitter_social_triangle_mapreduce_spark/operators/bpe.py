@@ -242,6 +242,89 @@ def bpe_encode(
     )
 
 
+def save_merges(
+    spark, merges: list[tuple[int, str, str, int]], path: str
+) -> None:
+    """Persist a trained merge table as one-file parquet — the
+    cross-session publication contract shared with ``save_codebook``:
+    train once per corpus snapshot, publish next to the manifest,
+    encode everywhere."""
+    merge_table_df(spark, merges).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[int, str, str, int]]:
+    """Load a ``save_merges`` table back into the plain rank-ordered
+    list the trainer produces (strings round-trip parquet exactly, so
+    a saved/loaded table encodes identically)."""
+    return [
+        (int(r["rank"]), r["left"], r["right"], int(r["n"]))
+        for r in sorted(
+            spark.read.parquet(path).collect(),
+            key=lambda r: int(r["rank"]),
+        )
+    ]
+
+
+def bpe_encode_pandas(
+    documents: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """The large-vocabulary encoding arm: same (doc_id, n_tokens,
+    tokens) contract as ``bpe_encode``, but the merge loop runs in an
+    Arrow-batched ``mapInPandas`` — one Python pass per DOCUMENT
+    instead of one plan operator per MERGE, so a 30k-merge production
+    vocabulary costs plan-depth 1 (the SQL arm's nested folds grow
+    linearly and are the right choice only for small merge lists).
+    Greedy semantics identical by construction; equivalence against
+    the SQL arm is pinned in tests. Self-contained closure (worker
+    pickling)."""
+    rank_of = {(a, b): i for i, (_, a, b, _n) in enumerate(merges)}
+    joined = {(a, b): a + b for _, a, b, _n in merges}
+    eow = EOW
+
+    def encode_word(word: str) -> list[str]:
+        syms = [c for c in word] + [eow]
+        # apply merges in RANK order, each greedily left-to-right —
+        # identical to the SQL arm's sequential folds
+        for (a, b), m in sorted(
+            joined.items(), key=lambda kv: rank_of[kv[0]]
+        ):
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks = [
+                [
+                    t
+                    for w in text.split(" ")
+                    if w != ""
+                    for t in encode_word(w)
+                ]
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_tokens long, tokens array<string>"
+    )
+
+
 def word_symbols_oracle_sql(
     src_sql: str = "SELECT * FROM documents",
 ) -> str:
