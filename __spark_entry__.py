@@ -11,10 +11,12 @@ this module is the thin registry adapter. ``queries()`` exposes EXACTLY
 51st registered query was silently dropped). Lower-marginal-signal
 queries (``sessionize_native``; since round 4 also ``ivf_cells`` and
 ``ann_topk_ivf2``, rotated out for the passage-dedup and semantic-dedup
-flagships; since round 6 also ``media_resize``, rotated out for
-``ivf_cells_trained`` so the trained-codebook assignment is
-driver-hash-checked end to end) stay fully hash-oracled in the pytest
-tier (``registry.all_queries(include_extra=True)``).
+flagships; since round 6 also ``media_resize`` rotated out for
+``ivf_cells_trained`` — the trained-codebook assignment
+driver-hash-checked end to end — and ``value_histogram`` rotated out
+for ``bpe_pair_counts``, driver-gating the tokenizer-training tier)
+stay fully hash-oracled in the pytest tier
+(``registry.all_queries(include_extra=True)``).
 """
 
 from __future__ import annotations

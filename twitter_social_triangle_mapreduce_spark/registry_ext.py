@@ -273,6 +273,29 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.value_percentiles(load_table(spark, sf_dir, "events"))
 
 
+def q_bpe_word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    # initial BPE state: word-frequency table with char+sentinel
+    # symbols (joined form — array hashing is engine-specific)
+    return bpe.word_symbol_table(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        "word", "cnt", F.array_join("syms", " ").alias("syms_str")
+    )
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    # round-0 corpus-weighted adjacent-pair counts (the trainer's
+    # argmax input; later rounds depend on trained merges, covered by
+    # the pure-Python reference in tests/test_bpe.py)
+    return bpe.pair_counts(
+        bpe.word_symbol_table(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.value_histogram(load_table(spark, sf_dir, "events"))
 
@@ -408,7 +431,12 @@ EXT_QUERIES = {
     "events_json_kpi": q_events_json_kpi,
     "sessionize": q_sessionize,
     "value_percentiles": q_value_percentiles,
-    "value_histogram": q_value_histogram,
+    # round 6: value_histogram rotated to the pytest tier (the plain
+    # floor-div groupBy is the 50's lowest-signal row — percentiles
+    # and the quality-gate histogram cover the shape) in favor of
+    # bpe_pair_counts, so the tokenizer-training tier is
+    # driver-hash-gated end to end
+    "bpe_pair_counts": q_bpe_pair_counts,
     "user_value_trend": q_user_value_trend,  # exact-decimal regression
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -857,29 +885,6 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_word_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import bpe
-
-    # initial BPE state: word-frequency table with char+sentinel
-    # symbols (joined form — array hashing is engine-specific)
-    return bpe.word_symbol_table(
-        load_table(spark, sf_dir, "documents")
-    ).select(
-        "word", "cnt", F.array_join("syms", " ").alias("syms_str")
-    )
-
-
-def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import bpe
-
-    # round-0 corpus-weighted adjacent-pair counts (the trainer's
-    # argmax input; later rounds depend on trained merges, covered by
-    # the pure-Python reference in tests/test_bpe.py)
-    return bpe.pair_counts(
-        bpe.word_symbol_table(load_table(spark, sf_dir, "documents"))
-    )
-
-
 def q_cluster_central_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prototype selection: keep each cell's highest-centroid-similarity
     # members (bucketed top-k pre-reduction — no cell-only full window)
@@ -1029,10 +1034,11 @@ EXT_EXTRA_QUERIES = {
     "cluster_balanced_sample": q_cluster_balanced_sample,
     # round 6: prototype selection (per-cell top-sim quota), exact
     "cluster_central_sample": q_cluster_central_sample,
-    # round 6: BPE trainer inputs (word table + round-0 pair counts),
+    # round 6: BPE word table (round-0 pair counts are driver-50),
     # exact oracles; the iterative trainer itself is reference-tested
     "bpe_word_symbols": q_bpe_word_symbols,
-    "bpe_pair_counts": q_bpe_pair_counts,
+    # rotated out of the driver 50 for bpe_pair_counts (round 6)
+    "value_histogram": q_value_histogram,
     # passage-level span applier (cut lists are driver-registered)
     "doc_passage_dedup": q_doc_passage_dedup,
     # daily-ingest passage screen vs the materialized window index;
