@@ -965,3 +965,126 @@ def test_ivf_index_at_rest_serves_pruned_parity(spark, tmp_path):
     assert again == sorted(
         map(tuple, ann_topk_ivf(emb, 5, 3, 1).collect())
     )
+
+
+def test_quantized_ivf_index_serves_int_exact_results(spark, tmp_path):
+    """quantize=True: the index stores TINYINT vectors + the pinned
+    scale; serving must equal an independent in-test formulation of
+    the same spec (quantize queries on the stored scale, exact-int64
+    cosine within probed cells — computed here via posexplode+sum
+    instead of the engine's HOF folds), the scan must still
+    partition-prune, and the quantized vectors dir must be smaller on
+    disk than the float one."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_indexed,
+        write_ivf_index,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fidx = str(tmp_path / "fidx")
+    qidx = str(tmp_path / "qidx")
+    write_ivf_index(emb, fidx)
+    write_ivf_index(emb, qidx, quantize=True)
+
+    def tree_size(p):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    assert tree_size(f"{qidx}/vectors") < tree_size(f"{fidx}/vectors")
+
+    qs = emb.where("vec_id < 5")
+    got = ann_topk_indexed(spark, qidx, qs, k=3, nprobe=1)
+    plan_rows = sorted(map(tuple, got.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    # independent formulation: posexplode + groupBy sums, same spec
+    scale = spark.read.parquet(f"{qidx}/scale").collect()[0]["scale"]
+    vecs = spark.read.parquet(f"{qidx}/vectors")
+    quant = (
+        f"transform(embedding, x -> CAST(least(greatest("
+        f"floor(CAST(x AS DOUBLE) / {scale!r} * 127 + 0.5),"
+        f" -127), 127) AS BIGINT))"
+    )
+    # cells of the queries via the float codebook (nprobe=1)
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ivf_cells,
+        load_codebook,
+    )
+
+    cents = load_codebook(spark, f"{qidx}/codebook")
+    qcells = ivf_cells(qs, centroids=cents).select(
+        F.col("vec_id").alias("qid"), F.col("cell").alias("qcell")
+    )
+    qq = qs.select(
+        F.col("vec_id").alias("qid"), F.expr(quant).alias("qe")
+    ).join(qcells, "qid")
+    pairs = qq.join(
+        vecs.select(
+            F.col("vec_id").alias("nid"),
+            F.expr("transform(qemb, x -> CAST(x AS BIGINT))").alias("ce"),
+            F.col("cell").alias("qcell"),
+        ),
+        "qcell",
+    ).where(F.col("qid") != F.col("nid"))
+    terms = pairs.select(
+        "qid",
+        "nid",
+        F.posexplode(F.expr("zip_with(qe, ce, (x, y) -> struct(x, y))")),
+    ).select(
+        "qid",
+        "nid",
+        (F.col("col.x") * F.col("col.y")).alias("xy"),
+        (F.col("col.x") * F.col("col.x")).alias("xx"),
+        (F.col("col.y") * F.col("col.y")).alias("yy"),
+    )
+    sums = terms.groupBy("qid", "nid").agg(
+        F.sum("xy").alias("dot"),
+        F.sum("xx").alias("qn2"),
+        F.sum("yy").alias("cn2"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        (
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            )
+        ).desc(),
+        F.col("nid").asc(),
+    )
+    want = sorted(
+        map(
+            tuple,
+            sums.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(
+                "qid",
+                "nid",
+                "rank",
+                F.floor(
+                    10000
+                    * F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("qn2").cast("double"))
+                        * F.sqrt(F.col("cn2").cast("double"))
+                    )
+                )
+                .cast("long")
+                .alias("sim_e4"),
+            )
+            .collect(),
+        )
+    )
+    assert plan_rows == want and len(plan_rows) == 15

@@ -1437,6 +1437,7 @@ def write_ivf_index(
     path: str,
     k_cells: int = IVF_CELLS,
     centroids: DataFrame | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index AT REST: ``<path>/vectors`` is the
     corpus hive-partitioned by cell (``cell=K/``) and
@@ -1448,7 +1449,16 @@ def write_ivf_index(
     always loads the stored codebook, so index and probes cannot
     drift). One repartition by cell beyond the scan; same determinism /
     commit-protocol / overwrite-recovery contract as the shard
-    writer."""
+    writer.
+
+    ``quantize=True`` stores int8-quantized vectors (``qemb`` —
+    TINYINT arrays, the compression half of the ANN scale story:
+    disk/bandwidth per candidate shrinks while the CANDIDATE SET is
+    still bounded by the cell layout) plus the corpus-wide symmetric
+    scale at ``<path>/scale`` — pinned like the codebook, because
+    queries must quantize on the SAME grid the index used. Cell
+    assignment always happens on the float vectors BEFORE
+    quantization (routing precision is free at build time)."""
     spark = embeddings.sparkSession
     if centroids is not None:
         rows = sorted(
@@ -1463,11 +1473,33 @@ def write_ivf_index(
             ).collect()
         )
     save_codebook(spark, rows, f"{path}/codebook")
-    (
-        ivf_assign_with_payload(
-            embeddings, k_cells, centroids=codebook_df(spark, rows)
+    assigned = ivf_assign_with_payload(
+        embeddings, k_cells, centroids=codebook_df(spark, rows)
+    )
+    if quantize:
+        maxabs = embeddings.agg(
+            F.max(
+                F.expr(
+                    "aggregate(transform(embedding,"
+                    " x -> abs(CAST(x AS DOUBLE))),"
+                    " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+                )
+            ).alias("__s")
         )
-        .repartition("cell")
+        maxabs.select(F.col("__s").alias("scale")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/scale")
+        assigned = assigned.crossJoin(F.broadcast(maxabs)).select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(least(greatest("
+                "floor(CAST(x AS DOUBLE) / __s * 127 + 0.5),"
+                " -127), 127) AS TINYINT))"
+            ).alias("qemb"),
+            "cell",
+        )
+    (
+        assigned.repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/vectors")
@@ -1493,7 +1525,90 @@ def ann_topk_indexed(
     difference is WHERE the corpus side comes from."""
     cents = load_codebook(spark, f"{index_path}/codebook")
     vecs = spark.read.parquet(f"{index_path}/vectors")
+    if "qemb" in vecs.columns:
+        scale = float(
+            spark.read.parquet(f"{index_path}/scale").collect()[0]["scale"]
+        )
+        return _ann_topk_quantized_over_cells(
+            vecs, queries, cents, scale, k=k, nprobe=nprobe
+        )
     return ann_topk_over_cells(vecs, queries, cents, k=k, nprobe=nprobe)
+
+
+def _ann_topk_quantized_over_cells(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    scale: float,
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Quantized-index serving: probes rank the FLOAT queries against
+    the float codebook (routing mirrors the build-time assignment);
+    scoring quantizes the queries on the STORED scale and runs the
+    exact-int64 cosine of ``ann_topk_quantized`` against the probed
+    cells' TINYINT vectors (widened to BIGINT per element — TINYINT
+    products overflow at 127² under ANSI)."""
+    probes = (
+        _centroid_ranked(
+            queries.select("vec_id", "embedding"), centroids=centroids
+        )
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("qcell"))
+    )
+    int_sq = (
+        "aggregate(transform({c}, x -> x * x),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    q = (
+        queries.select(
+            F.col("vec_id").alias("qid"),
+            F.expr(
+                "transform(embedding, x -> CAST(least(greatest("
+                f"floor(CAST(x AS DOUBLE) / {scale!r} * 127 + 0.5),"
+                " -127), 127) AS BIGINT))"
+            ).alias("qe"),
+        )
+        .withColumn("qn2", F.expr(int_sq.format(c="qe")))
+        .join(probes, "qid")
+        .select("qid", "qe", "qn2", "qcell")
+    )
+    c = vectors.select(
+        F.col("vec_id").alias("nid"),
+        F.expr("transform(qemb, x -> CAST(x AS BIGINT))").alias("ce"),
+        F.col("cell").alias("ccell"),
+    ).withColumn("cn2", F.expr(int_sq.format(c="ce")))
+    idot = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> x * y),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("nid")),
+    ).select(
+        "qid",
+        "nid",
+        (
+            idot.cast("double")
+            / (
+                F.sqrt(F.col("qn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "qid",
+            "nid",
+            "rank",
+            F.floor(10000 * F.col("sim")).cast("long").alias("sim_e4"),
+        )
+    )
 
 
 def ann_topk_over_cells(
