@@ -1004,7 +1004,11 @@ def cluster_balanced_sample(
         )
         # kept is bounded at k_cells·per_cell rows by construction —
         # a justified forced broadcast (the windows above make its
-        # Catalyst estimate unboundable)
+        # Catalyst estimate unboundable). The scored subtree appears
+        # twice in the plan (candidate chain + keep-flag base); both
+        # evaluations are scan-shaped broadcast scorings with no
+        # corpus exchange — at index scale, route consumers through
+        # the materialized index instead of re-scoring.
         return scored.join(F.broadcast(kept), "vec_id", "left").select(
             "vec_id",
             "cell",
