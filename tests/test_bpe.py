@@ -143,3 +143,42 @@ def test_merge_table_roundtrips_parquet(spark, tmp_path):
     p = str(tmp_path / "merges")
     bpe.save_merges(spark, merges, p)
     assert bpe.load_merges(spark, p) == merges
+
+
+def test_tokenized_shards_pack_by_model_tokens(spark, tmp_path):
+    """write_training_shards(bpe_merges=...): shard rows carry the
+    encoded tokens array, every doc's stored token sequence equals the
+    reference encoding, the pack budget counts MODEL tokens (start
+    offsets are the prefix sums of encoded lengths in doc_id order),
+    and the manifest stays contiguous."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+    merges, syms = _ref_train(texts, bpe.BPE_MERGES)
+
+    out = str(tmp_path / "tok_shards")
+    write_training_shards(
+        docs, out, budget=64, packs_per_shard=4, bpe_merges=merges
+    )
+    back = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(back) == {r["doc_id"] for r in rows}
+    off = 0
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        want = _ref_encode(r["text"], syms)
+        got = back[r["doc_id"]]
+        assert list(got["tokens"]) == want, r["doc_id"]
+        assert got["n_tokens"] == len(want)
+        assert got["start_off"] == off  # prefix sums of MODEL tokens
+        assert got["pack_id"] == off // 64
+        off += len(want)
+    man = sorted(map(tuple, shard_manifest(spark, out).collect()))
+    prev_end = 0
+    for _shard, _n, _tok, start, end in man:
+        assert start == prev_end
+        prev_end = end
+    assert prev_end == off

@@ -152,6 +152,7 @@ def run_prepare_corpus(
     shuffle_seed: str | None = None,
     semantic: bool = False,
     diversity_per_cell: int | None = None,
+    train_bpe: int | None = None,
 ) -> dict[str, int]:
     """``prepare_corpus`` subcommand: the training-data capstone as a
     user-facing program — curate → near-dup canonical → decontaminate →
@@ -175,6 +176,14 @@ def run_prepare_corpus(
         if (semantic or diversity_per_cell is not None)
         else None
     )
+    merges = None
+    if train_bpe is not None:
+        from .operators.bpe import save_merges, train_bpe_merges
+
+        # train the tokenizer on the input corpus, publish the table
+        # next to the shards, and pack by model-token counts
+        merges = train_bpe_merges(docs, train_bpe)
+        save_merges(spark, merges, f"{out_dir}/bpe_merges")
     audit = prepare_training_corpus(
         docs,
         ev,
@@ -182,6 +191,7 @@ def run_prepare_corpus(
         shuffle_seed=shuffle_seed,
         embeddings=emb,
         diversity_per_cell=diversity_per_cell,
+        bpe_merges=merges,
     )
     audit.write.mode("overwrite").parquet(f"{out_dir}/audit")
     hist = {
@@ -253,6 +263,14 @@ def main(argv: list[str] | None = None) -> None:
         help="prepare_corpus only: cap each semantic cell at N kept "
         "docs (diversity_cut; implies --semantic)",
     )
+    p.add_argument(
+        "--train-bpe",
+        type=int,
+        default=None,
+        help="prepare_corpus only: train N BPE merges on the corpus, "
+        "publish them next to the shards, and write TOKENIZED shards "
+        "packed by model-token counts",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -279,6 +297,7 @@ def main(argv: list[str] | None = None) -> None:
             shuffle_seed=args.shuffle_seed,
             semantic=args.semantic,
             diversity_per_cell=args.diversity_per_cell,
+            train_bpe=args.train_bpe,
         )
         return
     run_program(

@@ -46,6 +46,7 @@ def prepare_training_corpus(
     shuffle_seed: str | None = None,
     embeddings: DataFrame | None = None,
     diversity_per_cell: int | None = None,
+    bpe_merges: list | None = None,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -216,6 +217,7 @@ def prepare_training_corpus(
         budget=budget,
         packs_per_shard=packs_per_shard,
         shuffle_seed=shuffle_seed,
+        bpe_merges=bpe_merges,
     )
     if cut_passages and persist_audit:
         # round-6 ADVICE: the span persist previously outlived the call
@@ -248,6 +250,7 @@ def write_training_shards(
     packs_per_shard: int = PACKS_PER_SHARD,
     bucket_span: int = PACK_BUCKET_SPAN,
     shuffle_seed: str | None = None,
+    bpe_merges: list | None = None,
 ) -> None:
     """Materialize the packing layout as training shards: assign every
     document its pack via ``pack_sequences``, group ``packs_per_shard``
@@ -285,7 +288,31 @@ def write_training_shards(
       Epoch reshuffles (a different ``shuffle_seed``) likewise write a
       new version root: the seed changes every (shard, start_off)
       assignment by design while every determinism/recovery property
-      above holds per seed."""
+      above holds per seed.
+
+    ``bpe_merges`` (a trained merge table from
+    ``bpe.train_bpe_merges`` / ``bpe.load_merges``) switches the
+    shards to TOKENIZED form: rows carry the encoded ``tokens`` array
+    instead of raw text, and the pack budget counts MODEL tokens (the
+    quantity a trainer's sequence budget actually means) — encoding
+    runs in the Arrow-batched arm, the packing machinery is
+    count-agnostic (``n_tokens_col``), and all recovery properties
+    hold (the encoder is deterministic given the merge table)."""
+    if bpe_merges is not None:
+        from .bpe import bpe_encode_pandas
+
+        enc = bpe_encode_pandas(documents, bpe_merges)
+        packed = pack_sequences(
+            enc,
+            budget,
+            bucket_span,
+            shuffle_seed=shuffle_seed,
+            n_tokens_col="n_tokens",
+        )
+        write_shards_from_packed(
+            enc.select("doc_id", "tokens"), packed, path, packs_per_shard
+        )
+        return
     packed = pack_sequences(
         documents, budget, bucket_span, shuffle_seed=shuffle_seed
     )
@@ -624,6 +651,7 @@ def pack_sequences(
     bucket_span: int = PACK_BUCKET_SPAN,
     shuffle_seed: str | None = None,
     shuffle_prefix: int = PACK_SHUFFLE_PREFIX,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, start_off, pack_id, end_pack) — token-budget
     sequence packing: documents are concatenated in TAPE ORDER into an
@@ -634,6 +662,13 @@ def pack_sequences(
     split-and-continue packing regime; zero-token docs occupy their
     start pack). This is the deterministic, join-free packing layout a
     shard writer consumes directly.
+
+    Token counting: whitespace tokens of ``text`` by default;
+    ``n_tokens_col`` names a precomputed per-document count instead
+    (the TRAINED-tokenizer route — ``bpe_encode*`` produces one — so
+    packs hold exactly ``budget`` model tokens, which is what a
+    trainer's sequence budget means; the prefix-sum machinery is
+    count-agnostic).
 
     Tape order: ``doc_id`` ascending by default. With ``shuffle_seed``
     set, the tape order becomes ``md5(seed || ':' || doc_id)`` — a
@@ -659,17 +694,22 @@ def pack_sequences(
     scale raise ``shuffle_prefix`` so each bucket stays task-sized."""
     from pyspark.sql.window import Window
 
+    count_col = (
+        F.size(F.split("text", " ")).cast("long")
+        if n_tokens_col is None
+        else F.col(n_tokens_col).cast("long")
+    )
     if shuffle_seed is None:
         tc = documents.select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            count_col.alias("n_tokens"),
             F.expr(f"doc_id div {bucket_span}").alias("__bucket"),
         )
         order_cols = [F.col("doc_id").asc()]
     else:
         tc = documents.select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            count_col.alias("n_tokens"),
             F.md5(
                 F.concat(
                     F.lit(shuffle_seed),
