@@ -392,3 +392,45 @@ def test_streaming_ann_index_matches_batch_index(spark, tmp_path):
         )
     )
     assert rolled_back == got  # uncommitted partitions pruned out
+
+
+def test_streaming_tokenized_pack_matches_batch(spark, tmp_path):
+    """fold_pack_batch(bpe_merges=...): the streaming tape counts
+    MODEL tokens of the pinned merge table; the union of committed
+    rows must equal the batch tokenized packing over everything
+    ingested (monotone ids)."""
+    from twitter_social_triangle_mapreduce_spark.operators import bpe, corpus
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_pack_batch,
+        read_packed_corpus,
+    )
+
+    batches = [
+        [(i, "low lower " * (1 + i % 3)) for i in range(b * 8, b * 8 + 8)]
+        for b in range(3)
+    ]
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_merges(all_docs, 4)
+    snap = str(tmp_path / "toksnap")
+    for i, rows in enumerate(batches):
+        fold_pack_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i,
+            snap,
+            budget=16,
+            bpe_merges=merges,
+        )
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            corpus.pack_sequences(
+                bpe.bpe_encode_pandas(all_docs, merges),
+                budget=16,
+                n_tokens_col="n_tokens",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 24

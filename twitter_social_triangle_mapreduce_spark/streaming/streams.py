@@ -887,6 +887,7 @@ def fold_pack_batch(
     snapshot_path: str,
     budget: int | None = None,
     shuffle_seed: str | None = None,
+    bpe_merges: list | None = None,
 ) -> None:
     """Fold one micro-batch of documents into the packed-tape state:
     pack the batch with the batch operator (``corpus.pack_sequences``
@@ -932,9 +933,23 @@ def fold_pack_batch(
         if committed
         else 0
     )
-    local = pack_sequences(
-        batch_df, budget=budget, shuffle_seed=shuffle_seed
-    )
+    if bpe_merges is not None:
+        # tokenized tape: count MODEL tokens of the pinned merge table
+        # (pin it like the ANN twin pins its codebook — a retrained
+        # table would change every later batch's counts and break the
+        # tape's append-only semantics)
+        from ..operators.bpe import bpe_encode_pandas
+
+        local = pack_sequences(
+            bpe_encode_pandas(batch_df, bpe_merges),
+            budget=budget,
+            shuffle_seed=shuffle_seed,
+            n_tokens_col="n_tokens",
+        )
+    else:
+        local = pack_sequences(
+            batch_df, budget=budget, shuffle_seed=shuffle_seed
+        )
     shifted = local.select(
         "doc_id",
         "n_tokens",
@@ -980,6 +995,7 @@ def streaming_pack_maintenance(
     checkpoint_path: str,
     budget: int | None = None,
     shuffle_seed: str | None = None,
+    bpe_merges: list | None = None,
 ):
     """Incrementally-maintained sequence packing: each micro-batch of
     documents appends to the global token tape at the committed tape
@@ -997,6 +1013,7 @@ def streaming_pack_maintenance(
             snapshot_path,
             budget=budget,
             shuffle_seed=shuffle_seed,
+            bpe_merges=bpe_merges,
         )
 
     return (
