@@ -434,3 +434,67 @@ def test_streaming_tokenized_pack_matches_batch(spark, tmp_path):
         )
     )
     assert got == want and len(got) == 24
+
+
+def test_ann_index_refold_after_lost_marker_recommits(spark, tmp_path):
+    """Crash recovery: a fold whose marker never landed (crash between
+    the partition write and the marker create) must be fully repaired
+    by its replay — dynamic partition overwrite replaces exactly that
+    batch's partitions and the marker commit makes it visible, with
+    the other batches untouched."""
+    import glob
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        fold_ann_index_batch,
+    )
+
+    dims = 8
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)]
+    b0 = [(i, [float(i % 5), 1.0] + [0.0] * (dims - 2)) for i in range(10)]
+    b1 = [(i, [1.0, float(i % 7)] + [0.0] * (dims - 2)) for i in range(10, 20)]
+    snap = str(tmp_path / "resnap")
+    for i, rows in enumerate((b0, b1)):
+        fold_ann_index_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            i,
+            snap,
+            centroids=codebook_df(spark, cents),
+        )
+    qs = spark.createDataFrame(b0[:2], "vec_id long, embedding array<float>")
+    full = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect(),
+        )
+    )
+    # lose batch 1's marker (the crash window), then replay the fold
+    marker = glob.glob(f"{snap}/markers/b_*1_APPLIED")
+    assert marker
+    os.remove(marker[0])
+    partial = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect(),
+        )
+    )
+    assert partial != full  # batch 1 invisible while uncommitted
+    fold_ann_index_batch(
+        spark.createDataFrame(b1, "vec_id long, embedding array<float>"),
+        1,
+        snap,
+        centroids=codebook_df(spark, cents),
+    )
+    repaired = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect(),
+        )
+    )
+    assert repaired == full
