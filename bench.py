@@ -66,30 +66,66 @@ def run_once(df) -> float:
     return time.perf_counter() - t0
 
 
-def shuffle_totals(spark) -> tuple[int, int]:
-    """(write_bytes, read_bytes) summed over all completed stages, from
-    the local UI REST API (the bench session enables the UI for exactly
-    this — wall-time alone is the weakest proxy for the capstone's
-    100 TB failure mode, a reintroduced corpus-sized replan). Callers
-    diff two snapshots around runs to attribute bytes to one query."""
-    import urllib.request
+class ShuffleAccounting:
+    """Monotone shuffle-byte accumulator over the UI REST API.
 
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return (0, 0)
-    try:
-        with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
-            app_id = json.load(r)[0]["id"]
-        with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
-        ) as r:
-            stages = json.load(r)
-    except Exception:
-        return (0, 0)
-    return (
-        sum(s["shuffleWriteBytes"] for s in stages),
-        sum(s["shuffleReadBytes"] for s in stages),
+    The r6 bug: summing the UI's *retained* completed-stage list and
+    diffing two sums goes NEGATIVE once the UI evicts old stages between
+    the snapshots (``spark.ui.retainedStages`` bounds the list), which
+    corrupted every late extension arm's byte record. Fix: key every
+    stage ever observed by (stageId, attemptId) in a driver-side dict —
+    completed-stage metrics are final, so the per-key value never
+    changes and the dict total is monotone non-decreasing regardless of
+    UI eviction. The bench session also raises ``retainedStages`` far
+    above any run's stage count so a stage cannot complete AND evict
+    between two adjacent snapshots (belt and braces: the accumulator
+    alone already cannot go negative, only undercount in that window)."""
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._seen: dict[tuple[int, int], tuple[int, int]] = {}
+
+    def snapshot(self) -> tuple[int, int]:
+        """(write_bytes, read_bytes) accumulated over every completed
+        stage observed so far — wall-time alone is the weakest proxy
+        for the capstone's 100 TB failure mode (a reintroduced
+        corpus-sized replan). Callers diff two snapshots around runs to
+        attribute bytes to one query."""
+        import urllib.request
+
+        base = self._spark.sparkContext.uiWebUrl
+        if base:
+            try:
+                with urllib.request.urlopen(
+                    f"{base}/api/v1/applications"
+                ) as r:
+                    app_id = json.load(r)[0]["id"]
+                with urllib.request.urlopen(
+                    f"{base}/api/v1/applications/{app_id}"
+                    "/stages?status=complete"
+                ) as r:
+                    stages = json.load(r)
+            except Exception:
+                stages = []
+            for s in stages:
+                self._seen[(s["stageId"], s["attemptId"])] = (
+                    s["shuffleWriteBytes"],
+                    s["shuffleReadBytes"],
+                )
+        return (
+            sum(v[0] for v in self._seen.values()),
+            sum(v[1] for v in self._seen.values()),
+        )
+
+
+def _nonneg(mb: float, section: str, name: str, field: str) -> float:
+    """Assert-non-negative gate on every recorded byte field (the bench
+    must crash, not record, if the accounting ever regresses)."""
+    assert mb >= 0, (
+        f"negative shuffle bytes recorded: {section}[{name}].{field} ="
+        f" {mb} MB — the accumulator is supposed to make this impossible"
     )
+    return mb
 
 
 def plan_digest(df) -> str:
@@ -122,9 +158,14 @@ def main() -> None:
             # (REST stage metrics). Listener overhead at these sizes is
             # noise-level — verified against the UI-off totals.
             "spark.ui.enabled": "true",
+            # far above any bench run's stage count, so a stage cannot
+            # complete and evict between two ShuffleAccounting snapshots
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    acct = ShuffleAccounting(spark)
 
     queries = registry.all_queries()
     per_query: dict[str, float] = {}
@@ -135,17 +176,23 @@ def main() -> None:
         plans[name] = plan_digest(fn(spark, sf_dir))
         for _ in range(WARMUP_RUNS):
             run_once(fn(spark, sf_dir))
-        w0, r0 = shuffle_totals(spark)
+        w0, r0 = acct.snapshot()
         times = [run_once(fn(spark, sf_dir)) for _ in range(TIMED_RUNS)]
-        w1, r1 = shuffle_totals(spark)
+        w1, r1 = acct.snapshot()
         per_query[name] = round(statistics.median(times), 4)
         # round 5 (verdict item 7): shuffle BYTES as the headline gate —
         # wall-clock on a contended machine swings ±50% at identical
         # plans, bytes are run-to-run byte-identical; per-run delta over
         # the timed runs, same accounting as shuffle_ext
         shuffle_headline[name] = {
-            "write_mb": round((w1 - w0) / TIMED_RUNS / 1e6, 3),
-            "read_mb": round((r1 - r0) / TIMED_RUNS / 1e6, 3),
+            "write_mb": _nonneg(
+                round((w1 - w0) / TIMED_RUNS / 1e6, 3),
+                "headline", name, "write_mb",
+            ),
+            "read_mb": _nonneg(
+                round((r1 - r0) / TIMED_RUNS / 1e6, 3),
+                "headline", name, "read_mb",
+            ),
         }
 
     total = round(sum(per_query.values()), 4)
@@ -198,14 +245,20 @@ def main() -> None:
 
         for _ in range(WARMUP_RUNS):
             run_full()
-        w0, r0 = shuffle_totals(spark)
+        w0, r0 = acct.snapshot()
         times = [run_full() for _ in range(TIMED_RUNS)]
-        w1, r1 = shuffle_totals(spark)
+        w1, r1 = acct.snapshot()
         per_ext[name] = round(statistics.median(times), 4)
         # per-run bytes: the delta across the timed runs / run count
         shuffle_ext[name] = {
-            "write_mb": round((w1 - w0) / TIMED_RUNS / 1e6, 1),
-            "read_mb": round((r1 - r0) / TIMED_RUNS / 1e6, 1),
+            "write_mb": _nonneg(
+                round((w1 - w0) / TIMED_RUNS / 1e6, 1),
+                "ext", name, "write_mb",
+            ),
+            "read_mb": _nonneg(
+                round((r1 - r0) / TIMED_RUNS / 1e6, 1),
+                "ext", name, "read_mb",
+            ),
         }
         # the capstone arms persist their audit (and the cut arm its
         # span relation) per call; release between entries so one arm's

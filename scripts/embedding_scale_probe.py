@@ -73,25 +73,19 @@ def clustered_embeddings(spark, n: int, members: int = MEMBERS):
     )
 
 
-def shuffle_totals(spark):
-    import urllib.request
+#: module-level monotone accumulator (bench.ShuffleAccounting) — the
+#: raw retained-stage sum this probe used pre-r7 can DECREASE when the
+#: UI evicts stages between snapshots
+_ACCT = None
 
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return (0, 0)
-    try:
-        with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
-            app_id = json.load(r)[0]["id"]
-        with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
-        ) as r:
-            stages = json.load(r)
-    except Exception:
-        return (0, 0)
-    return (
-        sum(s["shuffleWriteBytes"] for s in stages),
-        sum(s["shuffleReadBytes"] for s in stages),
-    )
+
+def shuffle_totals(spark):
+    global _ACCT
+    if _ACCT is None:
+        from bench import ShuffleAccounting
+
+        _ACCT = ShuffleAccounting(spark)
+    return _ACCT.snapshot()
 
 
 def probe(
@@ -193,6 +187,8 @@ def main() -> None:
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

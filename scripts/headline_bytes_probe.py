@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, run_once, shuffle_totals  # noqa: E402
+from bench import HEADLINE, ShuffleAccounting, run_once  # noqa: E402
 from twitter_social_triangle_mapreduce_spark import registry  # noqa: E402
 from twitter_social_triangle_mapreduce_spark.session import get_spark  # noqa: E402
 
@@ -30,9 +30,12 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    acct = ShuffleAccounting(spark)
     queries = registry.all_queries()
     per_query: dict[str, list[int]] = {}
     for name in HEADLINE:
@@ -40,9 +43,9 @@ def main() -> None:
         run_once(fn(spark, sf_dir))  # warm-up (codegen, file listing)
         runs = []
         for _ in range(2):
-            w0, _ = shuffle_totals(spark)
+            w0, _ = acct.snapshot()
             run_once(fn(spark, sf_dir))
-            w1, _ = shuffle_totals(spark)
+            w1, _ = acct.snapshot()
             runs.append(w1 - w0)
         per_query[name] = runs
     print(json.dumps({"sf_dir": sf_dir, "write_bytes": per_query}))

@@ -29,20 +29,18 @@ from twitter_social_triangle_mapreduce_spark.session import get_spark  # noqa: E
 from twitter_social_triangle_mapreduce_spark.sources.io import load_table  # noqa: E402
 
 
-def shuffle_totals(spark) -> int:
-    import urllib.request
+#: monotone accumulator (bench.ShuffleAccounting) — the raw
+#: retained-stage sum can DECREASE under UI stage eviction
+_ACCT = None
 
-    base = spark.sparkContext.uiWebUrl
-    try:
-        with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
-            app_id = json.load(r)[0]["id"]
-        with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app_id}/stages?status=complete"
-        ) as r:
-            stages = json.load(r)
-    except Exception:
-        return 0
-    return sum(s["shuffleWriteBytes"] for s in stages)
+
+def shuffle_totals(spark) -> int:
+    global _ACCT
+    if _ACCT is None:
+        from bench import ShuffleAccounting
+
+        _ACCT = ShuffleAccounting(spark)
+    return _ACCT.snapshot()[0]
 
 
 def main() -> None:

@@ -87,6 +87,87 @@ def test_trainer_deterministic_under_repartition(spark):
     assert a == b
 
 
+def test_local_and_distributed_arms_bit_identical(spark):
+    """The size-gated driver-local merge loop must produce the exact
+    merge table of the distributed per-round loop — counts included —
+    on testdata AND on an adversarial corpus that exercises overlap
+    consumption, merged-symbol recombination, and count ties."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    loc = bpe.train_bpe_merges(docs, bpe.BPE_MERGES, mode="local")
+    dist = bpe.train_bpe_merges(docs, bpe.BPE_MERGES, mode="distributed")
+    assert loc == dist
+    adversarial = spark.createDataFrame(
+        [(1, "aaa aaa ab ba ba xyxy xyxyx"), (2, "zz zz yy yy a")],
+        "doc_id long, text string",
+    )
+    loc = bpe.train_bpe_merges(adversarial, 12, mode="local")
+    dist = bpe.train_bpe_merges(adversarial, 12, mode="distributed")
+    assert loc == dist
+
+
+def test_local_arm_matches_pure_reference_and_gate_is_conf_driven(spark):
+    """The local arm's incremental pair-count maintenance must equal a
+    full per-round recount (the pure reference), and the auto gate must
+    honor spark.graft.bpe.localMaxWords (forcing the distributed arm
+    when the vocabulary exceeds it)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want, _ = _ref_train(texts, bpe.BPE_MERGES)
+    assert bpe.train_bpe_merges(docs, bpe.BPE_MERGES, mode="local") == want
+    # gate: a 0-row threshold pushes auto onto the distributed arm
+    key = bpe.LOCAL_MAX_WORDS_CONF
+    spark.conf.set(key, "0")
+    try:
+        assert bpe.train_bpe_merges(docs, 3) == want[:3]
+    finally:
+        spark.conf.unset(key)
+
+
+def test_local_arm_trains_thousands_of_merges_fast():
+    """The round-count gap the distributed loop has (one Spark job per
+    merge) must be gone on the local arm: ≥2k merges over a synthetic
+    100k-word vocabulary in seconds, no Spark session involved."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    vocab = {
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        for _ in range(100_000)
+    }
+    word_cnts = [(w, rng.randint(1, 1000)) for w in sorted(vocab)]
+    t0 = time.monotonic()
+    merges = bpe._train_merges_local(word_cnts, 2000)
+    dt = time.monotonic() - t0
+    assert len(merges) == 2000
+    assert dt < 60, f"local merge loop too slow: {dt:.1f}s"
+    # spot-check exactness of the incremental counts vs a full recount
+    # at the END state: replay the merges with the reference fold and
+    # confirm the final pair universe has no pair counted differently
+    syms = {w: list(w) + [bpe.EOW] for w, _ in word_cnts}
+    cnts = dict(word_cnts)
+    for _, a, b, _n in merges[:50]:
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    pc = Counter()
+    for w, s in syms.items():
+        for i in range(len(s) - 1):
+            pc[(s[i], s[i + 1])] += cnts[w]
+    replay = bpe._train_merges_local(
+        [(w, c) for w, c in word_cnts], 51
+    )
+    a, b, n = replay[50][1], replay[50][2], replay[50][3]
+    best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (a, b) == best[0] and n == best[1]
+
+
 def test_greedy_overlap_and_merged_symbol_recombination(spark):
     """aaa under merge (a,a) must encode [aa, a</w>] — an occurrence
     consumed by a merge cannot start the next one — while a later

@@ -30,13 +30,18 @@ cluster size and against the pure-Python reference implementation in
 the tests.
 
 Scale: vocabulary at 100 TB is tens of millions of distinct words —
-the word table shuffles once at build and each round's pair aggregate
-is vocab-sized with map-side combining. The fold allocates one array
-per word per round; words are short (symbol count ≤ word length), so
-the rewrite is scan-shaped. ``n_merges`` rounds = ``n_merges``
-vocab-scans — the same rounds-times-scans contract as Lloyd
-iterations, and like there the trained artifact is k rows the
-consumers embed as literals, never a lineage."""
+the word table shuffles once at build. From there the merge loop has
+TWO arms behind a size gate (``LOCAL_MAX_WORDS_CONF``): the default
+production path collects the vocabulary-sized table to the driver once
+and runs every merge round in-process with incrementally-maintained
+pair counts (the subword-nmt/HF shape — a 50k vocab is a driver loop,
+not 50k sequential Spark jobs); the over-threshold fallback runs each
+round as a vocab-scan aggregate + vocab-scan rewrite, both
+partial-aggregated map-side, with materialize-before-release
+persistence. Both arms are bit-identical by construction and pinned so
+in tests. The corpus is touched exactly once, ever, on either arm; the
+trained artifact is k rows the consumers embed as literals, never a
+lineage."""
 
 from __future__ import annotations
 
@@ -47,6 +52,20 @@ from pyspark.sql import functions as F
 #: pytest reference unrolls instantly, large enough to exercise
 #: merged-symbol-recombines-with-neighbor rounds
 BPE_MERGES = 8
+
+#: conf key gating the driver-local merge loop: when the word-frequency
+#: table (vocabulary-sized, NOT corpus-sized) has at most this many
+#: rows, the trainer collects it once and runs every merge round
+#: in-process (the subword-nmt shape) instead of one Spark job per
+#: merge. The gate is a ROW count, not a plan estimate: the table is
+#: already persisted and counted at this point, so the number is exact,
+#: whereas Catalyst's post-aggregation sizeInBytes is only an upper
+#: bound (plans/strategy.py:64). 5M rows ≈ a few hundred MB of driver
+#: heap — comfortable on any driver that can also hold the heap/index
+#: structures, and far above real tokenizer-training vocabularies
+#: (subword-nmt corpora collapse to low millions of distinct words).
+LOCAL_MAX_WORDS_CONF = "spark.graft.bpe.localMaxWords"
+LOCAL_MAX_WORDS_DEFAULT = 5_000_000
 
 #: end-of-word sentinel appended to every word's symbol sequence — the
 #: classic BPE boundary marker: merges that absorb it produce
@@ -128,24 +147,141 @@ def _apply_merge_col(a: str, b: str):
     )
 
 
+def _train_merges_local(
+    word_cnts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-process merge loop over the COLLECTED word-frequency table —
+    the subword-nmt/HuggingFace trainer shape: the corpus was already
+    collapsed to (word, cnt) by one distributed groupBy, and from here
+    every merge round is driver-local, so a production 32k–50k-merge
+    vocabulary costs zero Spark jobs instead of one sequential job (and
+    driver round-trip) per merge.
+
+    Exactly the distributed loop's semantics, maintained incrementally:
+
+    * pair counts are exact integer sums weighted by word count, kept
+      in a dict that is updated by fully re-counting each TOUCHED word
+      (subtract its old adjacent pairs, greedy-rewrite, add the new
+      ones) — identical by construction to the distributed arm's
+      per-round recount, bit-equivalence pinned in tests/test_bpe.py;
+    * the per-round argmax is a lazy max-heap keyed ``(-n, left,
+      right)`` — Python tuple order gives max count then lexicographic
+      (left, right) ascending, the same tie-break as the distributed
+      ``orderBy``; entries are re-pushed when a touched pair's count
+      changes and validated against the live dict on pop, so stale
+      entries are skipped, never selected;
+    * an inverted index pair → {word idx} bounds each round's rewrite
+      work to the words actually containing the chosen pair (the
+      distributed arm rescans the whole vocabulary every round).
+    """
+    import heapq
+    from collections import defaultdict
+
+    syms: list[list[str]] = [list(w) + [EOW] for w, _ in word_cnts]
+    cnts = [c for _, c in word_cnts]
+    pc: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, s in enumerate(syms):
+        c = cnts[wi]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pc[p] += c
+            where[p].add(wi)
+    heap = [(-n, a, b) for (a, b), n in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        nn, a, b = heapq.heappop(heap)
+        n = -nn
+        if pc.get((a, b), 0) != n:
+            continue  # stale heap entry — the live count moved on
+        merges.append((len(merges), a, b, n))
+        merged = a + b
+        touched: set[tuple[str, str]] = set()
+        for wi in list(where[(a, b)]):
+            s, c = syms[wi], cnts[wi]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] -= c
+                if pc[p] <= 0:
+                    del pc[p]
+                where[p].discard(wi)
+                touched.add(p)
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[wi] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pc[p] += c
+                where[p].add(wi)
+                touched.add(p)
+        for p in touched:
+            n2 = pc.get(p, 0)
+            if n2 > 0:
+                heapq.heappush(heap, (-n2, p[0], p[1]))
+    return merges
+
+
 def train_bpe_merges(
-    documents: DataFrame, n_merges: int = BPE_MERGES
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    mode: str = "auto",
 ) -> list[tuple[int, str, str, int]]:
     """The trained merge table — ``[(rank, left, right, n), ...]`` in
     merge order, each row the pair chosen at that round and its count
-    at selection time. Eager, like ``collect_codebook``: each round
-    materializes the rewritten vocabulary-sized word table, collects
-    ONE argmax row, and releases the previous round's table only after
-    the new one is materialized. Deterministic (exact integer counts,
-    lexicographic tie-break), so bit-identical on any partitioning.
-    Stops early if no pair remains (all words collapsed to single
-    symbols)."""
+    at selection time. Deterministic (exact integer counts,
+    lexicographic tie-break), so bit-identical on any partitioning AND
+    across both execution arms. Stops early if no pair remains (all
+    words collapsed to single symbols).
+
+    Two arms behind a size gate (``mode="auto"``):
+
+    * **local** — when the word-frequency table fits
+      ``spark.graft.bpe.localMaxWords`` rows (exact count, the table is
+      persisted anyway), collect it ONCE and run the merge rounds
+      in-process (``_train_merges_local``). This is what every
+      production trainer does: the table is vocabulary-sized, so a 50k
+      vocab costs one distributed groupBy + a driver loop, not ~50k
+      sequential Spark jobs (~0.8 s of round-trip latency each —
+      ~11 h of pure scheduling at ANY corpus size).
+    * **distributed** — the over-threshold fallback: each round
+      materializes the rewritten vocabulary-sized word table, collects
+      one argmax row, and releases the previous round's table only
+      after the new one is materialized (the materialize-before-release
+      rule the k-means trainer established).
+
+    ``mode="local"``/``"distributed"`` force an arm (equivalence
+    tests); ``"auto"`` takes the gate."""
     from pyspark.storagelevel import StorageLevel
+
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown BPE trainer mode: {mode!r}")
 
     wtab = word_symbol_table(documents).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    wtab.count()
+    n_words = wtab.count()
+    if mode != "distributed":
+        try:
+            gate = int(
+                documents.sparkSession.conf.get(
+                    LOCAL_MAX_WORDS_CONF, str(LOCAL_MAX_WORDS_DEFAULT)
+                )
+            )
+        except Exception:
+            gate = LOCAL_MAX_WORDS_DEFAULT
+        if mode == "local" or n_words <= gate:
+            try:
+                rows = wtab.select("word", "cnt").collect()
+            finally:
+                wtab.unpersist()
+            return _train_merges_local(
+                [(r["word"], int(r["cnt"])) for r in rows], n_merges
+            )
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(n_merges):
