@@ -69,6 +69,73 @@ def test_auto_arm_matches_stub_arm_on_synthetic_payloads(spark):
     assert stub == auto
 
 
+def test_resize_and_frames_gate_like_features(spark):
+    """Round-7: resize/frames carry the same decoder ladder as
+    decode_media_features — auto==stub on synthetic payloads (the
+    oracle's invariant), real-without-PIL crashes at plan time, bad
+    names rejected."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn in (multimodal.resize_media, multimodal.sample_frames):
+        stub = sorted(map(tuple, fn(docs, decoder="stub").collect()))
+        auto = sorted(map(tuple, fn(docs, decoder="auto").collect()))
+        assert stub == auto and stub
+        with pytest.raises(ValueError, match="decoder"):
+            fn(docs, decoder="ffmpeg")
+        if not multimodal.codec_available():
+            with pytest.raises(ImportError, match="PIL"):
+                fn(docs, decoder="real")
+
+
+@pytest.mark.skipif(
+    not multimodal.codec_available(), reason="PIL not installed"
+)
+def test_real_resize_and_frames_arms_decode(spark):
+    """Codec-equipped environments only: a real PNG payload must take
+    the decode path (resize halves dimensions and re-encodes — output
+    differs from the 64-byte truncation stub; frames walks the image
+    sequence — one frame for a still PNG), while unparseable payloads
+    in the same batch keep the stub fields."""
+    import io
+
+    from PIL import Image
+    from pyspark.sql import functions as F
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6)).save(buf, format="PNG")
+    png = buf.getvalue()
+    docs = _docs(spark)
+    m = docs.select(
+        "doc_id",
+        F.lit("image/png").alias("media_type"),
+        F.when(F.col("doc_id") == 2, F.lit(png))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("payload"),
+    )
+    import twitter_social_triangle_mapreduce_spark.operators.multimodal as mm
+
+    orig = mm.media_table
+    mm.media_table = lambda _df: m
+    try:
+        rs = {r["doc_id"]: r for r in mm.resize_media(docs, decoder="real").collect()}
+        # halved 8x6 -> 4x3 PNG re-encode: bigger than the raw pixel
+        # truncation and different from the stub's truncated digest
+        with Image.open(io.BytesIO(png)) as img:
+            assert img.size == (8, 6)
+        stub_rs = {
+            r["doc_id"]: r
+            for r in mm.resize_media(docs, decoder="stub").collect()
+        }
+        assert rs[2]["out_digest8"] != stub_rs[2]["out_digest8"]
+        assert rs[1] == stub_rs[1]  # unparseable row: per-row fallback
+        fr = mm.sample_frames(docs, decoder="real")
+        rows2 = [r for r in fr.collect() if r["doc_id"] == 2]
+        assert len(rows2) == 1 and rows2[0]["frame_idx"] == 0
+    finally:
+        mm.media_table = orig
+
+
 @pytest.mark.skipif(
     not multimodal.codec_available(), reason="PIL not installed"
 )

@@ -571,6 +571,69 @@ def test_codebook_parquet_roundtrip_is_bit_exact(spark, tmp_path):
     assert "codebook" not in plan  # the saved path never re-scans
 
 
+def test_codebook_load_is_order_insensitive_over_multifile_writes(
+    spark, tmp_path
+):
+    """A cluster-written codebook is MULTI-file parquet with no file or
+    row order guarantee (save_codebook's coalesce(1) is a convenience,
+    not the contract) — load_codebook must reconstruct the identical
+    cid-sorted constant from a 3-file, deliberately shuffled layout."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+        collect_codebook,
+        load_codebook,
+    )
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+
+    from conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = collect_codebook(emb, rounds=1)
+    path = str(tmp_path / "cb_multifile")
+    # write the same (cid, centroid) table shuffled across 3 files in
+    # descending-cid order inside each — the adversarial cluster layout
+    (
+        codebook_df(spark, rows)
+        .orderBy("cid", ascending=False)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) > 1
+    got = [
+        (r["cid"], tuple(r["centroid"]))
+        for r in load_codebook(spark, path).collect()
+    ]
+    assert got == sorted((c, tuple(v)) for c, v in rows)
+
+
+def test_quantized_index_build_rejects_degenerate_scale(spark, tmp_path):
+    """write_ivf_index(quantize=True) over an all-zero corpus must
+    raise at build time (the int8 grid would be x/0 for every query),
+    and a float build over the same corpus still works."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    zeros = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 3), d -> CAST(0.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="degenerate|all-zero"):
+        write_ivf_index(
+            zeros, str(tmp_path / "zidx"), k_cells=2, quantize=True
+        )
+    write_ivf_index(zeros, str(tmp_path / "fidx"), k_cells=2)
+
+
 def test_semantic_nprobe_default_is_plan_identical(spark):
     """nprobe=1 must be byte-identical to the pre-parameter operator —
     the registered query and its oracle are untouched by the round-6

@@ -498,3 +498,211 @@ def test_ann_index_refold_after_lost_marker_recommits(spark, tmp_path):
         )
     )
     assert repaired == full
+
+
+def test_streaming_quantized_index_matches_batch_quantized(spark, tmp_path):
+    """fold_ann_index_batch(quantize=True): the int8 streaming twin —
+    snapshot serving over folded batches must equal
+    ann_topk_indexed over write_ivf_index(quantize=True) on the union
+    (same pinned codebook AND same pinned scale), the scale must be
+    stored once and reused by later folds, and a degenerate first
+    batch must raise instead of pinning an unusable grid."""
+    import pytest as _pytest
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_indexed,
+        codebook_df,
+        write_ivf_index,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        fold_ann_index_batch,
+    )
+
+    dims = 8
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(3)]
+    vecs = [
+        (i, [float((13 * i + 5 * d) % 9 - 4) for d in range(dims)])
+        for i in range(30)
+    ]
+    # global max-abs lives in batch 0 so the pinned first-batch scale
+    # equals the batch builder's corpus-wide scale
+    vecs[0] = (0, [4.0] + [0.0] * (dims - 1))
+    batches = [vecs[:15], vecs[15:]]
+    snap = str(tmp_path / "qsnap")
+    for i, rows in enumerate(batches):
+        fold_ann_index_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            i,
+            snap,
+            centroids=codebook_df(spark, cents),
+            quantize=True,
+        )
+    scale_rows = spark.read.parquet(f"{snap}/scale").collect()
+    assert len(scale_rows) == 1 and scale_rows[0]["scale"] == 4.0
+    all_emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    qs = all_emb.where("vec_id < 3")
+    got = sorted(
+        map(
+            tuple,
+            ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect(),
+        )
+    )
+    bidx = str(tmp_path / "qbatchidx")
+    write_ivf_index(
+        all_emb, bidx, centroids=codebook_df(spark, cents), quantize=True
+    )
+    want = sorted(
+        map(
+            tuple,
+            ann_topk_indexed(spark, bidx, qs, k=3, nprobe=2).collect(),
+        )
+    )
+    assert got == want and len(got) == 9
+
+    # degenerate first batch: raise, don't pin a zero grid
+    with _pytest.raises(ValueError, match="degenerate"):
+        fold_ann_index_batch(
+            spark.createDataFrame(
+                [(7, [0.0] * dims)], "vec_id long, embedding array<float>"
+            ),
+            0,
+            str(tmp_path / "zsnap"),
+            centroids=codebook_df(spark, cents),
+            quantize=True,
+        )
+
+
+def test_first_fold_standin_codebook_shortfall_raises(spark, tmp_path):
+    """A first micro-batch without vec_id 0..k_cells-1 must raise at
+    fold time (a short stand-in codebook would silently coarsen the
+    index for the snapshot's lifetime; an empty one would crash every
+    later assignment)."""
+    import pytest as _pytest
+
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_ann_index_batch,
+    )
+
+    bad_first = spark.createDataFrame(
+        [(100, [1.0] * 4), (101, [2.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="stand-in"):
+        fold_ann_index_batch(
+            bad_first, 0, str(tmp_path / "shortsnap"), k_cells=4
+        )
+
+
+def test_ann_index_compaction_preserves_serving_and_bounds_files(
+    spark, tmp_path
+):
+    """compact_ann_index: serving parity before/after, per-cell file
+    count collapses to the sizing bound, replay after a committed
+    compaction no-ops (single source), replay after a LOST compaction
+    marker re-runs to the identical state, and post-compaction ingest
+    folds keep composing."""
+    import glob
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        compact_ann_index,
+        fold_ann_index_batch,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        ANN_COMPACT_BASE,
+        _ann_committed_batches,
+    )
+
+    dims = 8
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)]
+    cb = codebook_df(spark, cents)
+    snap = str(tmp_path / "csnap")
+    n_batches = 5
+    for b in range(n_batches):
+        rows = [
+            (b * 10 + i, [float((7 * i + b) % 5), 1.0] + [0.0] * (dims - 2))
+            for i in range(10)
+        ]
+        fold_ann_index_batch(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            b,
+            snap,
+            centroids=cb,
+        )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 1.0] + [0.0] * (dims - 2))],
+        "vec_id long, embedding array<float>",
+    )
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ann_topk_snapshot(spark, snap, qs, k=5, nprobe=2).collect(),
+            )
+        )
+
+    def files_per_cell():
+        out = {}
+        for d in glob.glob(f"{snap}/vectors/batch=*/cell=*"):
+            cell = d.rsplit("cell=", 1)[1]
+            out[cell] = out.get(cell, 0) + len(
+                glob.glob(f"{d}/*.parquet")
+            )
+        return out
+
+    before = serve()
+    assert max(files_per_cell().values()) >= n_batches - 1
+    gen = compact_ann_index(spark, snap)
+    assert gen == ANN_COMPACT_BASE
+    assert serve() == before  # parity across the flip
+    # newest stream batch stays un-compacted (replay safety); all
+    # older batches folded into one generation with 1 file/cell
+    committed = _ann_committed_batches(spark, snap)
+    assert committed == [n_batches - 1, gen]
+    assert max(files_per_cell().values()) <= 2
+    # committed compaction + only 1 safe source -> no-op
+    assert compact_ann_index(spark, snap) is None
+    # post-compaction ingest keeps composing, and a second compaction
+    # folds the generation together with the now-safe older batches
+    fold_ann_index_batch(
+        spark.createDataFrame(
+            [(990, [1.0, 1.0] + [0.0] * (dims - 2))],
+            "vec_id long, embedding array<float>",
+        ),
+        n_batches,
+        snap,
+        centroids=cb,
+    )
+    after_ingest = serve()
+    gen2 = compact_ann_index(spark, snap)
+    assert gen2 == ANN_COMPACT_BASE + 1
+    assert serve() == after_ingest
+    # crash-before-flip window: a generation whose data and sources
+    # landed but whose marker never committed must be INVISIBLE to
+    # serving (static batch pruning), and the sources stay served —
+    # exactly the state a crashed compaction leaves behind
+    orphan = ANN_COMPACT_BASE + 7
+    spark.createDataFrame(
+        [(12345, [99.0, 99.0] + [0.0] * (dims - 2), orphan, 0)],
+        "vec_id long, embedding array<float>, batch long, cell int",
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch", "cell").parquet(f"{snap}/vectors")
+    spark.createDataFrame([(gen2,)], "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{snap}/compact_sources/g_{orphan:020d}")
+    assert serve() == after_ingest  # orphan invisible, sources intact
+    assert orphan not in _ann_committed_batches(spark, snap)
+

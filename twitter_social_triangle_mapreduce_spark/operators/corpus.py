@@ -299,19 +299,35 @@ def write_training_shards(
     count-agnostic (``n_tokens_col``), and all recovery properties
     hold (the encoder is deterministic given the merge table)."""
     if bpe_merges is not None:
+        from pyspark.storagelevel import StorageLevel
+
         from .bpe import bpe_encode_pandas
 
-        enc = bpe_encode_pandas(documents, bpe_merges)
-        packed = pack_sequences(
-            enc,
-            budget,
-            bucket_span,
-            shuffle_seed=shuffle_seed,
-            n_tokens_col="n_tokens",
+        # persist the encoded relation: the Arrow-batched encode is the
+        # expensive step and the plan consumes it several times (pack
+        # prefix-sum + the writer's join, each over multiple actions) —
+        # without the persist it re-runs per consumer. Materialize
+        # before use, release after the write (the trainers' rule).
+        enc = bpe_encode_pandas(documents, bpe_merges).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        write_shards_from_packed(
-            enc.select("doc_id", "tokens"), packed, path, packs_per_shard
-        )
+        try:
+            enc.count()
+            packed = pack_sequences(
+                enc,
+                budget,
+                bucket_span,
+                shuffle_seed=shuffle_seed,
+                n_tokens_col="n_tokens",
+            )
+            write_shards_from_packed(
+                enc.select("doc_id", "tokens"),
+                packed,
+                path,
+                packs_per_shard,
+            )
+        finally:
+            enc.unpersist()
         return
     packed = pack_sequences(
         documents, budget, bucket_span, shuffle_seed=shuffle_seed

@@ -1490,14 +1490,27 @@ def write_ivf_index(
                 )
             ).alias("__s")
         )
+        # degenerate-scale guard (crash-not-silently-degrade, the same
+        # ANSI posture as _ranked_arr_expr's cn=0 arm): an all-zero or
+        # empty corpus would store scale 0 and every build/query
+        # quantization would then divide by it — raise at BUILD time so
+        # no index with an unusable grid ever reaches disk
+        row = maxabs.collect()[0]  # 1-row meta read, terminal
+        s = float(row["__s"]) if row["__s"] is not None else 0.0
+        if s <= 0.0:
+            raise ValueError(
+                "write_ivf_index(quantize=True): corpus max-abs scale is"
+                f" {s} (all-zero or empty embeddings) — the int8 grid"
+                " would be degenerate; store the float index instead"
+            )
         maxabs.select(F.col("__s").alias("scale")).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{path}/scale")
-        assigned = assigned.crossJoin(F.broadcast(maxabs)).select(
+        assigned = assigned.select(
             "vec_id",
             F.expr(
                 "transform(embedding, x -> CAST(least(greatest("
-                "floor(CAST(x AS DOUBLE) / __s * 127 + 0.5),"
+                f"floor(CAST(x AS DOUBLE) / {s!r} * 127 + 0.5),"
                 " -127), 127) AS TINYINT))"
             ).alias("qemb"),
             "cell",
@@ -1533,6 +1546,12 @@ def ann_topk_indexed(
         scale = float(
             spark.read.parquet(f"{index_path}/scale").collect()[0]["scale"]
         )
+        if scale <= 0.0:
+            # mirror the build-time guard: a foreign/corrupt index with
+            # a degenerate grid must crash, not serve x/0 under ANSI
+            raise ValueError(
+                f"ann_topk_indexed: stored scale {scale} is degenerate"
+            )
         return _ann_topk_quantized_over_cells(
             vecs, queries, cents, scale, k=k, nprobe=nprobe
         )

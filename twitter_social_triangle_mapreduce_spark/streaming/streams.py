@@ -1024,26 +1024,50 @@ def streaming_pack_maintenance(
     )
 
 
+#: compacted-generation batch ids live far above any Structured
+#: Streaming batch id (a long counting micro-batches from 0 — even at
+#: 1 ms triggers, ~31k years to reach 1e15), so a compaction can mint
+#: ids in the SAME marker namespace without ever colliding with the
+#: stream's own ids.
+ANN_COMPACT_BASE = 10**15
+
+
 def fold_ann_index_batch(
     batch_df: DataFrame,
     batch_id: int,
     snapshot_path: str,
     k_cells: int | None = None,
     centroids: DataFrame | None = None,
+    quantize: bool = False,
+    scale: float | None = None,
 ) -> None:
     """Fold one micro-batch of embeddings into the at-rest ANN index:
-    quantize against the snapshot's PINNED codebook (written on the
+    assign against the snapshot's PINNED codebook (written on the
     first fold — from ``centroids`` if supplied, else the batch's
-    first-``k_cells``-vectors stand-in; every later fold LOADS the
-    stored one, so appends can never mis-route against a drifted
-    quantizer) and write the batch's vectors hive-partitioned as
+    first-``k_cells``-vectors stand-in, which REQUIRES vec_id
+    0..k_cells-1 present in that batch and raises on a shortfall —
+    a short codebook would silently coarsen the index for the
+    snapshot's lifetime; every later fold LOADS the stored one, so
+    appends can never mis-route against a drifted quantizer) and write
+    the batch's vectors hive-partitioned as
     ``vectors/batch=<id>/cell=K/``. Retry safety comes from dynamic
     partition overwrite (a replayed write replaces exactly its own
     ``batch=<id>`` partitions, never appends duplicates) plus the
     shared marker contract: readers only see batches whose marker
     committed. ``batch`` and ``cell`` are both partition columns, so
     the serving scan prunes uncommitted batches STATICALLY and probed
-    cells dynamically."""
+    cells dynamically.
+
+    ``quantize=True`` stores int8 ``qemb`` vectors instead of floats —
+    the streaming twin of ``write_ivf_index(quantize=True)``. The int8
+    grid scale is PINNED exactly like the codebook: the first fold
+    stores ``scale`` (the caller-supplied value, else the first
+    batch's max-abs — supply it when the first batch may not span the
+    corpus range) and every later fold loads the stored one, because
+    vectors quantized on different grids are incomparable. Degenerate
+    scales (≤ 0) raise at fold time, mirroring the batch builder's
+    guard. Cell assignment always happens on the float vectors before
+    quantization."""
     from ..operators.similarity import (
         IVF_CELLS,
         ivf_assign_with_payload,
@@ -1076,11 +1100,65 @@ def fold_ann_index_batch(
                     F.col("vec_id") < k_cells
                 ).collect()
             )
+            if len(rows) < k_cells:
+                # crash-not-silently-coarsen (the
+                # _weighted_greedy_reduce posture): an empty stand-in
+                # fails at assignment, a short one quietly degrades
+                # every future probe. Explicit centroids define their
+                # own k and skip this — they ARE the pin.
+                raise ValueError(
+                    f"fold_ann_index_batch: only {len(rows)} stand-in"
+                    f" centroids for k_cells={k_cells} — the stand-in"
+                    " codebook requires vec_id 0..k_cells-1 in the"
+                    " FIRST batch; pass centroids= (e.g. a trained"
+                    " codebook) when the stream cannot guarantee that"
+                )
         save_codebook(spark, rows, cb_path)
         fs.create(cb_marker, True).close()
     cents = load_codebook(spark, cb_path)
+    assigned = ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+    if quantize:
+        sc_marker = jvm.org.apache.hadoop.fs.Path(
+            f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
+        )
+        sc_path = f"{snapshot_path}/scale"
+        if not fs.exists(sc_marker):
+            if scale is None:
+                row = batch_df.agg(
+                    F.max(
+                        F.expr(
+                            "aggregate(transform(embedding,"
+                            " x -> abs(CAST(x AS DOUBLE))),"
+                            " CAST(0 AS DOUBLE),"
+                            " (acc, v) -> greatest(acc, v))"
+                        )
+                    ).alias("__s")
+                ).collect()[0]
+                scale = float(row["__s"]) if row["__s"] is not None else 0.0
+            if scale <= 0.0:
+                raise ValueError(
+                    f"fold_ann_index_batch: pinned int8 scale {scale}"
+                    " is degenerate (all-zero or empty first batch) —"
+                    " supply scale= from corpus statistics"
+                )
+            spark.createDataFrame(
+                [(float(scale),)], "scale double"
+            ).coalesce(1).write.mode("overwrite").parquet(sc_path)
+            fs.create(sc_marker, True).close()
+        s = float(
+            spark.read.parquet(sc_path).collect()[0]["scale"]
+        )
+        assigned = assigned.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(least(greatest("
+                f"floor(CAST(x AS DOUBLE) / {s!r} * 127 + 0.5),"
+                " -127), 127) AS TINYINT))"
+            ).alias("qemb"),
+            "cell",
+        )
     (
-        ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+        assigned
         .withColumn("batch", F.lit(batch_id))
         .repartition("cell")
         .write.mode("overwrite")
@@ -1092,16 +1170,144 @@ def fold_ann_index_batch(
 
 
 def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
+    """Visible batch ids: every marker-committed batch MINUS the
+    source batches of every committed compaction generation (a
+    generation's sources parquet is written BEFORE its marker, so the
+    marker create is the atomic visibility flip — the instant it
+    exists, readers take the compacted copy and drop the sources, with
+    no window where vectors are seen twice or not at all)."""
     jvm, fs = _rollup_fs(spark, snapshot_path)
     root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
     if not fs.exists(root):
         return []
-    out = []
+    committed = []
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
         if name.startswith("b_") and name.endswith(ROLLUP_APPLIED_MARKER):
-            out.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
-    return sorted(out)
+            committed.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
+    excluded: set[int] = set()
+    for gen in committed:
+        if gen >= ANN_COMPACT_BASE:
+            excluded.update(
+                int(r["src"])
+                for r in spark.read.parquet(
+                    f"{snapshot_path}/compact_sources/g_{gen:020d}"
+                ).collect()
+            )
+    return sorted(b for b in committed if b not in excluded)
+
+
+def compact_ann_index(
+    spark,
+    snapshot_path: str,
+    target_file_mb: int = 256,
+) -> int | None:
+    """Small-files maintenance fold for the streaming ANN index: every
+    ingest fold appends one ``(batch, cell)`` directory, so a
+    long-running stream accumulates files-per-cell linear in fold
+    count — at 100 TB, listing/opening them dominates serving scans.
+    This rewrites all SAFE committed batches (every committed batch
+    except the newest stream batch, which a recovering stream may
+    still replay — replay checks its marker, and compaction must not
+    race that) into ONE compacted generation whose per-cell file count
+    comes from the sources' actual on-disk bytes (``target_file_mb``,
+    the ``io.compact_parquet`` sizing rule), partitioned by the same
+    ``batch=<gen>/cell=K/`` layout, then flips visibility atomically
+    via the shared marker contract:
+
+    1. write the merged vectors under ``batch=<gen>`` (gen ids live at
+       ``ANN_COMPACT_BASE`` + generation counter — disjoint from
+       stream batch ids by construction);
+    2. write the generation's source-batch list
+       (``compact_sources/g_<gen>``);
+    3. create the ``b_<gen>`` marker — the atomic flip: readers now
+       include the generation and exclude its sources;
+    4. best-effort cleanup of the source markers and directories
+       (idempotent; a crash here leaves garbage that stays invisible
+       forever, never duplicates).
+
+    Replay-idempotent: re-running after any crash recomputes the same
+    ``gen`` (no committed marker yet → same max+1), overwrites the
+    same staging output, and re-flips; re-running after a COMMITTED
+    compaction folds the previous generation into the next one (or
+    no-ops when fewer than two safe sources exist). Serving parity
+    before/after is pinned in tests. Returns the new generation id, or
+    None when there was nothing to compact."""
+    import math
+
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    committed = _ann_committed_batches(spark, snapshot_path)
+    stream_batches = [b for b in committed if b < ANN_COMPACT_BASE]
+    gens = [b for b in committed if b >= ANN_COMPACT_BASE]
+    # the newest stream batch may still be replayed by a recovering
+    # stream (its foreachBatch re-runs until the checkpoint commits);
+    # all older batches are checkpoint-final and safe to fold
+    sources = sorted(stream_batches[:-1] + gens)
+    if len(sources) < 2:
+        return None
+    gen = (max(gens) + 1) if gens else ANN_COMPACT_BASE
+    vec_root = f"{snapshot_path}/vectors"
+    src_dirs = [f"{vec_root}/batch={b}" for b in sources]
+    total_bytes = 0
+    for d in src_dirs:
+        total_bytes += fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(d)
+        ).getLength()
+    n_cells = spark.read.parquet(f"{snapshot_path}/codebook").count()
+    files_per_cell = max(
+        1,
+        math.ceil(total_bytes / max(1, n_cells) / (target_file_mb * 2**20)),
+    )
+    merged = (
+        spark.read.option("basePath", vec_root)
+        .parquet(*src_dirs)
+        .drop("batch")
+        .withColumn("batch", F.lit(gen))
+    )
+    if files_per_cell > 1:
+        # oversized cells split on a stable vector-id salt so the
+        # per-cell file size honors the target even under cell skew
+        merged = merged.repartition(
+            files_per_cell * max(1, n_cells),
+            "cell",
+            F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+        )
+    else:
+        merged = merged.repartition("cell")
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell")
+        .parquet(vec_root)
+    )
+    spark.createDataFrame(
+        [(int(b),) for b in sources], "src long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{snapshot_path}/compact_sources/g_{gen:020d}"
+    )
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{snapshot_path}/markers/b_{gen:020d}{ROLLUP_APPLIED_MARKER}"
+        ),
+        True,
+    ).close()
+    # 4. cleanup — everything below is already invisible to readers
+    for b in sources:
+        try:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{snapshot_path}/markers/"
+                    f"b_{b:020d}{ROLLUP_APPLIED_MARKER}"
+                ),
+                False,
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}"),
+                True,
+            )
+        except Exception:
+            pass  # best-effort; invisible garbage, retried next run
+    return gen
 
 
 def ann_topk_snapshot(
@@ -1116,8 +1322,15 @@ def ann_topk_snapshot(
     uncommitted/half-written batches at the partition level, the cell
     equi-join prunes to the probed inverted lists, and scoring is the
     shared ``ann_topk_over_cells`` tail — so snapshot serving equals
-    batch-index serving over the same vectors bit-for-bit."""
-    from ..operators.similarity import ann_topk_over_cells, load_codebook
+    batch-index serving over the same vectors bit-for-bit. A snapshot
+    folded with ``quantize=True`` (``qemb`` columns) serves through the
+    quantized tail on its PINNED stored scale, mirroring
+    ``ann_topk_indexed`` exactly."""
+    from ..operators.similarity import (
+        _ann_topk_quantized_over_cells,
+        ann_topk_over_cells,
+        load_codebook,
+    )
 
     committed = _ann_committed_batches(spark, snapshot_path)
     if not committed:
@@ -1130,6 +1343,19 @@ def ann_topk_snapshot(
         .drop("batch")
     )
     cents = load_codebook(spark, f"{snapshot_path}/codebook")
+    if "qemb" in vecs.columns:
+        scale = float(
+            spark.read.parquet(f"{snapshot_path}/scale").collect()[0][
+                "scale"
+            ]
+        )
+        if scale <= 0.0:
+            raise ValueError(
+                f"ann_topk_snapshot: stored scale {scale} is degenerate"
+            )
+        return _ann_topk_quantized_over_cells(
+            vecs, queries, cents, scale, k=k, nprobe=nprobe
+        )
     return ann_topk_over_cells(vecs, queries, cents, k=k, nprobe=nprobe)
 
 
@@ -1139,6 +1365,8 @@ def streaming_ann_index_maintenance(
     checkpoint_path: str,
     k_cells: int | None = None,
     centroids: DataFrame | None = None,
+    quantize: bool = False,
+    scale: float | None = None,
 ):
     """Incrementally-maintained ANN index: each micro-batch of
     embeddings quantizes against the pinned codebook and lands as its
@@ -1155,6 +1383,8 @@ def streaming_ann_index_maintenance(
             snapshot_path,
             k_cells=k_cells,
             centroids=centroids,
+            quantize=quantize,
+            scale=scale,
         )
 
     return (
