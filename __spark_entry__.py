@@ -17,6 +17,12 @@ driver-hash-checked end to end — and ``value_histogram`` rotated out
 for ``bpe_pair_counts``, driver-gating the tokenizer-training tier)
 stay fully hash-oracled in the pytest tier
 (``registry.all_queries(include_extra=True)``).
+
+Round 7 rotation: ``doc_rolling_hash`` → pytest tier (it is an
+intermediate of the driver-gated passage-cut pipeline, so its marginal
+driver signal was the lowest) in favor of ``semantic_decontam`` — the
+embedding-tier decontamination flagship (cross-set banded-LSH
+candidates + exact-cosine threshold) is now driver-hash-gated.
 """
 
 from __future__ import annotations

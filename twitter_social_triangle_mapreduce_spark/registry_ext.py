@@ -423,7 +423,10 @@ EXT_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "token_topk": q_token_topk,
     "token_counts_multi": q_token_counts_multi,
-    "doc_rolling_hash": q_doc_rolling_hash,
+    # round 7: doc_rolling_hash rotated to the pytest tier (it is an
+    # intermediate of the driver-gated passage pipelines) in favor of
+    # semantic_decontam — appended below its definition, like
+    # ivf_cells_trained
     "embedding_norms": q_embedding_norms,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "lsh_signature": q_lsh_signature,
@@ -1013,6 +1016,10 @@ EXT_QUERIES["semantic_dedup_clusters"] = q_semantic_dedup_clusters
 # from scratch in SQL, so trainer drift or cache corruption fails the
 # driver hash gate, not just the pytest tier
 EXT_QUERIES["ivf_cells_trained"] = q_ivf_cells_trained
+# round 7: the embedding-tier decontamination flagship, driver-gated
+# (rotation ledger in __spark_entry__.py; doc_rolling_hash moved to the
+# pytest tier below)
+EXT_QUERIES["semantic_decontam"] = q_semantic_decontam
 
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
@@ -1023,9 +1030,11 @@ EXT_EXTRA_QUERIES = {
     # covers the fan-out mapInPandas shape and media_features the
     # decode contract; still hash-oracled here
     "media_resize": q_media_resize,
-    # round 6: embedding-tier decontamination (paraphrased-leakage
-    # screen — cross-set banded-LSH candidates, best-match election)
-    "semantic_decontam": q_semantic_decontam,
+    # round 7: rotated out of the driver 50 for semantic_decontam —
+    # the rolling hash is an intermediate of the driver-gated passage
+    # pipelines (doc_passage_cuts), so its marginal driver signal was
+    # the lowest; still hash-oracled here
+    "doc_rolling_hash": q_doc_rolling_hash,
     # round 6: the banded semantic candidate rule, oracle-checked
     "semantic_pairs_banded": q_semantic_pairs_banded,
     # round 6: the multi-probe cell rule, oracle-checked
