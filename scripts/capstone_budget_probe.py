@@ -11,9 +11,12 @@ are machine-noise-free, so the scale-guard test
 budget against THIS probe: the no-persist replan regime measured ~1.7×
 the bytes and +15 stages at sf0.001, comfortably outside the budget.
 
-Usage: python scripts/capstone_budget_probe.py [sf_dir] [nopersist] [cut]
+Usage: python scripts/capstone_budget_probe.py [sf_dir] [nopersist]
+[cut] [semantic]
 (`cut` runs the cut_passages arm — round 5 extends the budget guard to
-the substring-dedup product path; flags compose.)
+the substring-dedup product path; `semantic` joins the sf_dir's
+embeddings table in — round 7 extends the guard to the embedding tier;
+flags compose.)
 """
 
 from __future__ import annotations
@@ -38,20 +41,27 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     persist = "nopersist" not in sys.argv[2:]
     cut = "cut" in sys.argv[2:]
+    semantic = "semantic" in sys.argv[2:]
     spark = get_spark(
         app_name="capstone-budget-probe",
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
+            # eviction-proofing (round 7): the terminal stage sum below
+            # must see every stage of the run
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
     ev = docs.where("doc_id % 17 = 0")
+    emb = load_table(spark, sf_dir, "embeddings") if semantic else None
     out = tempfile.mkdtemp(prefix="capstone_probe_")
     try:
         audit = prepare_training_corpus(
-            docs, ev, out, persist_audit=persist, cut_passages=cut
+            docs, ev, out, persist_audit=persist, cut_passages=cut,
+            embeddings=emb,
         )
         audit.write.format("noop").mode("overwrite").save()
     finally:
@@ -69,6 +79,7 @@ def main() -> None:
             {
                 "persist": persist,
                 "cut": cut,
+                "semantic": semantic,
                 "sf_dir": sf_dir,
                 "shuffle_write_mb": round(
                     sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 2

@@ -661,3 +661,38 @@ def test_prepare_training_corpus_semantic_arm(spark, tmp_path):
     # both semantic gates actually fired on this corpus
     assert n_div > 0, "diversity quota never bound (weak fixture)"
     audit.unpersist()
+
+
+def test_capstone_semantic_bits_follow_corpus_size(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 regression pin for the quadratic-bits bug the 1M probe
+    caught live: the capstone must derive the semantic tier's LSH band
+    width from the embeddings corpus via lsh_bits_for (the fixed
+    default made the banded candidate set n²-shaped at 1M vectors —
+    one stage, 44 tasks x ~1000 s), and semantic_bits= must override
+    the rule."""
+    import twitter_social_triangle_mapreduce_spark.operators.similarity as sim
+
+    captured = {}
+    orig = sim.semantic_dedup_clusters
+
+    def spy(emb, *a, **kw):
+        captured["bits"] = kw.get("bits")
+        return orig(emb, *a, **kw)
+
+    monkeypatch.setattr(sim, "semantic_dedup_clusters", spy)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ev = docs.where("doc_id % 17 = 0")
+    corpus.prepare_training_corpus(
+        docs, ev, str(tmp_path / "s1"), embeddings=emb
+    )
+    assert captured["bits"] == sim.lsh_bits_for(emb.count())
+    # at testdata scale the rule floors at the old constant — plans,
+    # oracles, and bench digests stay bit-identical
+    assert captured["bits"] == sim.LSH_BITS
+    corpus.prepare_training_corpus(
+        docs, ev, str(tmp_path / "s2"), embeddings=emb, semantic_bits=11
+    )
+    assert captured["bits"] == 11

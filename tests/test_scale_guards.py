@@ -387,6 +387,28 @@ def test_capstone_cut_arm_shuffle_budget():
     assert got["n_stages"] < base["n_stages"], (got, base)
 
 
+def test_capstone_semantic_arm_shuffle_budget():
+    """Round-7 extension of the capstone budget guard to the SEMANTIC
+    product path (embeddings joined — semantic-dup gate in the verdict
+    chain): with the audit persist in place the semantic arm must
+    shuffle meaningfully fewer bytes in fewer stages than its
+    nopersist twin (measured at adoption: 2.40 MB / 83 stages vs
+    3.86 MB / 98 — ratio 0.62; dropping the persist pushes the ratio
+    toward 1). This is the arm whose sf0.1 byte record the r6 bench
+    eviction bug corrupted — the guard now also pins non-negative
+    bytes by construction (the probe crashes on negatives)."""
+    got = _run_capstone_probe("semantic")
+    base = _run_capstone_probe("nopersist semantic")
+    assert got["semantic"] is True and base["semantic"] is True
+    assert got["persist"] is True and base["persist"] is False
+    assert got["shuffle_write_mb"] >= 0 and got["shuffle_read_mb"] >= 0
+    assert got["shuffle_write_mb"] <= 0.85 * base["shuffle_write_mb"], (
+        got,
+        base,
+    )
+    assert got["n_stages"] < base["n_stages"], (got, base)
+
+
 #: shuffle-write bytes per headline query, measured at sf0.001 on
 #: adoption (round 5, Spark 4.1.2) — run-to-run byte-IDENTICAL, so the
 #: 3× headroom below exists only for Spark-version / AQE-tuning drift

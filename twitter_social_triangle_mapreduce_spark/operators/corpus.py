@@ -47,6 +47,7 @@ def prepare_training_corpus(
     embeddings: DataFrame | None = None,
     diversity_per_cell: int | None = None,
     bpe_merges: list | None = None,
+    semantic_bits: int | None = None,
 ) -> DataFrame:
     """The capstone composition — the full corpus-prep pipeline as ONE
     lazy dataflow ending in training shards:
@@ -75,7 +76,11 @@ def prepare_training_corpus(
        sees), and ``diversity_per_cell`` caps each IVF cell's
        contribution (``diversity_cut`` — cluster-balanced pruning, so
        one dominant topic cannot crowd out the tail). Documents with
-       no embedding row pass both gates untouched. Like every other
+       no embedding row pass both gates untouched. ``semantic_bits``
+       overrides the LSH band width; by default it follows the corpus
+       via ``lsh_bits_for(count)`` (round 7 — the fixed default was
+       quadratic at 1M vectors), at the cost of one ids-only count
+       action. Like every other
        stage, each verdict relation is computed over the FULL input
        independently and the audit takes the FIRST drop by priority
        (curation → near_dup → contaminated → semantic_dup →
@@ -134,14 +139,25 @@ def prepare_training_corpus(
     if embeddings is not None:
         from .similarity import (
             cluster_balanced_sample,
+            lsh_bits_for,
             semantic_dedup_clusters,
         )
 
         emb = embeddings.select(
             F.col("vec_id").alias("doc_id"), "embedding"
         ) if "vec_id" in embeddings.columns else embeddings
+        # band width follows the corpus (round 7): at the fixed default
+        # the banded candidate set is n²·bands/2^(bits+1) — the 1M-doc
+        # capstone probe measured the pathology live (one semantic
+        # stage, 44 tasks × ~1000 s) before this count was added. One
+        # extra action, on the ids-only projection (column-pruned scan);
+        # lsh_bits_for floors at the old constant, so testdata-scale
+        # plans, oracles, and bench digests are bit-identical.
+        if semantic_bits is None:
+            semantic_bits = lsh_bits_for(emb.select("doc_id").count())
         sem = semantic_dedup_clusters(
-            emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+            emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            bits=semantic_bits,
         ).select(
             F.col("vec_id").alias("doc_id"),
             F.col("is_canonical").alias("__sem_canon"),
