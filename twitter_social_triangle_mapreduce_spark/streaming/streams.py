@@ -534,26 +534,233 @@ def _list_batch_dirs(
     silently dropped pruned batches' bands from the dedup screen —
     review finding). ``before_batch_id`` excludes the current batch so
     a crashed prior attempt's half-written own dir stays out of its
-    replay's input; ``marker_required`` keeps only committed dirs."""
+    replay's input; ``marker_required`` keeps only committed dirs.
+
+    Compaction contract (round 8, r7 verdict item 3): a COMMITTED
+    generation dir (``g_<gen>`` with its ``markers/g_<gen>_APPLIED``
+    flip file — the machinery lifted from ``compact_ann_index``)
+    replaces its source batch dirs in every listing: sources are
+    excluded even if their dirs still exist (cleanup is best-effort),
+    and the generation is included regardless of ``before_batch_id``
+    — its sources all predate any live batch id by construction
+    (``_compact_batch_store`` only folds ids strictly below the
+    newest committed batch). An UNCOMMITTED generation (crash before
+    the marker) is invisible, so readers never see a half-written
+    compaction."""
     jvm, fs = _rollup_fs(spark, parent)
     root = jvm.org.apache.hadoop.fs.Path(parent)
     if not fs.exists(root):
         return []
+    gens = _committed_gens(spark, parent)
+    compacted_away: set[int] = set()
+    for g in gens:
+        compacted_away.update(_gen_sources(spark, parent, g))
     out = []
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
         if not (st_.isDirectory() and name.startswith(prefix)):
             continue
-        if before_batch_id is not None and int(name[len(prefix):]) >= (
-            before_batch_id
-        ):
+        bid = int(name[len(prefix):])
+        if bid in compacted_away:
+            continue
+        if before_batch_id is not None and bid >= before_batch_id:
             continue
         if marker_required and not fs.exists(
             jvm.org.apache.hadoop.fs.Path(st_.getPath(), ROLLUP_APPLIED_MARKER)
         ):
             continue
         out.append(f"{parent}/{name}")
+    return sorted(out) + [_gen_dir(parent, g) for g in gens]
+
+
+def _gen_dir(parent: str, gen: int) -> str:
+    return f"{parent}/g_{gen:020d}"
+
+
+def _gen_marker_path(jvm, parent: str, gen: int):
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{parent}/markers/g_{gen:020d}{ROLLUP_APPLIED_MARKER}"
+    )
+
+
+def _committed_gens(spark, parent: str) -> list[int]:
+    """Generation ids whose visibility marker committed, sorted."""
+    jvm, fs = _rollup_fs(spark, parent)
+    root = jvm.org.apache.hadoop.fs.Path(f"{parent}/markers")
+    if not fs.exists(root):
+        return []
+    out = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if name.startswith("g_") and name.endswith(ROLLUP_APPLIED_MARKER):
+            out.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
     return sorted(out)
+
+
+def _gen_sources(spark, parent: str, gen: int) -> set[int]:
+    """Source BATCH ids folded into generation ``gen`` (prior
+    generations folded forward are encoded as ``-(gen+1)`` in the
+    sources parquet and never collide with batch ids ≥ 0)."""
+    return {
+        int(r["src"])
+        for r in spark.read.parquet(
+            f"{parent}/compact_sources/g_{gen:020d}"
+        ).collect()
+    }
+
+
+def _compact_batch_store(
+    spark,
+    parent: str,
+    prefix: str,
+    max_batch_exclusive: int,
+    target_file_mb: int = 256,
+) -> int | None:
+    """Shared small-files maintenance fold for the flat append-only
+    per-batch stores (semantic ``embs/``, MinHash ``bands/``, passage
+    ``windows/`` — the same growth ``compact_ann_index`` fixed for the
+    ANN index, generalized per r7 verdict item 3): every ingest fold
+    appends one directory, so a long-running stream accumulates files
+    linear in fold count and fold-time listings/scans with them.
+    Rewrites all SAFE batch dirs — ids strictly below
+    ``max_batch_exclusive`` (the caller passes the newest committed
+    batch id, which stays out for replay safety, mirroring the ANN
+    compactor's newest-exclusion) — plus every prior committed
+    generation into ONE new generation sized from the sources' actual
+    on-disk bytes, then flips visibility atomically:
+
+    1. write the merged rows under ``g_<gen>``;
+    2. write the source list (``compact_sources/g_<gen>`` — batch ids,
+       plus prior generations encoded as ``-(gen+1)``);
+    3. create ``markers/g_<gen>_APPLIED`` — the atomic flip:
+       ``_list_batch_dirs`` now returns the generation and skips its
+       sources;
+    4. best-effort cleanup of source dirs/markers (a crash here leaves
+       invisible garbage, never duplicates or holes).
+
+    Replay-idempotent exactly like the ANN compactor: a crash before
+    step 3 leaves the half-written generation invisible and the next
+    run overwrites the same paths; a re-run after commit folds the
+    prior generation forward or no-ops below two sources. Run it
+    BETWEEN folds (the foreachBatch serialization point) — it must not
+    race a fold reading the dirs it deletes. Returns the new
+    generation id, or None when there was nothing to compact."""
+    import math
+
+    jvm, fs = _rollup_fs(spark, parent)
+    prior_gens = _committed_gens(spark, parent)
+    batch_dirs: list[tuple[int, str]] = []
+    root = jvm.org.apache.hadoop.fs.Path(parent)
+    if fs.exists(root):
+        already: set[int] = set()
+        for g in prior_gens:
+            already.update(_gen_sources(spark, parent, g))
+        for st_ in fs.listStatus(root):
+            name = st_.getPath().getName()
+            if st_.isDirectory() and name.startswith(prefix):
+                bid = int(name[len(prefix):])
+                if bid < max_batch_exclusive and bid not in already:
+                    batch_dirs.append((bid, f"{parent}/{name}"))
+    batch_dirs.sort()
+    src_paths = [p for _, p in batch_dirs] + [
+        _gen_dir(parent, g) for g in prior_gens
+    ]
+    if len(src_paths) < 2:
+        return None
+    gen = (prior_gens[-1] + 1) if prior_gens else 0
+    total_bytes = 0
+    for p in src_paths:
+        total_bytes += fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(p)
+        ).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 2**20)))
+    merged = spark.read.parquet(*src_paths).repartition(n_files)
+    merged.write.mode("overwrite").parquet(_gen_dir(parent, gen))
+    srcs = [(int(b),) for b, _ in batch_dirs] + [
+        (-(int(g) + 1),) for g in prior_gens
+    ]
+    spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
+    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
+    # cleanup — everything below is already invisible to readers.
+    # NOTE _gen_sources excludes by BATCH id only; a prior generation
+    # folded forward is dropped by deleting its marker (so
+    # _committed_gens no longer returns it), then its dirs.
+    for _, p in batch_dirs:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        except Exception:
+            pass  # best-effort; invisible garbage, retried next run
+    for g in prior_gens:
+        try:
+            fs.delete(_gen_marker_path(jvm, parent, g), False)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_gen_dir(parent, g)), True
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{parent}/compact_sources/g_{g:020d}"
+                ),
+                True,
+            )
+        except Exception:
+            pass
+    return gen
+
+
+def compact_semantic_embs(
+    spark, snapshot_path: str, target_file_mb: int = 256
+) -> int | None:
+    """Compact the semantic snapshot's append-only embeddings store
+    (``embs/b_<id>`` — one dir per fold; the corpus embeddings ARE the
+    collision index, so every fold scans this union) into one
+    generation; see ``_compact_batch_store`` for the contract. Safe
+    sources are all batches strictly below the newest committed
+    version."""
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if not versions:
+        return None
+    return _compact_batch_store(
+        spark, f"{snapshot_path}/embs", "b_", versions[-1], target_file_mb
+    )
+
+
+def compact_cluster_bands(
+    spark, snapshot_path: str, target_file_mb: int = 256
+) -> int | None:
+    """Compact the MinHash cluster snapshot's band-signature index
+    (``bands/b_<id>`` — the collision-probe side of every fold); see
+    ``_compact_batch_store``."""
+    versions = rollup_committed_versions(spark, snapshot_path)
+    if not versions:
+        return None
+    return _compact_batch_store(
+        spark, f"{snapshot_path}/bands", "b_", versions[-1], target_file_mb
+    )
+
+
+def compact_passage_windows(
+    spark, snapshot_path: str, target_file_mb: int = 256
+) -> int | None:
+    """Compact the passage snapshot's window index (``windows/w_<id>``);
+    see ``_compact_batch_store``. The passage fold commits per-batch
+    dirs (no version markers), so the newest batch dir plays the
+    replay-safety exclusion role."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/windows")
+    if not fs.exists(root):
+        return None
+    ids = [
+        int(st_.getPath().getName()[2:])
+        for st_ in fs.listStatus(root)
+        if st_.isDirectory() and st_.getPath().getName().startswith("w_")
+    ]
+    if not ids:
+        return None
+    return _compact_batch_store(
+        spark, f"{snapshot_path}/windows", "w_", max(ids), target_file_mb
+    )
 
 
 def _cluster_band_dirs(spark, snapshot_path: str, before_batch_id: int) -> list[str]:
@@ -707,8 +914,22 @@ def fold_semantic_batch(
     fold==batch parity additionally requires the append-only id
     invariant (every batch id exceeds every prior id), since the
     stand-in derives from the LOWEST ids — the same invariant the
-    passage fold states for its screen."""
+    passage fold states for its screen.
+
+    Band-width contract (round 8): the LSH signature width is PINNED
+    at first fold exactly like the ANN fold's quantizer scale — the
+    first fold stores ``bits`` (the caller-supplied value, else
+    ``lsh_bits_for`` of the first batch's count; supply it when the
+    stream will grow far past its first batch) and every later fold
+    loads the stored one, raising if a caller passes a DIFFERENT
+    explicit width mid-stream. Width can never change mid-stream:
+    collision candidacy is signature agreement, so folds at two widths
+    silently stop merging knob-split pairs and the incremental ==
+    batch parity theorem breaks. A stream maintained at a pinned width
+    matches the batch recompute AT THAT WIDTH (pass ``bits=`` to the
+    batch operator when comparing)."""
     from ..operators.similarity import (
+        lsh_bits_for,
         semantic_dedup_clusters,
         update_semantic_clusters,
     )
@@ -717,6 +938,29 @@ def fold_semantic_batch(
     versions = rollup_committed_versions(spark, snapshot_path)
     if versions and versions[-1] >= batch_id:
         return  # replayed batch: already folded and committed
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    bits = dedup_kwargs.pop("bits", None)
+    bits_path = f"{snapshot_path}/lsh_bits"
+    bits_marker = jvm.org.apache.hadoop.fs.Path(
+        f"{snapshot_path}/lsh_bits{ROLLUP_APPLIED_MARKER}"
+    )
+    if not fs.exists(bits_marker):
+        if bits is None:
+            bits = lsh_bits_for(batch_df.select("vec_id").count())
+        spark.createDataFrame(
+            [(int(bits),)], "bits int"
+        ).coalesce(1).write.mode("overwrite").parquet(bits_path)
+        fs.create(bits_marker, True).close()
+    pinned = int(spark.read.parquet(bits_path).collect()[0]["bits"])
+    if bits is not None and int(bits) != pinned:
+        raise ValueError(
+            f"fold_semantic_batch: caller requested bits={bits} but the"
+            f" snapshot pinned bits={pinned} at first fold — signature"
+            " width cannot change mid-stream (folds at two widths stop"
+            " merging knob-split pairs and break fold==batch parity);"
+            " start a new snapshot to change the width"
+        )
+    dedup_kwargs["bits"] = pinned
     if versions:
         state = spark.read.parquet(
             f"{_rollup_version_dir(snapshot_path, versions[-1])}/state"
@@ -737,7 +981,6 @@ def fold_semantic_batch(
     )
     vdir = _rollup_version_dir(snapshot_path, batch_id)
     new_state.write.mode("overwrite").parquet(f"{vdir}/state")
-    jvm, fs = _rollup_fs(spark, snapshot_path)
     fs.create(
         jvm.org.apache.hadoop.fs.Path(f"{vdir}/{ROLLUP_APPLIED_MARKER}"), True
     ).close()
