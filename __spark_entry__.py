@@ -23,6 +23,13 @@ intermediate of the driver-gated passage-cut pipeline, so its marginal
 driver signal was the lowest) in favor of ``semantic_decontam`` — the
 embedding-tier decontamination flagship (cross-set banded-LSH
 candidates + exact-cosine threshold) is now driver-hash-gated.
+
+Round 8 rotation: ``media_frames`` → pytest tier (it shares
+``media_features``' decode-ladder plumbing, so its marginal driver
+signal was the lowest) in favor of ``ann_topk_snapshot`` — the
+streaming ANN path (ingest folds + compaction + marker-pruned
+serving) is now driver-hash-gated against the same independent
+cells+cosine SQL as the batch IVF query.
 """
 
 from __future__ import annotations

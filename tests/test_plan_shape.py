@@ -30,6 +30,10 @@ BNLJ_BY_DESIGN = {
     "ann_topk_ivf",
     "ann_topk_ivf2",
     "ivf_cells_trained",  # crossJoin of the 1-row centroid-struct agg
+    # round 8: snapshot serving shares ann_topk_ivf's scoring tail —
+    # the probed corpus partitions stream against the broadcast 1-row
+    # centroid-struct agg / tiny query set, the same deliberate shape
+    "ann_topk_snapshot",
 }
 
 

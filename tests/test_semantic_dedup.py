@@ -1176,6 +1176,10 @@ def test_default_bits_derive_from_corpus_count(spark):
     )
     from embedding_scale_probe import clustered_embeddings
 
+    # explicit bits never touches the relations — plan construction
+    # stays action-free for callers that pin the width (the streaming
+    # folds); a non-DataFrame sentinel would raise if counted
+    assert similarity._resolve_bits(11, object()) == 11
     # (b) floor regime: the 8-vector planted corpus
     emb = _planted(spark)
     assert similarity._resolve_bits(None, emb) == similarity.LSH_BITS

@@ -394,6 +394,47 @@ def q_ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: process-cached streaming ANN snapshots keyed by sf_dir — built once
+#: (three ingest folds + one compaction) and served many times, like
+#: trained_codebook's materialize-once contract; content is
+#: deterministic (same embeddings, same codebook, same fold split)
+_ANN_SNAPSHOTS: dict[str, str] = {}
+
+
+def q_ann_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8 (r7 verdict item 8): driver-hash-gate the STREAMING
+    at-rest ANN path end to end — the corpus arrives as three ingest
+    folds (``fold_ann_index_batch`` against the trained codebook), the
+    first two batches are rewritten by ``compact_ann_index`` (marker
+    flip, sources dropped), and serving reads only committed
+    generations/batches through partition-pruned cells. The oracle is
+    the SAME cells+cosine SQL as ``ann_topk_ivf``: the snapshot must
+    reproduce the batch answer bit-for-bit THROUGH the fold + compact +
+    marker protocol, which is exactly the evidence the pytest-only
+    parity tests carried before."""
+    import tempfile
+
+    from .streaming import (
+        ann_topk_snapshot,
+        compact_ann_index,
+        fold_ann_index_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap = _ANN_SNAPSHOTS.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="annsnap_q_")
+        cb = trained_codebook(spark, sf_dir)
+        for b in range(3):
+            fold_ann_index_batch(
+                emb.where(F.col("vec_id") % 3 == b), b, snap, centroids=cb
+            )
+        compact_ann_index(spark, snap)
+        _ANN_SNAPSHOTS[sf_dir] = snap
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ann_topk_snapshot(spark, snap, queries_df, k=3, nprobe=1)
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_stats(load_table(spark, sf_dir, "documents"))
 
@@ -447,8 +488,12 @@ EXT_QUERIES = {
     "media_stats": q_media_stats,
     "media_features": q_media_features,
     # media_resize rotated to the pytest tier in round 6 (ledger in
-    # __spark_entry__.py) to free the driver row for ivf_cells_trained
-    "media_frames": q_media_frames,
+    # __spark_entry__.py) to free the driver row for ivf_cells_trained;
+    # media_frames rotated in round 8 for ann_topk_snapshot (the
+    # streaming fold+compact+serve path) — media_stats/media_features
+    # keep the multimodal tier driver-gated, frames shares their
+    # mapInPandas plumbing and stays hash-oracled in the pytest tier
+    "ann_topk_snapshot": q_ann_topk_snapshot,
     "connected_components": q_connected_components,
     "bfs_levels": q_bfs_levels,  # k-hop BFS, exact unrolled oracle
     "order_status_rollup": q_order_status_rollup,
@@ -1030,6 +1075,10 @@ EXT_EXTRA_QUERIES = {
     # covers the fan-out mapInPandas shape and media_features the
     # decode contract; still hash-oracled here
     "media_resize": q_media_resize,
+    # round 8: rotated out of the driver 50 for ann_topk_snapshot
+    # (frames shares media_features' decode-ladder plumbing, so its
+    # marginal driver signal was the lowest); still hash-oracled here
+    "media_frames": q_media_frames,
     # round 7: rotated out of the driver 50 for semantic_decontam —
     # the rolling hash is an intermediate of the driver-gated passage
     # pipelines (doc_passage_cuts), so its marginal driver signal was
@@ -1873,6 +1922,13 @@ EXT_ORACLES["ann_topk_ivf"] = f"""
            CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
     FROM ranked WHERE rank <= 3
 """
+
+
+# round 8: the streaming-snapshot query shares ann_topk_ivf's oracle
+# VERBATIM — that is the point: the fold + compaction + marker-pruned
+# serving path must reproduce the batch IVF answer an independent SQL
+# engine derives from the raw parquet, bit for bit
+EXT_ORACLES["ann_topk_snapshot"] = EXT_ORACLES["ann_topk_ivf"]
 
 
 def ext_oracles(dims: int = 64) -> dict[str, str]:
