@@ -535,8 +535,8 @@ def test_semantic_embs_compaction_preserves_folds_and_bounds_dirs(
     # newest committed batch (2) stays out; 0 and 1 folded into g_0
     dirs = embs_dirs()
     assert [d.rsplit("/", 1)[1] for d in dirs] == [
-        "b_" + "2".zfill(20),
         "g_" + "0".zfill(20),
+        "b_" + "2".zfill(20),
     ]
     # single safe source (the generation) -> no-op
     assert compact_semantic_embs(spark, snap) is None
@@ -560,7 +560,7 @@ def test_semantic_embs_compaction_preserves_folds_and_bounds_dirs(
     gen2 = compact_semantic_embs(spark, snap)
     assert gen2 == 1
     names = [d.rsplit("/", 1)[1] for d in embs_dirs()]
-    assert names == ["b_" + "3".zfill(20), "g_" + "1".zfill(20)]
+    assert names == ["g_" + "1".zfill(20), "b_" + "3".zfill(20)]
     # crash-before-flip: a generation whose data+sources landed but
     # whose marker never committed must be invisible to listings
     emb([(99, a)]).write.mode("overwrite").parquet(
@@ -614,7 +614,7 @@ def test_cluster_bands_compaction_preserves_cross_horizon_merge(
         d.rsplit("/", 1)[1]
         for d in _list_batch_dirs(spark, f"{snap}/bands", "b_")
     ]
-    assert names == ["b_" + "2".zfill(20), "g_" + "0".zfill(20)]
+    assert names == ["g_" + "0".zfill(20), "b_" + "2".zfill(20)]
     fold_cluster_batch(_docs(spark, [(30, "web", T1)]), 3, snap)
     all_docs = _docs(
         spark, [r for rows in batches for r in rows] + [(30, "web", T1)]
@@ -656,7 +656,7 @@ def test_passage_windows_compaction_preserves_screen(spark, tmp_path):
         d.rsplit("/", 1)[1]
         for d in _list_batch_dirs(spark, f"{snap}/windows", "w_")
     ]
-    assert names == ["w_" + "2".zfill(20), "g_" + "0".zfill(20)]
+    assert names == ["g_" + "0".zfill(20), "w_" + "2".zfill(20)]
     # doc 30 repeats ONLY the batch-0 boilerplate passage
     fold_passage_batch(
         spark.createDataFrame(
@@ -670,3 +670,96 @@ def test_passage_windows_compaction_preserves_screen(spark, tmp_path):
         r["doc_id"] for r in read_passage_cuts(spark, snap).collect()
     }
     assert 30 in cut_docs  # screened against the compacted index
+
+
+def test_pack_rows_compaction_preserves_tape_and_appends(spark, tmp_path):
+    """compact_pack_rows: merging the safe packs/p_<id> dirs into one
+    generation must leave (a) read_packed_corpus equal to the batch
+    pack_sequences recompute, (b) the NEXT fold's tape end intact —
+    committed[-1]/meta must keep resolving to the newest stream batch,
+    which is why _list_batch_dirs returns generations first — and (c)
+    a no-op on re-run below two sources."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        pack_sequences,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_pack_rows,
+        fold_pack_batch,
+        read_packed_corpus,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    snap = str(tmp_path / "snap")
+    budget = 8
+    batches = [
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        [(2, "zeta eta theta iota kappa")],
+        [(3, "lam mu"), (4, "nu xi omicron pi")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_pack_batch(docs(rows), i, snap, budget=budget)
+    gen = compact_pack_rows(spark, snap)
+    assert gen == 0
+    all_docs = docs([r for rows in batches for r in rows])
+    want = sorted(
+        map(tuple, pack_sequences(all_docs, budget=budget).collect())
+    )
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want
+    # the next fold appends at the true tape end across the compacted
+    # horizon (a stale generation meta would restart mid-tape)
+    fold_pack_batch(docs([(5, "rho sigma tau")]), 3, snap, budget=budget)
+    all_docs = docs([r for rows in batches for r in rows] + [(5, "rho sigma tau")])
+    want = sorted(
+        map(tuple, pack_sequences(all_docs, budget=budget).collect())
+    )
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want
+    # single safe source (the generation) after the new fold is still
+    # >= 2 sources (gen + p_2)? p_2 was the newest at compaction time
+    # and stayed out; re-compaction folds gen 0 + p_2 forward
+    gen2 = compact_pack_rows(spark, snap)
+    assert gen2 == 1
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want
+    assert compact_pack_rows(spark, snap) is None  # gen 1 alone is safe
+
+
+def test_passage_cuts_compaction_preserves_served_cuts(spark, tmp_path):
+    """compact_passage_cuts: the served cut-list union must be
+    identical across the flip, and later folds keep appending."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_passage_cuts,
+        fold_passage_batch,
+        read_passage_cuts,
+    )
+
+    boiler = "please accept cookies to continue using this website"
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(1, f"alpha beta gamma {boiler}")],
+        [(10, f"{boiler} epsilon zeta eta theta iota")],
+        [(20, f"closing batch lambda mu {boiler} nu xi")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_passage_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), i, snap
+        )
+    before = sorted(map(tuple, read_passage_cuts(spark, snap).collect()))
+    assert compact_passage_cuts(spark, snap) == 0
+    assert sorted(
+        map(tuple, read_passage_cuts(spark, snap).collect())
+    ) == before
+    # a later duplicate of the compacted-away batch-0 passage still cuts
+    fold_passage_batch(
+        spark.createDataFrame(
+            [(30, f"tail repeat {boiler} here")], "doc_id long, text string"
+        ),
+        3,
+        snap,
+    )
+    after = sorted(map(tuple, read_passage_cuts(spark, snap).collect()))
+    assert set(before) <= set(after)
+    assert 30 in {d for d, _, _ in after}

@@ -909,6 +909,53 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: process-cached streaming semantic snapshots keyed by sf_dir (same
+#: materialize-once contract as _ANN_SNAPSHOTS)
+_SEM_SNAPSHOTS: dict[str, str] = {}
+
+
+def q_semantic_snapshot_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 8: differential-tier gate of the SEMANTIC streaming path —
+    the embeddings arrive as three RANGE-SPLIT ingest folds (the
+    append-only id invariant the stand-in-free fold==batch parity
+    needs; trained codebook + the registered threshold, so the knobs
+    match the batch query), the two oldest embs/ dirs are rewritten by
+    ``compact_semantic_embs``, and the served snapshot must hash-match
+    the SAME DuckDB clustering oracle as the batch
+    ``semantic_dedup_clusters`` query — incremental == batch THROUGH
+    the fold + compaction + marker protocol, checked by an independent
+    engine rather than only by pytest self-parity."""
+    import tempfile
+
+    from .streaming import (
+        compact_semantic_embs,
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    snap = _SEM_SNAPSHOTS.get(sf_dir)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="semsnap_q_")
+        cb = trained_codebook(spark, sf_dir)
+        n = emb.count()
+        per = (n + 2) // 3
+        for b in range(3):
+            fold_semantic_batch(
+                emb.where(
+                    (F.col("vec_id") >= b * per)
+                    & (F.col("vec_id") < (b + 1) * per)
+                ),
+                b,
+                snap,
+                centroids=cb,
+                min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+            )
+        compact_semantic_embs(spark, snap)
+        _SEM_SNAPSHOTS[sf_dir] = snap
+    return read_semantic_snapshot(spark, snap)
+
+
 def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end check of the trained assignment: the codebook values
     # come from the (cached) trainer, the oracle re-derives them from
@@ -1079,6 +1126,11 @@ EXT_EXTRA_QUERIES = {
     # (frames shares media_features' decode-ladder plumbing, so its
     # marginal driver signal was the lowest); still hash-oracled here
     "media_frames": q_media_frames,
+    # round 8: the semantic streaming path (range-split folds +
+    # embs-store compaction + snapshot read) against the SAME DuckDB
+    # clustering oracle as the batch query — incremental == batch
+    # through the whole marker protocol, engine-independently
+    "semantic_snapshot_compacted": q_semantic_snapshot_compacted,
     # round 7: rotated out of the driver 50 for semantic_decontam —
     # the rolling hash is an intermediate of the driver-gated passage
     # pipelines (doc_passage_cuts), so its marginal driver signal was
@@ -2317,6 +2369,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import passages as _passages
 
     out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
+    # round 8: the streaming-snapshot twin shares the clustering oracle
+    # VERBATIM — fold + compaction + marker-pruned serving must land on
+    # the same clusters an independent engine derives from raw parquet
+    out["semantic_snapshot_compacted"] = _semantic_dedup_oracle(dims)
     out["cluster_update_incremental"] = _near_dup_clusters_oracle()
     out["doc_canonical_longest"] = f"""
         WITH cl AS ({_near_dup_clusters_oracle()}),

@@ -570,7 +570,11 @@ def _list_batch_dirs(
         ):
             continue
         out.append(f"{parent}/{name}")
-    return sorted(out) + [_gen_dir(parent, g) for g in gens]
+    # generations FIRST: they hold the oldest data, and consumers that
+    # read positionally — fold_pack_batch takes committed[-1]/meta as
+    # the live tape end — must keep seeing the NEWEST stream batch
+    # last, never a compacted generation whose meta is historical
+    return [_gen_dir(parent, g) for g in gens] + sorted(out)
 
 
 def _gen_dir(parent: str, gen: int) -> str:
@@ -738,6 +742,131 @@ def compact_cluster_bands(
     return _compact_batch_store(
         spark, f"{snapshot_path}/bands", "b_", versions[-1], target_file_mb
     )
+
+
+def _max_committed_batch(spark, parent: str, prefix: str) -> int | None:
+    """Highest batch id under ``parent`` whose IN-DIR marker committed
+    (the passage-cut / pack stores commit per-batch, not per-version).
+    None when nothing committed."""
+    jvm, fs = _rollup_fs(spark, parent)
+    root = jvm.org.apache.hadoop.fs.Path(parent)
+    if not fs.exists(root):
+        return None
+    ids = [
+        int(st_.getPath().getName()[len(prefix):])
+        for st_ in fs.listStatus(root)
+        if st_.isDirectory()
+        and st_.getPath().getName().startswith(prefix)
+        and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                st_.getPath(), ROLLUP_APPLIED_MARKER
+            )
+        )
+    ]
+    return max(ids) if ids else None
+
+
+def compact_passage_cuts(
+    spark, snapshot_path: str, target_file_mb: int = 256
+) -> int | None:
+    """Compact the passage snapshot's committed cut lists
+    (``cuts/c_<id>`` — flat parquet per batch, in-dir marker hidden
+    from scans); see ``_compact_batch_store``. The newest COMMITTED
+    batch is the exclusion bound, so an uncommitted crash-leftover dir
+    (always the highest id — folds are serial) is never absorbed into
+    a generation its replay would then duplicate."""
+    newest = _max_committed_batch(spark, f"{snapshot_path}/cuts", "c_")
+    if newest is None:
+        return None
+    return _compact_batch_store(
+        spark, f"{snapshot_path}/cuts", "c_", newest, target_file_mb
+    )
+
+
+def compact_pack_rows(
+    spark, snapshot_path: str, target_file_mb: int = 256
+) -> int | None:
+    """Compact the packed-tape snapshot's per-batch dirs
+    (``packs/p_<id>`` — ``rows/`` + 1-row ``meta/`` each, in-dir
+    marker): merge the safe batches' ``rows`` into one generation
+    whose ``meta`` copies its NEWEST source's tape end (the generation
+    is self-consistent, though the live tape end always comes from the
+    newest stream batch — ``_list_batch_dirs`` returns generations
+    FIRST precisely so ``committed[-1]/meta`` keeps meaning that).
+    Same sources-parquet-then-marker flip as ``_compact_batch_store``;
+    custom body because of the rows/meta subdir layout."""
+    import math
+
+    parent = f"{snapshot_path}/packs"
+    jvm, fs = _rollup_fs(spark, parent)
+    newest = _max_committed_batch(spark, parent, "p_")
+    if newest is None:
+        return None
+    prior_gens = _committed_gens(spark, parent)
+    already: set[int] = set()
+    for g in prior_gens:
+        already.update(_gen_sources(spark, parent, g))
+    batch_dirs: list[tuple[int, str]] = []
+    root = jvm.org.apache.hadoop.fs.Path(parent)
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if st_.isDirectory() and name.startswith("p_"):
+            bid = int(name[2:])
+            if bid < newest and bid not in already:
+                batch_dirs.append((bid, f"{parent}/{name}"))
+    batch_dirs.sort()
+    src_paths = [p for _, p in batch_dirs] + [
+        _gen_dir(parent, g) for g in prior_gens
+    ]
+    if len(src_paths) < 2:
+        return None
+    gen = (prior_gens[-1] + 1) if prior_gens else 0
+    total_bytes = 0
+    for p in src_paths:
+        total_bytes += fs.getContentSummary(
+            jvm.org.apache.hadoop.fs.Path(f"{p}/rows")
+        ).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 2**20)))
+    merged = spark.read.parquet(*[f"{p}/rows" for p in src_paths])
+    merged.repartition(n_files).write.mode("overwrite").parquet(
+        f"{_gen_dir(parent, gen)}/rows"
+    )
+    # the generation's meta = its newest source's tape end (batch dirs
+    # always outrank prior generations — a generation's sources predate
+    # every later stream batch by construction)
+    newest_src = (
+        batch_dirs[-1][1] if batch_dirs else _gen_dir(parent, prior_gens[-1])
+    )
+    spark.read.parquet(f"{newest_src}/meta").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{_gen_dir(parent, gen)}/meta")
+    srcs = [(int(b),) for b, _ in batch_dirs] + [
+        (-(int(g) + 1),) for g in prior_gens
+    ]
+    spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
+    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
+    for _, p in batch_dirs:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        except Exception:
+            pass  # best-effort; invisible garbage, retried next run
+    for g in prior_gens:
+        try:
+            fs.delete(_gen_marker_path(jvm, parent, g), False)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_gen_dir(parent, g)), True
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{parent}/compact_sources/g_{g:020d}"
+                ),
+                True,
+            )
+        except Exception:
+            pass
+    return gen
 
 
 def compact_passage_windows(
