@@ -77,12 +77,12 @@ LOCAL_MAX_WORDS_DEFAULT = 5_000_000
 #: guessed (scripts/bpe_encode_gate_probe.py, sf0.01 documents, warm):
 #: the SQL arm's per-row nested-fold cost grows ~linearly at
 #: ~0.25 s/merge on this corpus (1 merge 0.91 s, 8 → 2.27 s, 64 →
-#: 15.9 s, 256 → 59.7 s) while the Arrow arm stays ~flat (0.5–0.7 s
-#: through 64 merges, 4.6 s at 256), so the crossover is already at
-#: 2–4 merges; the SQL arm earns its keep only for trivial merge
-#: lists, where staying inside one codegen'd JVM plan (no Python
-#: workers, no Arrow hop) still wins. A real tokenizer's 30k-merge
-#: vocabulary MUST take the pandas arm.
+#: 15.9 s, 256 → 59.7 s, 512 → 127 s) while the Arrow arm stays ~flat
+#: — 0.36 s at 64 merges, 0.78 s at 512 with the per-task word memo —
+#: so the crossover is already at 2–4 merges; the SQL arm earns its
+#: keep only for trivial merge lists, where staying inside one
+#: codegen'd JVM plan (no Python workers, no Arrow hop) still wins. A
+#: real tokenizer's 30k-merge vocabulary MUST take the pandas arm.
 SQL_MAX_MERGES_CONF = "spark.graft.bpe.sqlMaxMerges"
 SQL_MAX_MERGES_DEFAULT = 4
 
@@ -498,14 +498,24 @@ def bpe_encode_pandas(
     def run(batches):
         import pandas as pd
 
+        # per-task word memo (round 8): encode_word is pure and real
+        # corpora repeat words heavily (Zipf), so each distinct word
+        # pays the merge loop once per task instead of once per
+        # occurrence. Memory is bounded by the task's DISTINCT words —
+        # the same vocabulary scale the local trainer collects whole —
+        # and the memo dies with the task.
+        memo: dict[str, list[str]] = {}
+
+        def enc(w: str) -> list[str]:
+            out = memo.get(w)
+            if out is None:
+                out = encode_word(w)
+                memo[w] = out
+            return out
+
         for pdf in batches:
             toks = [
-                [
-                    t
-                    for w in text.split(" ")
-                    if w != ""
-                    for t in encode_word(w)
-                ]
+                [t for w in text.split(" ") if w != "" for t in enc(w)]
                 for text in pdf["text"]
             ]
             yield pd.DataFrame(

@@ -397,8 +397,24 @@ def q_ann_topk_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: process-cached streaming ANN snapshots keyed by sf_dir — built once
 #: (three ingest folds + one compaction) and served many times, like
 #: trained_codebook's materialize-once contract; content is
-#: deterministic (same embeddings, same codebook, same fold split)
+#: deterministic (same embeddings, same codebook, same fold split).
+#: The temp dirs are removed at interpreter exit (consumers hold lazy
+#: plans only within the process, so exit-time removal is safe).
 _ANN_SNAPSHOTS: dict[str, str] = {}
+
+
+def _cleanup_snapshot_caches() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for cache in (_ANN_SNAPSHOTS, _SEM_SNAPSHOTS):
+        for path in cache.values():
+            shutil.rmtree(path, ignore_errors=True)
+        cache.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_snapshot_caches)
 
 
 def q_ann_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -709,7 +709,7 @@ def _compact_batch_store(
                 True,
             )
         except Exception:
-            pass
+            pass  # best-effort; invisible garbage, retried next run
     return gen
 
 
@@ -865,7 +865,7 @@ def compact_pack_rows(
                 True,
             )
         except Exception:
-            pass
+            pass  # best-effort; invisible garbage, retried next run
     return gen
 
 
