@@ -1139,7 +1139,10 @@ def streaming_semantic_maintenance(
     ingested so far (parity pinned in
     tests/test_incremental_mixture.py). Read the current state with
     ``read_semantic_snapshot``; see ``fold_semantic_batch`` for the
-    quantizer-pinning contract.
+    quantizer-pinning AND band-width-pinning contracts — in
+    particular, a stream expected to grow far past its first batch
+    should pass ``bits=lsh_bits_for(expected_corpus_size)`` here,
+    because the width pins at first fold and cannot widen later.
 
     Returns the started StreamingQuery (caller awaits/stops)."""
 
