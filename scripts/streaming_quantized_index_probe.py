@@ -104,6 +104,36 @@ def main() -> None:
             ).collect()
         }
         serve_s = time.time() - t0
+
+        # compaction at scale: fold the safe batches into one
+        # generation, re-serve, and require the SAME pairs — the
+        # marker-flip parity theorem checked at 1M, not just test size
+        from twitter_social_triangle_mapreduce_spark.streaming import (
+            compact_ann_index,
+        )
+
+        def n_files() -> int:
+            return sum(
+                1
+                for dp, _, fs_ in os.walk(f"{snap}/vectors")
+                for f in fs_
+                if f.endswith(".parquet")
+            )
+
+        files_before = n_files()
+        t0 = time.time()
+        gen = compact_ann_index(spark, snap)
+        compact_s = time.time() - t0
+        t0 = time.time()
+        compacted_pairs = {
+            (r["qid"], r["nid"])
+            for r in ann_topk_snapshot(
+                spark, snap, qs, k=K, nprobe=NPROBE
+            ).collect()
+        }
+        serve_compacted_s = time.time() - t0
+        assert gen is not None and compacted_pairs == snap_pairs
+        files_after = n_files()
         recall = len(float_pairs & snap_pairs) / max(len(float_pairs), 1)
         # budget guards (r7 verdict item 5's done-criterion): the int8
         # streaming arm must hold the batch arm's recall class and its
@@ -131,6 +161,10 @@ def main() -> None:
                     ),
                     "float_index_mb": du_mb(f"{tmp}/float_idx/vectors"),
                     "quantized_snapshot_mb": du_mb(f"{snap}/vectors"),
+                    "compact_s": round(compact_s, 1),
+                    "serve_compacted_s": round(serve_compacted_s, 1),
+                    "files_before_compact": files_before,
+                    "files_after_compact": files_after,
                 }
             ),
             flush=True,

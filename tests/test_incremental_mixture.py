@@ -725,6 +725,16 @@ def test_pack_rows_compaction_preserves_tape_and_appends(spark, tmp_path):
     got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
     assert got == want
     assert compact_pack_rows(spark, snap) is None  # gen 1 alone is safe
+    # crash-before-flip: an orphan generation (rows + sources, no
+    # marker) must be invisible to the packed read
+    docs([(99, "ghost")]).write.mode("overwrite").parquet(
+        f"{snap}/packs/g_" + "7".zfill(20) + "/rows"
+    )
+    spark.createDataFrame([(3,)], "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{snap}/packs/compact_sources/g_" + "7".zfill(20))
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want
 
 
 def test_passage_cuts_compaction_preserves_served_cuts(spark, tmp_path):
