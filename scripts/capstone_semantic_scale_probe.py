@@ -50,18 +50,32 @@ from twitter_social_triangle_mapreduce_spark.session import get_spark  # noqa: E
 
 def synthetic_documents(spark, n: int, n_words: int = 24):
     """n distinct curation-passing documents, all JVM expressions.
-    Every token is an independent hash-indexed draw from a 200-word
-    vocabulary (~30% English stopwords), so documents are DIVERSE at
-    the shingle level — a shared fixed template would make every
-    band bucket corpus-sized and the near-dup join quadratic, which is
-    a planted pathology, not a scale measurement. The trailing
-    hex(hash) token guarantees uniqueness (exact-dup keeps all)."""
+    Every token is an independent hash-indexed draw from a hash-drawn
+    vocabulary (~60 English stopwords + synthetic words), so documents
+    are DIVERSE at the shingle level — a shared fixed template would
+    make every band bucket corpus-sized and the near-dup join
+    quadratic, which is a planted pathology, not a scale measurement.
+    The trailing hex(hash) token guarantees uniqueness (exact-dup
+    keeps all).
+
+    Vocabulary size scales with the corpus as 200·(n/1e6)^(1/3)
+    (round 8): the decontamination screen matches 3-gram windows, so a
+    FIXED vocabulary saturates — at 10M docs the eval split's ~13M
+    window draws cover the whole 200³ = 8M window space and every doc
+    crosses the 20% threshold (kept = 0, measured), which is a
+    GENERATOR artifact, not an engine property. The cube-root law
+    holds eval coverage of the window space ~constant across scales;
+    at n = 1M it is exactly the historical 200 words, so every prior
+    recorded run is unchanged."""
+    import math
+
     from twitter_social_triangle_mapreduce_spark.operators.text import (
         STOPWORDS,
     )
 
+    v = max(200, math.ceil(200 * (n / 1_000_000) ** (1 / 3)))
     vocab = list(STOPWORDS)[:60] + [
-        f"w{i:03d}" for i in range(140)
+        f"w{i:03d}" for i in range(v - 60)
     ]
     arr = "array(" + ",".join(f"'{w}'" for w in vocab) + ")"
     return spark.range(n).select(
