@@ -773,3 +773,267 @@ def test_passage_cuts_compaction_preserves_served_cuts(spark, tmp_path):
     after = sorted(map(tuple, read_passage_cuts(spark, snap).collect()))
     assert set(before) <= set(after)
     assert 30 in {d for d, _, _ in after}
+
+
+def _resurrect_gen(spark, parent, gen, saved_data, saved_sources):
+    """Recreate generation ``gen`` exactly as a crash-after-flip leaves
+    it: data dir + compact_sources + COMMITTED marker all present while
+    a later generation's ledger already records it as folded forward."""
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _gen_dir,
+        _gen_marker_path,
+        _rollup_fs,
+    )
+
+    spark.read.parquet(saved_data).write.mode("overwrite").parquet(
+        _gen_dir(parent, gen)
+    )
+    spark.read.parquet(saved_sources).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
+    jvm, fs = _rollup_fs(spark, parent)
+    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
+
+
+def test_compact_batch_store_crash_after_flip_is_duplicate_free(
+    spark, tmp_path
+):
+    """Round-9 (r8 verdict item 1): a crash AFTER the new generation's
+    marker commit but BEFORE the old generation's cleanup leaves BOTH
+    markers on disk. Exclusion must come from the committed
+    compact_sources ledger (the -(gen+1) entries), not from marker
+    deletion: listings skip the folded generation, the union read is
+    duplicate-free, and the NEXT compaction neither re-reads the stale
+    generation (which would bake the duplicates in permanently) nor
+    leaves its marker behind."""
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _committed_gens,
+        _compact_batch_store,
+        _gen_dir,
+        _list_batch_dirs,
+    )
+
+    parent = str(tmp_path / "store")
+
+    def write_batch(bid, vals):
+        spark.createDataFrame([(int(v),) for v in vals], "x long").write.parquet(
+            f"{parent}/b_{bid:020d}"
+        )
+
+    write_batch(0, [1, 2])
+    write_batch(1, [3])
+    write_batch(2, [4])
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0  # folds 0,1
+    write_batch(3, [5])
+    # snapshot g_0's data + ledger before the second compaction deletes
+    # them, so we can resurrect the exact crash-after-flip state
+    saved_data = str(tmp_path / "saved_g0")
+    saved_sources = str(tmp_path / "saved_g0_sources")
+    spark.read.parquet(_gen_dir(parent, 0)).write.parquet(saved_data)
+    spark.read.parquet(f"{parent}/compact_sources/g_" + "0".zfill(20)).write.parquet(
+        saved_sources
+    )
+    assert _compact_batch_store(spark, parent, "b_", 3) == 1  # folds g0 + b_2
+    _resurrect_gen(spark, parent, 0, saved_data, saved_sources)
+    assert _committed_gens(spark, parent) == [0, 1]  # both markers live
+    # the listing excludes the folded generation via g_1's ledger
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    assert [d.rsplit("/", 1)[1] for d in dirs] == [
+        "g_" + "1".zfill(20),
+        "b_" + "3".zfill(20),
+    ]
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4, 5]  # duplicate-free
+    # next compaction: folds g_1 + b_3 only (never re-reads stale g_0),
+    # and its cleanup retires the stale marker
+    assert _compact_batch_store(spark, parent, "b_", 4) == 2
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    assert [d.rsplit("/", 1)[1] for d in dirs] == ["g_" + "2".zfill(20)]
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4, 5]  # still duplicate-free: nothing baked
+    assert _committed_gens(spark, parent) == [2]
+
+
+def test_semantic_embs_crash_after_flip_fold_stays_batch_equal(
+    spark, tmp_path
+):
+    """The semantic store through the PUBLIC path: with a stale
+    folded-forward generation resurrected (crash-after-flip), the next
+    fold's corpus read must not double-count the old embeddings and the
+    snapshot must still equal the batch recompute."""
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_semantic_embs,
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _gen_dir,
+        _list_batch_dirs,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    parent = f"{snap}/embs"
+    batches = [
+        [(0, a), (1, b)],
+        [(2, [0.0] * 7 + [1.0])],
+        [(3, [0.0, 1.0] + [0.0] * 6)],
+    ]
+    rows_so_far = []
+    for i, rows in enumerate(batches):
+        fold_semantic_batch(emb(rows), i, snap, dims=8)
+        rows_so_far += rows
+    assert compact_semantic_embs(spark, snap) == 0
+    fold_semantic_batch(emb([(4, [0.0, 0.0, 0.0, 1.0] + [0.0] * 4)]), 3, snap, dims=8)
+    rows_so_far += [(4, [0.0, 0.0, 0.0, 1.0] + [0.0] * 4)]
+    saved_data = str(tmp_path / "saved_g0")
+    saved_sources = str(tmp_path / "saved_g0_sources")
+    spark.read.parquet(_gen_dir(parent, 0)).write.parquet(saved_data)
+    spark.read.parquet(f"{parent}/compact_sources/g_" + "0".zfill(20)).write.parquet(
+        saved_sources
+    )
+    assert compact_semantic_embs(spark, snap) == 1
+    _resurrect_gen(spark, parent, 0, saved_data, saved_sources)
+    # the corpus union is duplicate-free despite both markers existing
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(*dirs).collect()
+    )
+    assert ids == [0, 1, 2, 3, 4]
+    # a vec duplicating ONLY a compacted-away batch-0 vector merges,
+    # and the state equals the batch recompute (no double-counted rows)
+    fold_semantic_batch(emb([(5, a)]), 4, snap, dims=8)
+    rows_so_far += [(5, a)]
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(emb(rows_so_far), dims=8).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_pack_rows_crash_after_flip_is_duplicate_free(spark, tmp_path):
+    """compact_pack_rows' inline layout (rows/ + meta/ subdirs) shares
+    the ledger contract: a resurrected folded-forward generation is
+    excluded read-side, the packed corpus stays equal to the batch
+    recompute (duplicate pack rows = duplicated training data), and the
+    next compaction converges without baking the stale rows in."""
+    from twitter_social_triangle_mapreduce_spark.operators.corpus import (
+        pack_sequences,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_pack_rows,
+        fold_pack_batch,
+        read_packed_corpus,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _committed_gens,
+        _gen_dir,
+        _gen_marker_path,
+        _rollup_fs,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    snap = str(tmp_path / "snap")
+    parent = f"{snap}/packs"
+    budget = 8
+    batches = [
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        [(2, "zeta eta theta iota kappa")],
+        [(3, "lam mu"), (4, "nu xi omicron pi")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_pack_batch(docs(rows), i, snap, budget=budget)
+    assert compact_pack_rows(spark, snap) == 0
+    fold_pack_batch(docs([(5, "rho sigma tau")]), 3, snap, budget=budget)
+    # save g_0 (rows + meta + ledger) before it is cleaned up
+    saved_rows = str(tmp_path / "saved_g0_rows")
+    saved_meta = str(tmp_path / "saved_g0_meta")
+    saved_sources = str(tmp_path / "saved_g0_sources")
+    spark.read.parquet(f"{_gen_dir(parent, 0)}/rows").write.parquet(saved_rows)
+    spark.read.parquet(f"{_gen_dir(parent, 0)}/meta").write.parquet(saved_meta)
+    spark.read.parquet(f"{parent}/compact_sources/g_" + "0".zfill(20)).write.parquet(
+        saved_sources
+    )
+    assert compact_pack_rows(spark, snap) == 1
+    spark.read.parquet(saved_rows).write.parquet(f"{_gen_dir(parent, 0)}/rows")
+    spark.read.parquet(saved_meta).coalesce(1).write.parquet(
+        f"{_gen_dir(parent, 0)}/meta"
+    )
+    spark.read.parquet(saved_sources).coalesce(1).write.parquet(
+        f"{parent}/compact_sources/g_" + "0".zfill(20)
+    )
+    jvm, fs = _rollup_fs(spark, parent)
+    fs.create(_gen_marker_path(jvm, parent, 0), True).close()
+    assert _committed_gens(spark, parent) == [0, 1]
+    all_docs = docs([r for rows in batches for r in rows] + [(5, "rho sigma tau")])
+    want = sorted(map(tuple, pack_sequences(all_docs, budget=budget).collect()))
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want  # stale generation invisible: no duplicate rows
+    # another fold, then the next compaction converges (g_1 + p_3,
+    # never the stale g_0) and its cleanup retires the stale marker
+    fold_pack_batch(docs([(6, "upsilon phi chi")]), 4, snap, budget=budget)
+    assert compact_pack_rows(spark, snap) == 2
+    all_docs = docs(
+        [r for rows in batches for r in rows]
+        + [(5, "rho sigma tau"), (6, "upsilon phi chi")]
+    )
+    want = sorted(map(tuple, pack_sequences(all_docs, budget=budget).collect()))
+    got = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    assert got == want
+    assert _committed_gens(spark, parent) == [2]
+
+
+def test_fold_semantic_legacy_snapshot_pins_historical_default(
+    spark, tmp_path, monkeypatch
+):
+    """A snapshot with COMMITTED versions but no lsh_bits marker
+    predates the round-8 width contract; its history folded at the
+    fixed LSH_BITS default, so the next fold must pin LSH_BITS — never
+    a width derived from the CURRENT batch's count, which would be a
+    silent mid-stream width change (advisor finding, round 8)."""
+    import shutil
+
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    fold_semantic_batch(emb([(0, a)]), 0, snap, dims=8)
+    # strip the width contract files — the pre-round-8 on-disk layout
+    shutil.rmtree(f"{snap}/lsh_bits")
+    import os
+
+    os.remove(f"{snap}/lsh_bits_APPLIED")
+    # make batch-derived sizing loud: if the fold (wrongly) derives
+    # from this batch instead of pinning the historical default, it
+    # would store 99
+    monkeypatch.setattr(similarity, "lsh_bits_for", lambda n, **k: 99)
+    fold_semantic_batch(emb([(1, a)]), 1, snap, dims=8)
+    stored = [
+        int(r["bits"])
+        for r in spark.read.parquet(f"{snap}/lsh_bits").collect()
+    ]
+    assert stored == [similarity.LSH_BITS]
