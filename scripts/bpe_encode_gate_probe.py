@@ -16,6 +16,13 @@ point regardless).
 
 Usage: python scripts/bpe_encode_gate_probe.py [n_merges ...]
 (default 8 32 64 96 128 256 512; results in BASELINE.md)
+
+Round 9 (r8 verdict item 2): the pandas arm's per-word encode is now
+PAIR-DRIVEN (heap of present pairs), so its cost must stay flat to a
+production 30k-merge vocabulary; points above ``SQL_ARM_MAX`` (512)
+probe the pandas arm only — the SQL arm's ~0.25 s/merge line is
+already measured and a 30k-merge nested-fold plan would take hours by
+construction, not by surprise.
 """
 
 from __future__ import annotations
@@ -34,25 +41,47 @@ from twitter_social_triangle_mapreduce_spark.operators import bpe  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+#: largest merge count the SQL arm is probed at — its linear-in-plan-
+#: depth cost is established (see module docstring); beyond this the
+#: probe times the pandas arm alone
+SQL_ARM_MAX = 512
 
-def synthetic_merges(n: int) -> list[tuple[int, str, str, int]]:
-    """Deterministic ranked merge table: every lowercase bigram (676)
-    then bigrams of already-merged symbols — enough distinct ranked
-    pairs for any probe ladder, each a structurally-valid merge."""
+
+def synthetic_merges(
+    n: int, max_len: int = 12
+) -> list[tuple[int, str, str, int]]:
+    """Deterministic ranked merge table: lowercase bigrams first, then
+    pairs of already-merged symbols in diagonal order — enough
+    distinct ranked pairs for any probe ladder, each a
+    structurally-valid merge. Merged-symbol length is capped at
+    ``max_len`` (real vocabulary tokens are short; the previous
+    unbounded cyclic picker compounded concatenations Fibonacci-style,
+    so a 2048-entry table held near-gigabyte strings and the probe
+    measured the allocator, not the encoder)."""
     out: list[tuple[int, str, str, int]] = []
-    alphabet = [chr(ord("a") + i) for i in range(26)]
-    syms = list(alphabet)
+    seen: set[tuple[str, str]] = set()
+    syms = [chr(ord("a") + i) for i in range(26)]
     r = 0
-    i = 0
+    s = 0  # diagonal: enumerate index pairs (p, q) by p+q then p
     while len(out) < n:
-        a = syms[i % len(syms)]
-        b = syms[(i * 7 + 1) % len(syms)]
-        i += 1
-        if any(x == a and y == b for _, x, y, _n in out):
-            continue
-        out.append((r, a, b, 1))
-        syms.append(a + b)
-        r += 1
+        progressed = False
+        for p in range(0, min(s, len(syms) - 1) + 1):
+            q = s - p
+            if q >= len(syms):
+                continue
+            a, b = syms[p], syms[q]
+            if (a, b) in seen or len(a) + len(b) > max_len:
+                continue
+            seen.add((a, b))
+            out.append((r, a, b, 1))
+            syms.append(a + b)
+            r += 1
+            progressed = True
+            if len(out) == n:
+                break
+        s += 1
+        if s > 4 * (len(syms) + n) and not progressed:
+            raise RuntimeError(f"exhausted synthetic pairs at {len(out)}")
     return out
 
 
@@ -69,27 +98,30 @@ def main() -> None:
     docs.persist().count()  # take the scan out of both arms' timing
     for n in sizes:
         merges = synthetic_merges(n)
-        # force the SQL arm regardless of the gate (probe both sides)
-        spark.conf.set(bpe.SQL_MAX_MERGES_CONF, str(10**9))
-        t0 = time.time()
-        sql_tok = bpe.bpe_encode(docs, merges).agg(
-            {"n_tokens": "sum"}
-        ).collect()[0][0]
-        sql_s = time.time() - t0
+        sql_s = sql_tok = None
+        if n <= SQL_ARM_MAX:
+            # force the SQL arm regardless of the gate (probe both)
+            spark.conf.set(bpe.SQL_MAX_MERGES_CONF, str(10**9))
+            t0 = time.time()
+            sql_tok = bpe.bpe_encode(docs, merges).agg(
+                {"n_tokens": "sum"}
+            ).collect()[0][0]
+            sql_s = time.time() - t0
+            spark.conf.unset(bpe.SQL_MAX_MERGES_CONF)
         t0 = time.time()
         pd_tok = bpe.bpe_encode_pandas(docs, merges).agg(
             {"n_tokens": "sum"}
         ).collect()[0][0]
         pd_s = time.time() - t0
-        spark.conf.unset(bpe.SQL_MAX_MERGES_CONF)
-        assert sql_tok == pd_tok, (n, sql_tok, pd_tok)
+        if sql_tok is not None:
+            assert sql_tok == pd_tok, (n, sql_tok, pd_tok)
         print(
             json.dumps(
                 {
                     "merges": n,
-                    "sql_sec": round(sql_s, 3),
+                    "sql_sec": round(sql_s, 3) if sql_s is not None else None,
                     "pandas_sec": round(pd_s, 3),
-                    "total_tokens": int(sql_tok),
+                    "total_tokens": int(pd_tok),
                 }
             ),
             flush=True,

@@ -315,3 +315,76 @@ def test_tokenized_shards_pack_by_model_tokens(spark, tmp_path):
         assert start == prev_end
         prev_end = end
     assert prev_end == off
+
+
+def _sweep_encode(text, merges):
+    """Pure-Python rank-order sweep — the SQL arm's exact semantics
+    (each merge applied greedily left-to-right, in rank order), used
+    as the reference the pair-driven heap encode must match."""
+    out = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w) + [bpe.EOW]
+        for _, a, b, _n in merges:
+            new = []
+            for x in syms:
+                if new and new[-1] == a and x == b:
+                    new[-1] = a + b
+                else:
+                    new.append(x)
+            syms = new
+        out.extend(syms)
+    return out
+
+
+def test_pair_driven_encode_matches_sweep_on_adversarial_tables(spark):
+    """Round-9 (r8 verdict item 2): the pandas arm's pair-driven heap
+    encode must stay bit-equivalent to the rank-order sweep on the
+    shapes where a heap path could plausibly diverge: overlapping
+    repeats, merged-symbol recombination chains, and a symbol-STRING
+    collision table — two merges concatenating to the same string, so
+    a later merge re-forms an earlier rank's pair, which the
+    rank-frontier guard must skip exactly as the sweep (already past
+    that rank) does. The SQL arm is run alongside to anchor the pure
+    reference itself."""
+    cases = [
+        # greedy overlap: aaa -> [aa, a]
+        ("aaaa aaa aa a", [(0, "a", "a", 1)]),
+        # merged symbol recombines with a later literal and itself
+        (
+            "abab ababc abc",
+            [(0, "a", "b", 1), (1, "ab", "ab", 1), (2, "ab", "c", 1)],
+        ),
+        # string collision: r0+r4 both produce "abc"; on 'abcd' the
+        # heap merges (b,c) then (a,bc) -> "abc", which re-forms the
+        # rank-3 pair ("abc","d") AFTER rank 4 applied — the sweep is
+        # past rank 3, so the guard must refuse the merge
+        (
+            "abcd xabc abcda",
+            [
+                (0, "b", "c", 1),
+                (1, "a", "b", 1),
+                (2, "ab", "c", 1),
+                (3, "abc", "d", 1),
+                (4, "a", "bc", 1),
+            ],
+        ),
+        # sentinel-absorbing merges produce whole-word tokens
+        ("dog dogs do", [(0, "o", "g", 1), (1, "og", bpe.EOW, 1), (2, "d", "og" + bpe.EOW, 1)]),
+    ]
+    for text, merges in cases:
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        want = _sweep_encode(text, merges)
+        got_pd = list(
+            bpe.bpe_encode_pandas(docs, merges).collect()[0]["tokens"]
+        )
+        assert got_pd == want, (text, merges, got_pd, want)
+        spark.conf.set(bpe.SQL_MAX_MERGES_CONF, str(10**9))
+        try:
+            got_sql = list(
+                bpe.bpe_encode(docs, merges).collect()[0]["tokens"]
+            )
+        finally:
+            spark.conf.unset(bpe.SQL_MAX_MERGES_CONF)
+        assert got_sql == want, (text, merges, got_sql, want)
