@@ -1228,3 +1228,88 @@ def test_decontaminate_default_bits_follow_train_side(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_resolve_bits_memoizes_sizing_count_per_relation(spark):
+    """Round-9 (r8 verdict item 8): a composed pipeline calling
+    several embedding-tier operators with the bits=None default over
+    the SAME corpus must pay the ids-only sizing count ONCE per
+    relation — the second defaulted resolve runs zero Spark jobs — while
+    a DIFFERENT relation still counts (no false sharing), and an
+    explicit bits runs no job at all."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+
+    rng = random.Random(9)
+    emb = _emb(
+        spark,
+        [[rng.uniform(-1, 1) for _ in range(DIMS)] for _ in range(64)],
+    )
+    other = emb.where("vec_id % 2 = 0")
+    similarity._SIZING_COUNT_MEMO.clear()
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, "resolve-bits probe")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(
+            sc._jsc.sc().statusTracker().getJobIdsForGroup(tag)
+        )
+
+    b1, j1 = jobs("rbits_1", lambda: similarity._resolve_bits(None, emb))
+    assert j1 >= 1  # first defaulted resolve counts the corpus
+    b2, j2 = jobs("rbits_2", lambda: similarity._resolve_bits(None, emb))
+    assert (b2, j2) == (b1, 0)  # memo hit: same width, ZERO jobs
+    # a different relation is keyed separately (no false sharing)
+    _, j4 = jobs("rbits_4", lambda: similarity._resolve_bits(None, other))
+    assert j4 >= 1
+    # explicit bits never launches a job
+    b5, j5 = jobs("rbits_5", lambda: similarity._resolve_bits(11, emb))
+    assert (b5, j5) == (11, 0)
+
+
+def test_resolve_bits_memo_shares_across_independent_loads(spark, tmp_path):
+    """The realistic composition shape: two operators each calling
+    load-from-parquet on the same path build INDEPENDENT DataFrames
+    with the same analyzed scan plan — the second defaulted resolve
+    must hit the memo (zero jobs)."""
+    import random
+
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+
+    rng = random.Random(10)
+    path = str(tmp_path / "emb")
+    # one part file: a 32-file dir makes spark.read.parquet launch a
+    # parallel-listing job of its own, which this test must not count
+    _emb(
+        spark,
+        [[rng.uniform(-1, 1) for _ in range(DIMS)] for _ in range(32)],
+    ).coalesce(1).write.parquet(path)
+    similarity._SIZING_COUNT_MEMO.clear()
+    sc = spark.sparkContext
+
+    def jobs(tag, fn):
+        sc.setJobGroup(tag, "resolve-bits probe")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(
+            sc._jsc.sc().statusTracker().getJobIdsForGroup(tag)
+        )
+
+    # explicit schema: schema INFERENCE is its own footer-reading job
+    # at load time, which this test must not attribute to the resolve
+    schema = "vec_id bigint, embedding array<float>"
+
+    def load():
+        return spark.read.schema(schema).parquet(path)
+
+    b1, j1 = jobs("rbload_1", lambda: similarity._resolve_bits(None, load()))
+    assert j1 >= 1
+    b2, j2 = jobs("rbload_2", lambda: similarity._resolve_bits(None, load()))
+    assert (b2, j2) == (b1, 0)

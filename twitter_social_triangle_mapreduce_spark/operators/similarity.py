@@ -531,6 +531,59 @@ def lsh_bits_for(n: int, occupancy: int = LSH_TARGET_OCCUPANCY) -> int:
     )
 
 
+#: sizing-count memo behind ``_resolve_bits`` (round 9, r8 verdict
+#: item 8): a composed pipeline calling two embedding-tier operators
+#: on the same corpus pays the ids-only count ONCE per relation
+#: instead of once per operator call. Two keys per relation — full
+#: plan strings, never a hash alone, since a collision would silently
+#: size a DIFFERENT corpus's width and bits is results-affecting:
+#:
+#: * the EXACT analyzed plan string — expression ids are JVM-unique
+#:   per lineage, so this hits only the same relation re-resolved
+#:   (safe for every relation kind);
+#: * for purely FILE-BACKED plans, (canonicalized plan string, the
+#:   scan's input files) — canonicalization normalizes expression ids
+#:   so two INDEPENDENT loads of the same path key identically (the
+#:   composition shape: each operator calls load_table itself); the
+#:   file list supplies the identity canonicalized strings omit.
+#:   In-memory relations (LogicalRDD/LocalRelation print no identity)
+#:   never use this key — same-schema different-data frames must not
+#:   share.
+#:
+#: Bounded FIFO. Staleness: a path atomically re-written inside one
+#: application gets NEW part-file names, so the files key re-counts;
+#: the exact key can serve a stale count only to the same DataFrame
+#: object over mutated storage, where the old plan's own re-execution
+#: is already undefined.
+_SIZING_COUNT_MEMO: dict[tuple, int] = {}
+_SIZING_COUNT_MEMO_MAX = 32
+
+
+def _sizing_count(rel: DataFrame) -> int:
+    ids = rel.select("vec_id")
+    keys: list[tuple] = []
+    try:
+        app = rel.sparkSession.sparkContext.applicationId
+        analyzed = ids._jdf.queryExecution().analyzed()
+        keys.append((app, "exact", analyzed.toString()))
+        canon = analyzed.canonicalized().toString()
+        if "LogicalRDD" not in canon and "LocalRelation" not in canon:
+            files = tuple(sorted(ids.inputFiles()))
+            if files:
+                keys.append((app, "files", canon, files))
+    except Exception:
+        keys = []
+    for k in keys:
+        if k in _SIZING_COUNT_MEMO:
+            return _SIZING_COUNT_MEMO[k]
+    n = ids.count()
+    for k in keys:
+        while len(_SIZING_COUNT_MEMO) >= _SIZING_COUNT_MEMO_MAX:
+            _SIZING_COUNT_MEMO.pop(next(iter(_SIZING_COUNT_MEMO)))
+        _SIZING_COUNT_MEMO[k] = n
+    return n
+
+
 def _resolve_bits(bits: int | None, *relations: DataFrame) -> int:
     """``bits=None`` → corpus-derived band width (round 8): count the
     dominant relation(s) on an ids-only projection (column-pruned scan,
@@ -544,12 +597,16 @@ def _resolve_bits(bits: int | None, *relations: DataFrame) -> int:
     plan, oracle, and bench digest is bit-identical to the fixed
     default. Passing an explicit ``bits`` skips the count entirely —
     plan construction stays action-free for callers that pin the width
-    themselves (the streaming folds do, under a stored contract)."""
+    themselves (the streaming folds do, under a stored contract).
+    Defaulted calls memoize the count per (application, relation plan)
+    — see ``_SIZING_COUNT_MEMO`` — so composing several embedding-tier
+    operators over one corpus costs one count action, not one per
+    operator."""
     if bits is not None:
         return bits
     n = 0
     for rel in relations:
-        n += rel.select("vec_id").count()
+        n += _sizing_count(rel)
     return lsh_bits_for(n)
 
 
