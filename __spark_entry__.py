@@ -30,6 +30,16 @@ signal was the lowest) in favor of ``ann_topk_snapshot`` — the
 streaming ANN path (ingest folds + compaction + marker-pruned
 serving) is now driver-hash-gated against the same independent
 cells+cosine SQL as the batch IVF query.
+
+Round 9 rotation: ``lsh_signature`` → pytest tier (the signature
+scalar is the shared intermediate of the driver-gated
+``ann_topk_lsh`` / ``embedding_near_dup_pairs`` / ``semantic_*``
+queries, so its marginal driver signal was the lowest) in favor of
+``semantic_snapshot_compacted`` — the semantic STREAMING path
+(range-split folds + embs-store compaction + snapshot serving) is now
+driver-hash-gated against the same DuckDB clustering oracle as the
+batch query; it exercises the generalized compactor whose
+crash-after-flip window round 9 closed.
 """
 
 from __future__ import annotations

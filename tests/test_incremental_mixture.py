@@ -474,7 +474,7 @@ def test_semantic_fold_pins_band_width(spark, tmp_path):
     )
     assert got == want
     # a conflicting explicit width raises — width is immutable
-    with pytest.raises(ValueError, match="pinned bits=9"):
+    with pytest.raises(ValueError, match="pinned at bits=9"):
         fold_semantic_batch(emb([(8, a)]), 2, snap, dims=8, bits=10)
     # a MATCHING explicit width is accepted
     fold_semantic_batch(emb([(8, a)]), 2, snap, dims=8, bits=9)
@@ -1023,10 +1023,14 @@ def test_fold_semantic_legacy_snapshot_pins_historical_default(
     snap = str(tmp_path / "snap")
     fold_semantic_batch(emb([(0, a)]), 0, snap, dims=8)
     # strip the width contract files — the pre-round-8 on-disk layout
+    # (root pin + marker AND the round-9 per-version pin)
     shutil.rmtree(f"{snap}/lsh_bits")
+    import glob
     import os
 
     os.remove(f"{snap}/lsh_bits_APPLIED")
+    for d in glob.glob(f"{snap}/v_*/bits"):
+        shutil.rmtree(d)
     # make batch-derived sizing loud: if the fold (wrongly) derives
     # from this batch instead of pinning the historical default, it
     # would store 99
@@ -1037,3 +1041,95 @@ def test_fold_semantic_legacy_snapshot_pins_historical_default(
         for r in spark.read.parquet(f"{snap}/lsh_bits").collect()
     ]
     assert stored == [similarity.LSH_BITS]
+
+
+def test_reband_semantic_store_mid_stream_migration(spark, tmp_path):
+    """Round-9 (r8 verdict item 3): a stream pinned at its first-fold
+    width can migrate mid-stream — reband_semantic_store recomputes
+    the state over the at-rest corpus at the NEW width under one
+    atomic marker (state + width flip together), folds continue at the
+    new width, and the final state equals the batch recompute AT THE
+    WIDE WIDTH. Also pins: no-op at the serving width, the drift raise
+    now tracking the re-banded pin, crash-before-flip invisibility of
+    an uncommitted re-band, and read-through of the re-band by
+    read_semantic_snapshot."""
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        reband_semantic_store,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    b0 = [(0, a), (1, a), (2, b), (3, b)]
+    b1 = [(4, [0.0] * 7 + [1.0]), (5, [0.0, 1.0] + [0.0] * 6)]
+    # folds at the (derived) 8-bit floor
+    fold_semantic_batch(emb(b0), 0, snap, dims=8)
+    fold_semantic_batch(emb(b1), 1, snap, dims=8)
+    # no-op: already serving at 8 bits, derived width floors to 8 too
+    assert reband_semantic_store(spark, snap, dims=8) is None
+    assert reband_semantic_store(spark, snap, bits=8, dims=8) is None
+    # migrate to 9 bits: serving state must equal the batch recompute
+    # at the NEW width immediately
+    assert reband_semantic_store(spark, snap, bits=9, dims=8) == 9
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(b0 + b1), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the pin moved atomically with the state: the OLD width now raises
+    with pytest.raises(ValueError, match="pinned at bits=9"):
+        fold_semantic_batch(emb([(6, a)]), 2, snap, dims=8, bits=8)
+    # continue folding (default loads the re-banded pin) — final state
+    # == batch recompute at the wide width across the migration point
+    b2 = [(6, a), (7, [0.0, 0.0, 0.0, 1.0] + [0.0] * 4)]
+    fold_semantic_batch(emb(b2), 2, snap, dims=8)
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(b0 + b1 + b2), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want
+    # crash-before-flip: an uncommitted re-band (state + bits, no
+    # marker) is invisible — serving state and pin unchanged
+    import os
+
+    rdir = f"{snap}/r_" + "2".zfill(20) + "_" + "1".zfill(4)
+    emb([(99, a)]).write.mode("overwrite").parquet(f"{rdir}/state")
+    spark.createDataFrame([(12,)], "bits int").write.mode(
+        "overwrite"
+    ).parquet(f"{rdir}/bits")
+    assert not os.path.exists(f"{rdir}/_APPLIED")
+    got2 = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    assert got2 == got
+    fold_semantic_batch(emb([(8, b)]), 3, snap, dims=8)
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(b0 + b1 + b2 + [(8, b)]), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want

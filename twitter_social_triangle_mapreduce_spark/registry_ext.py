@@ -486,7 +486,11 @@ EXT_QUERIES = {
     # ivf_cells_trained
     "embedding_norms": q_embedding_norms,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "lsh_signature": q_lsh_signature,
+    # round 9: lsh_signature rotated to the pytest tier (it is the
+    # shared intermediate of the driver-gated ann_topk_lsh,
+    # embedding_near_dup_pairs, and semantic_* queries, so its
+    # marginal driver signal was the lowest) in favor of
+    # semantic_snapshot_compacted — appended below its definition
     "ann_topk_lsh": q_ann_topk_lsh,
     "events_json_kpi": q_events_json_kpi,
     "sessionize": q_sessionize,
@@ -966,6 +970,13 @@ def q_semantic_snapshot_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
                 snap,
                 centroids=cb,
                 min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+                # the EXPLICIT width the oracle SQL encodes (round 9,
+                # advisor): the first fold would otherwise pin
+                # lsh_bits_for(~n/3) while the oracle and the batch
+                # twin derive from the full corpus — they agree only
+                # because lsh_bits_for floors at LSH_BITS below ~4k
+                # vectors, and the gate must not depend on the floor
+                bits=similarity.LSH_BITS,
             )
         compact_semantic_embs(spark, snap)
         _SEM_SNAPSHOTS[sf_dir] = snap
@@ -1128,6 +1139,13 @@ EXT_QUERIES["ivf_cells_trained"] = q_ivf_cells_trained
 # (rotation ledger in __spark_entry__.py; doc_rolling_hash moved to the
 # pytest tier below)
 EXT_QUERIES["semantic_decontam"] = q_semantic_decontam
+# round 9: the semantic STREAMING path driver-gated (r8 verdict item
+# 6) — range-split folds + embs-store compaction + snapshot serving
+# against the same DuckDB clustering oracle as the batch query; this
+# is the store whose compaction crash window round 9 closed, so the
+# fix's evidence is part of the hard signal (rotation ledger in
+# __spark_entry__.py; lsh_signature moved to the pytest tier below)
+EXT_QUERIES["semantic_snapshot_compacted"] = q_semantic_snapshot_compacted
 
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
@@ -1142,11 +1160,12 @@ EXT_EXTRA_QUERIES = {
     # (frames shares media_features' decode-ladder plumbing, so its
     # marginal driver signal was the lowest); still hash-oracled here
     "media_frames": q_media_frames,
-    # round 8: the semantic streaming path (range-split folds +
-    # embs-store compaction + snapshot read) against the SAME DuckDB
-    # clustering oracle as the batch query — incremental == batch
-    # through the whole marker protocol, engine-independently
-    "semantic_snapshot_compacted": q_semantic_snapshot_compacted,
+    # round 9: rotated out of the driver 50 for
+    # semantic_snapshot_compacted — the signature scalar is the shared
+    # intermediate of the driver-gated ann_topk_lsh /
+    # embedding_near_dup_pairs / semantic_* queries; still
+    # hash-oracled here
+    "lsh_signature": q_lsh_signature,
     # round 7: rotated out of the driver 50 for semantic_decontam —
     # the rolling hash is an intermediate of the driver-gated passage
     # pipelines (doc_passage_cuts), so its marginal driver signal was
