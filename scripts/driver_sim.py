@@ -8,8 +8,12 @@ views, and compares row count, column names, and an order-insensitive,
 column-name-sorted value multiset — the same gate the driver applies.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--include-extra]
+                                    [--json-out=PATH]
 (default sf_dir /root/testdata/sf0.01; --include-extra also checks the
-pytest-tier queries the 50-row driver cap keeps off the registry)
+pytest-tier queries the 50-row driver cap keeps off the registry;
+--json-out writes per-query records in the driver's CORRECTNESS_r{N}
+shape so off-default-scale gates can be checked in as auditable
+artifacts — round 9, r8 verdict item 5)
 Prints one line per query and a final tally; exit code 1 on any mismatch.
 """
 
@@ -39,11 +43,14 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--include-extra"]
     include_extra = "--include-extra" in sys.argv[1:]
     only: set[str] | None = None
-    for i, a in enumerate(list(args)):
+    json_out: str | None = None
+    for a in list(args):
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
-            args.pop(i)
-            break
+            args.remove(a)
+        elif a.startswith("--json-out="):
+            json_out = a.split("=", 1)[1]
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[8]")
@@ -69,6 +76,18 @@ def main() -> int:
         queries = {k: v for k, v in queries.items() if k in only}
     n_pass = n_rows_only = 0
     failures: list[str] = []
+    records: dict[str, dict] = {}
+
+    def rec(name, **kw):
+        records[name] = {
+            "rows_match": kw.get("rows_match"),
+            "schema_match": kw.get("schema_match"),
+            "hash_match": kw.get("hash_match"),
+            "spark_rows": kw.get("spark_rows"),
+            "oracle_rows": kw.get("oracle_rows"),
+            "err": kw.get("err"),
+        }
+
     for name, fn in queries.items():
         try:
             sdf = fn(spark, sf_dir)
@@ -76,10 +95,13 @@ def main() -> int:
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec(name, rows_match=False, schema_match=False,
+                hash_match=False, err=f"{type(e).__name__}: {str(e)[:160]}")
             print(f"ERR  {name}: {type(e).__name__}: {str(e)[:160]}")
             continue
         if name not in oracles:
             n_rows_only += 1
+            rec(name, rows_match=True, spark_rows=len(srows))
             print(f"rows {name}: {len(srows)} rows (no oracle)")
             continue
         cur = con.execute(oracles[name])
@@ -87,6 +109,9 @@ def main() -> int:
         orows = cur.fetchall()
         if sorted(scols) != sorted(ocols):
             failures.append(name)
+            rec(name, rows_match=len(srows) == len(orows),
+                schema_match=False, hash_match=False,
+                spark_rows=len(srows), oracle_rows=len(orows))
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(ocols)}")
             continue
         perm = [scols.index(c) for c in sorted(scols)]
@@ -102,14 +127,21 @@ def main() -> int:
         )
         if sset != oset:
             failures.append(name)
+            rec(name, rows_match=len(sset) == len(oset), schema_match=True,
+                hash_match=False, spark_rows=len(sset), oracle_rows=len(oset))
             print(
                 f"FAIL {name}: rows {len(sset)} vs {len(oset)}; "
                 f"first diff {next((a, b) for a, b in zip(sset, oset) if a != b) if len(sset) == len(oset) else 'count'}"
             )
             continue
         n_pass += 1
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=len(sset), oracle_rows=len(oset))
         print(f"ok   {name}: {len(sset)} rows hash-match")
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
     print(
         json.dumps(
             {
