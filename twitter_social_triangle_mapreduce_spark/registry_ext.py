@@ -983,6 +983,68 @@ def q_semantic_snapshot_compacted(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_semantic_snapshot(spark, snap)
 
 
+#: the explicit migration width the re-banded twin serves at — one
+#: above the floor so the gate proves a genuine width CHANGE (its
+#: oracle regenerates every hyperplane at this width)
+SEMANTIC_REBAND_BITS = 9
+
+
+def q_semantic_snapshot_rebanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 9 (r8 verdict item 3): the mid-stream WIDTH MIGRATION
+    hash-gated by an independent engine — three range-split folds at
+    the 8-bit floor, ``reband_semantic_store`` to
+    ``SEMANTIC_REBAND_BITS``, then a FOURTH fold at the re-banded
+    width; the served snapshot must match the DuckDB clustering
+    oracle regenerated entirely at the NEW width (every hyperplane
+    re-drawn). Passing requires (a) the re-band recompute to equal
+    the batch semantics at 9 bits and (b) the post-migration fold to
+    extend it with parity intact."""
+    import tempfile
+
+    from .streaming import fold_semantic_batch, read_semantic_snapshot
+    from .streaming.streams import reband_semantic_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}|rebanded"
+    snap = _SEM_SNAPSHOTS.get(key)
+    if snap is None:
+        snap = tempfile.mkdtemp(prefix="semsnap_rb_")
+        cb = trained_codebook(spark, sf_dir)
+        n = emb.count()
+        per = (n + 3) // 4
+        for b in range(3):
+            fold_semantic_batch(
+                emb.where(
+                    (F.col("vec_id") >= b * per)
+                    & (F.col("vec_id") < (b + 1) * per)
+                ),
+                b,
+                snap,
+                centroids=cb,
+                min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+                bits=similarity.LSH_BITS,
+            )
+        assert (
+            reband_semantic_store(
+                spark,
+                snap,
+                bits=SEMANTIC_REBAND_BITS,
+                centroids=cb,
+                min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+            )
+            == SEMANTIC_REBAND_BITS
+        )
+        fold_semantic_batch(
+            emb.where(F.col("vec_id") >= 3 * per),
+            3,
+            snap,
+            centroids=cb,
+            min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
+        )
+        _SEM_SNAPSHOTS[key] = snap
+    return read_semantic_snapshot(spark, snap)
+
+
 def q_ivf_cells_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end check of the trained assignment: the codebook values
     # come from the (cached) trainer, the oracle re-derives them from
@@ -1166,6 +1228,10 @@ EXT_EXTRA_QUERIES = {
     # embedding_near_dup_pairs / semantic_* queries; still
     # hash-oracled here
     "lsh_signature": q_lsh_signature,
+    # round 9: the mid-stream width migration (folds at 8 bits →
+    # re-band → fold at 9 bits) against the clustering oracle
+    # regenerated at the NEW width — every hyperplane re-drawn
+    "semantic_snapshot_rebanded": q_semantic_snapshot_rebanded,
     # round 7: rotated out of the driver 50 for semantic_decontam —
     # the rolling hash is an intermediate of the driver-gated passage
     # pipelines (doc_passage_cuts), so its marginal driver signal was
@@ -1854,16 +1920,17 @@ EXT_ORACLES["ivf_cells_trained"] = f"""
 SEMANTIC_QUERY_MIN_SIM_E4 = 2000
 
 
-def _semantic_dedup_oracle(dims: int = 64) -> str:
+def _semantic_dedup_oracle(dims: int = 64, bits: int = LSH_BITS) -> str:
     """DuckDB twin of ``similarity.semantic_dedup_clusters`` as
     registered: TRAINED IVF cell assignment (round 5 — the unrolled
     farthest-point + exact-Lloyd chain) + hyperplane signatures,
     cell-local thresholded cosine pairs, then the SAME unrolled
-    min-label rounds as the MinHash cluster oracle."""
+    min-label rounds as the MinHash cluster oracle. ``bits`` widens
+    the signature for the re-band twin (round 9)."""
     from .operators.dedup import NEAR_DUP_CC_ROUNDS
 
     it = NEAR_DUP_CC_ROUNDS
-    sig = _lsh_sig_sql(dims)
+    sig = _lsh_sig_sql(dims, bits)
     parts = [
         f"WITH {_ivf_trained_cells_cte()},",
         f"sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
@@ -2408,6 +2475,12 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     # VERBATIM — fold + compaction + marker-pruned serving must land on
     # the same clusters an independent engine derives from raw parquet
     out["semantic_snapshot_compacted"] = _semantic_dedup_oracle(dims)
+    # round 9: the re-banded twin's oracle is the SAME clustering SQL
+    # regenerated at the migration width — the snapshot that folded at
+    # 8 bits, re-banded, and kept folding must match batch-at-9-bits
+    out["semantic_snapshot_rebanded"] = _semantic_dedup_oracle(
+        dims, bits=SEMANTIC_REBAND_BITS
+    )
     out["cluster_update_incremental"] = _near_dup_clusters_oracle()
     out["doc_canonical_longest"] = f"""
         WITH cl AS ({_near_dup_clusters_oracle()}),
