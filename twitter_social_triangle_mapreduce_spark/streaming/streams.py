@@ -645,6 +645,52 @@ def _gen_ledger(spark, parent: str) -> tuple[list[int], list[int], set[int]]:
     return gens, [g for g in gens if g not in folded], batch_srcs
 
 
+def _commit_generation(
+    spark, parent: str, gen: int, batch_ids: list[int], all_gens: list[int]
+) -> None:
+    """Steps 2–3 of the compaction contract, shared by every layout:
+    write the ledger (``compact_sources/g_<gen>`` — source batch ids
+    plus ``-(g+1)`` for EVERY stale generation, so one committed row
+    excludes each of them single-hop) and flip visibility with the
+    atomic marker create."""
+    jvm, fs = _rollup_fs(spark, parent)
+    srcs = [(int(b),) for b in batch_ids] + [
+        (-(int(g) + 1),) for g in all_gens
+    ]
+    spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
+    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
+
+
+def _cleanup_compacted(
+    spark, parent: str, batch_dirs: list[str], stale_gens: list[int]
+) -> None:
+    """Step 4 — best-effort space reclamation of dirs the committed
+    ledger already excludes (readers never see them regardless; prior
+    crashes' leftovers are retried here too)."""
+    jvm, fs = _rollup_fs(spark, parent)
+    for p in batch_dirs:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+        except Exception:
+            pass  # best-effort; invisible garbage, retried next run
+    for g in stale_gens:
+        try:
+            fs.delete(_gen_marker_path(jvm, parent, g), False)
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(_gen_dir(parent, g)), True
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{parent}/compact_sources/g_{g:020d}"
+                ),
+                True,
+            )
+        except Exception:
+            pass  # best-effort; invisible garbage, retried next run
+
+
 def _compact_batch_store(
     spark,
     parent: str,
@@ -717,36 +763,10 @@ def _compact_batch_store(
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 2**20)))
     merged = spark.read.parquet(*src_paths).repartition(n_files)
     merged.write.mode("overwrite").parquet(_gen_dir(parent, gen))
-    srcs = [(int(b),) for b, _ in batch_dirs] + [
-        (-(int(g) + 1),) for g in all_gens
-    ]
-    spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
-    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
-    # cleanup — everything below is already invisible to readers via
-    # the committed ledger; deletion is pure space reclamation, and
-    # stale generations a PRIOR crashed cleanup left behind are
-    # retried here too (all_gens, not just the live data sources)
-    for _, p in batch_dirs:
-        try:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
-        except Exception:
-            pass  # best-effort; invisible garbage, retried next run
-    for g in all_gens:
-        try:
-            fs.delete(_gen_marker_path(jvm, parent, g), False)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_gen_dir(parent, g)), True
-            )
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{parent}/compact_sources/g_{g:020d}"
-                ),
-                True,
-            )
-        except Exception:
-            pass  # best-effort; invisible garbage, retried next run
+    _commit_generation(
+        spark, parent, gen, [b for b, _ in batch_dirs], all_gens
+    )
+    _cleanup_compacted(spark, parent, [p for _, p in batch_dirs], all_gens)
     return gen
 
 
@@ -876,32 +896,10 @@ def compact_pack_rows(
     spark.read.parquet(f"{newest_src}/meta").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{_gen_dir(parent, gen)}/meta")
-    srcs = [(int(b),) for b, _ in batch_dirs] + [
-        (-(int(g) + 1),) for g in all_gens
-    ]
-    spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
-    fs.create(_gen_marker_path(jvm, parent, gen), True).close()
-    for _, p in batch_dirs:
-        try:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
-        except Exception:
-            pass  # best-effort; invisible garbage, retried next run
-    for g in all_gens:
-        try:
-            fs.delete(_gen_marker_path(jvm, parent, g), False)
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(_gen_dir(parent, g)), True
-            )
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{parent}/compact_sources/g_{g:020d}"
-                ),
-                True,
-            )
-        except Exception:
-            pass  # best-effort; invisible garbage, retried next run
+    _commit_generation(
+        spark, parent, gen, [b for b, _ in batch_dirs], all_gens
+    )
+    _cleanup_compacted(spark, parent, [p for _, p in batch_dirs], all_gens)
     return gen
 
 
