@@ -1133,3 +1133,68 @@ def test_reband_semantic_store_mid_stream_migration(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_reband_reads_through_compacted_embs(spark, tmp_path):
+    """reband_semantic_store's corpus read goes through the same
+    generation-aware listing as the folds: after compact_semantic_embs
+    rewrites the old batches into a generation, the re-band recompute
+    must still cover the compacted-away embeddings and subsequent
+    folds must extend it with batch parity at the new width."""
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_semantic_embs,
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        reband_semantic_store,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(0, a), (1, b)],
+        [(2, [0.0] * 7 + [1.0])],
+        [(3, [0.0, 1.0] + [0.0] * 6)],
+    ]
+    rows = []
+    for i, brows in enumerate(batches):
+        fold_semantic_batch(emb(brows), i, snap, dims=8)
+        rows += brows
+    assert compact_semantic_embs(spark, snap) == 0
+    assert reband_semantic_store(spark, snap, bits=9, dims=8) == 9
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(rows), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want  # compacted-away embeddings covered
+    # a vec near-duplicating ONLY a compacted batch-0 vector merges
+    # through the re-banded state
+    fold_semantic_batch(emb([(4, a)]), 3, snap, dims=8)
+    rows += [(4, a)]
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(rows), dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want
+    by_vec = {v: c for v, c, _ in got}
+    assert by_vec[4] == by_vec[0]
