@@ -1024,16 +1024,15 @@ def q_semantic_snapshot_rebanded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
                 bits=similarity.LSH_BITS,
             )
-        assert (
-            reband_semantic_store(
-                spark,
-                snap,
-                bits=SEMANTIC_REBAND_BITS,
-                centroids=cb,
-                min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
-            )
-            == SEMANTIC_REBAND_BITS
+        rb = reband_semantic_store(
+            spark,
+            snap,
+            bits=SEMANTIC_REBAND_BITS,
+            centroids=cb,
+            min_sim_e4=SEMANTIC_QUERY_MIN_SIM_E4,
         )
+        if rb != SEMANTIC_REBAND_BITS:  # not assert: -O must not skip
+            raise RuntimeError(f"re-band did not apply: {rb!r}")
         fold_semantic_batch(
             emb.where(F.col("vec_id") >= 3 * per),
             3,
