@@ -706,3 +706,62 @@ def test_ann_index_compaction_preserves_serving_and_bounds_files(
     assert serve() == after_ingest  # orphan invisible, sources intact
     assert orphan not in _ann_committed_batches(spark, snap)
 
+
+
+def test_ann_scale_headroom_flags_clamped_batches(spark, tmp_path):
+    """Round-9 drift ledger: the quantized fold records every batch's
+    max-abs, and ann_scale_headroom turns the history into the
+    rebuild signal — pinned scale from the first fold, corpus max-abs
+    across folds, headroom < 1 and a clamped-batch count once a later
+    batch exceeds the grid. A float (quantize=False) store has no
+    ledger and the audit raises."""
+    import pytest as _pytest
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_scale_headroom,
+        fold_ann_index_batch,
+    )
+
+    dims = 8
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)]
+    cb = codebook_df(spark, cents)
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    snap = str(tmp_path / "qsnap")
+    # first batch spans [-4, 4] -> pins scale 4.0
+    b0 = [(i, [4.0 * ((i + d) % 2) - 0.5 for d in range(dims)]) for i in range(8)]
+    b0[0] = (0, [4.0] + [0.0] * (dims - 1))
+    fold_ann_index_batch(emb(b0), 0, snap, centroids=cb, quantize=True)
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["pinned_scale"] == 4.0
+    assert row["corpus_max_abs"] == 4.0
+    assert row["headroom_ratio"] == 1.0
+    assert row["n_batches"] == 1 and row["n_clamped_batches"] == 0
+    # a later batch exceeds the grid (max-abs 9) -> clamp flagged
+    b1 = [(i, [9.0 * (d == 0) + 1.0 for d in range(dims)]) for i in range(8, 12)]
+    fold_ann_index_batch(emb(b1), 1, snap, centroids=cb, quantize=True)
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["pinned_scale"] == 4.0
+    assert row["corpus_max_abs"] == 10.0  # 9+1 on dim 0
+    assert abs(row["headroom_ratio"] - 0.4) < 1e-12
+    assert row["n_batches"] == 2 and row["n_clamped_batches"] == 1
+    # replayed fold overwrites its own stat, never duplicates it
+    import glob
+    import os
+
+    os.remove(glob.glob(f"{snap}/markers/b_*1_APPLIED")[0])
+    fold_ann_index_batch(emb(b1), 1, snap, centroids=cb, quantize=True)
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["n_batches"] == 2 and row["n_clamped_batches"] == 1
+    # float stores carry no ledger
+    fsnap = str(tmp_path / "fsnap")
+    fold_ann_index_batch(emb(b0), 0, fsnap, centroids=cb)
+    with _pytest.raises(FileNotFoundError, match="scale_stats"):
+        ann_scale_headroom(spark, fsnap)

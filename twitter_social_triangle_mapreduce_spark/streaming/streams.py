@@ -1654,7 +1654,21 @@ def fold_ann_index_batch(
     vectors quantized on different grids are incomparable. Degenerate
     scales (≤ 0) raise at fold time, mirroring the batch builder's
     guard. Cell assignment always happens on the float vectors before
-    quantization."""
+    quantization.
+
+    Scale-drift observability (round 9): components beyond the pinned
+    grid CLAMP at ±127, and the floats are gone after the fold, so a
+    stream whose data outgrows its first-batch scale would degrade
+    recall invisibly. Every quantized fold therefore records its
+    batch's max-abs in ``scale_stats/b_<id>`` (1 row, written before
+    the batch marker so a committed batch always has its stat;
+    replayed folds overwrite their own), and ``ann_scale_headroom``
+    turns the history into the rebuild signal. Clamping itself stays
+    the documented int8 behavior — the fold never raises mid-stream —
+    but it is now measurable instead of silent. A drifted quantized
+    store cannot be re-scaled in place (the clamped information is
+    destroyed); the remedy is a rebuild from source at a corpus-
+    derived scale, and the audit is what tells you when."""
     from ..operators.similarity import (
         IVF_CELLS,
         ivf_assign_with_payload,
@@ -1709,19 +1723,20 @@ def fold_ann_index_batch(
             f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
         )
         sc_path = f"{snapshot_path}/scale"
+        row = batch_df.agg(
+            F.max(
+                F.expr(
+                    "aggregate(transform(embedding,"
+                    " x -> abs(CAST(x AS DOUBLE))),"
+                    " CAST(0 AS DOUBLE),"
+                    " (acc, v) -> greatest(acc, v))"
+                )
+            ).alias("__s")
+        ).collect()[0]
+        batch_max_abs = float(row["__s"]) if row["__s"] is not None else 0.0
         if not fs.exists(sc_marker):
             if scale is None:
-                row = batch_df.agg(
-                    F.max(
-                        F.expr(
-                            "aggregate(transform(embedding,"
-                            " x -> abs(CAST(x AS DOUBLE))),"
-                            " CAST(0 AS DOUBLE),"
-                            " (acc, v) -> greatest(acc, v))"
-                        )
-                    ).alias("__s")
-                ).collect()[0]
-                scale = float(row["__s"]) if row["__s"] is not None else 0.0
+                scale = batch_max_abs
             if scale <= 0.0:
                 raise ValueError(
                     f"fold_ann_index_batch: pinned int8 scale {scale}"
@@ -1734,6 +1749,14 @@ def fold_ann_index_batch(
             fs.create(sc_marker, True).close()
         s = float(
             spark.read.parquet(sc_path).collect()[0]["scale"]
+        )
+        # drift ledger: this batch's range, recorded BEFORE the batch
+        # marker so every committed batch carries its stat (replays
+        # overwrite their own row — idempotent)
+        spark.createDataFrame(
+            [(int(batch_id), batch_max_abs)], "batch long, max_abs double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/scale_stats/b_{batch_id:020d}"
         )
         assigned = assigned.select(
             "vec_id",
@@ -1944,6 +1967,41 @@ def ann_topk_snapshot(
             vecs, queries, cents, scale, k=k, nprobe=nprobe
         )
     return ann_topk_over_cells(vecs, queries, cents, k=k, nprobe=nprobe)
+
+
+def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
+    """Quantizer-drift audit for a QUANTIZED streaming ANN index
+    (round 9): one row — the pinned int8 grid scale, the corpus-wide
+    max-abs observed across every fold's ``scale_stats`` record, the
+    headroom ratio (pinned / observed; < 1 means some batch CLAMPED),
+    and how many batches exceeded the grid. The scale is pinned at
+    first fold and the floats are discarded after quantization, so a
+    drifted store cannot be re-scaled in place — this audit is the
+    rebuild-from-source signal, the quantized analog of the width
+    re-band the semantic store got (there the at-rest floats make an
+    in-place migration possible; here they are gone by design).
+    Raises for a store never folded with ``quantize=True``."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_stats")
+    ):
+        raise FileNotFoundError(
+            f"no scale_stats under {snapshot_path} — not a quantized"
+            " snapshot (or written before the round-9 drift ledger)"
+        )
+    pinned = float(
+        spark.read.parquet(f"{snapshot_path}/scale").collect()[0]["scale"]
+    )
+    stats = spark.read.parquet(f"{snapshot_path}/scale_stats/*")
+    return stats.agg(
+        F.lit(pinned).alias("pinned_scale"),
+        F.max("max_abs").alias("corpus_max_abs"),
+        (F.lit(pinned) / F.max("max_abs")).alias("headroom_ratio"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum(
+            (F.col("max_abs") > F.lit(pinned)).cast("long")
+        ).alias("n_clamped_batches"),
+    )
 
 
 def streaming_ann_index_maintenance(
