@@ -17,8 +17,10 @@ driver process's peak RSS delta — the loop's index structures are the
 sizing question for the localMaxWords gate.
 
 Usage: python scripts/bpe_production_train_probe.py \
-    [--n-words 10000000] [--vocab 1300000] [--merges 32000]
-(one JSON line; result recorded in BASELINE.md)
+    [--n-words=10000000] [--vocab=1300000] [--merges=32000]
+(flags take the = form only — anything else exits loudly instead of
+silently launching the full default run; one JSON line; result
+recorded in BASELINE.md)
 """
 
 from __future__ import annotations
@@ -46,10 +48,14 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--n-words="):
             n_words = int(a.split("=", 1)[1])
-        if a.startswith("--vocab="):
+        elif a.startswith("--vocab="):
             vocab = int(a.split("=", 1)[1])
-        if a.startswith("--merges="):
+        elif a.startswith("--merges="):
             merges = int(a.split("=", 1)[1])
+        else:
+            # a silently-ignored flag would launch the multi-minute
+            # full default run instead of the requested one
+            raise SystemExit(f"unknown argument {a!r} (use --flag=value)")
     spark = get_spark(
         app_name="bpe-production-train-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},

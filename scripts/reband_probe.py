@@ -67,6 +67,13 @@ def main() -> None:
     ap.add_argument("--probe-batch", type=int, default=2_000)
     args = ap.parse_args()
 
+    if args.n < args.first_batch + 3 * args.probe_batch:
+        raise SystemExit(
+            f"--n {args.n} too small: need at least first-batch +"
+            f" 3*probe-batch = {args.first_batch + 3 * args.probe_batch}"
+            " so the growth folds are non-empty and the candidate"
+            " denominators are positive"
+        )
     spark = get_spark(
         app_name="reband-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},

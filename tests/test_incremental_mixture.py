@@ -1198,3 +1198,57 @@ def test_reband_reads_through_compacted_embs(spark, tmp_path):
     assert got == want
     by_vec = {v: c for v, c, _ in got}
     assert by_vec[4] == by_vec[0]
+
+
+def test_compaction_carries_folded_batch_ids_forward(spark, tmp_path):
+    """Round-9 review finding: a source batch dir whose own deletion
+    failed (crash inside the best-effort cleanup) stays excluded only
+    by its generation's ledger — and the NEXT compaction deletes that
+    ledger. The new generation's ledger must therefore carry every
+    stale generation's batch ids forward, or the leftover dir
+    resurfaces as live data and its rows duplicate permanently. Also
+    pins that the next compaction RETRIES the leftover's deletion."""
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _compact_batch_store,
+        _gen_sources,
+        _list_batch_dirs,
+    )
+
+    parent = str(tmp_path / "store")
+
+    def write_batch(bid, vals):
+        spark.createDataFrame(
+            [(int(v),) for v in vals], "x long"
+        ).write.parquet(f"{parent}/b_{bid:020d}")
+
+    write_batch(0, [1, 2])
+    write_batch(1, [3])
+    write_batch(2, [4])
+    # save b_1 so we can simulate its failed deletion
+    saved = str(tmp_path / "saved_b1")
+    spark.read.parquet(f"{parent}/b_" + "1".zfill(20)).write.parquet(saved)
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0  # folds 0,1
+    b1_dir = f"{parent}/b_" + "1".zfill(20)
+    spark.read.parquet(saved).write.mode("overwrite").parquet(b1_dir)
+    write_batch(3, [5])
+    # second compaction folds g_0 + b_2 and deletes g_0's ledger; its
+    # own ledger must still exclude batch 1
+    assert _compact_batch_store(spark, parent, "b_", 3) == 1
+    assert 1 in _gen_sources(spark, parent, 1)  # carried forward
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    assert [d.rsplit("/", 1)[1] for d in dirs] == [
+        "g_" + "1".zfill(20),
+        "b_" + "3".zfill(20),
+    ]
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4, 5]  # no resurfaced duplicates
+    # the leftover dir's deletion was retried by the cleanup
+    assert not os.path.exists(b1_dir)
+    # and a further compaction converges without re-reading batch 1
+    write_batch(4, [6])
+    assert _compact_batch_store(spark, parent, "b_", 5) == 2
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4, 5, 6]

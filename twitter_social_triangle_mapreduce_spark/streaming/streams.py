@@ -646,17 +646,30 @@ def _gen_ledger(spark, parent: str) -> tuple[list[int], list[int], set[int]]:
 
 
 def _commit_generation(
-    spark, parent: str, gen: int, batch_ids: list[int], all_gens: list[int]
+    spark,
+    parent: str,
+    gen: int,
+    batch_ids: list[int],
+    folded_batch_ids: set[int],
+    all_gens: list[int],
 ) -> None:
     """Steps 2–3 of the compaction contract, shared by every layout:
-    write the ledger (``compact_sources/g_<gen>`` — source batch ids
-    plus ``-(g+1)`` for EVERY stale generation, so one committed row
-    excludes each of them single-hop) and flip visibility with the
-    atomic marker create."""
+    write the ledger (``compact_sources/g_<gen>``) and flip visibility
+    with the atomic marker create. The ledger lists the DIRECT source
+    batch ids, the batch ids every stale generation's ledger excluded
+    (``folded_batch_ids`` — carried forward because step 4 deletes the
+    stale ledgers, and a source batch dir whose own deletion failed in
+    an earlier crash would otherwise lose its only excluder and
+    resurface as live data, permanently duplicating its rows on the
+    next compaction — review finding, round 9), and ``-(g+1)`` for
+    EVERY stale generation, so one committed row excludes each of
+    them single-hop."""
     jvm, fs = _rollup_fs(spark, parent)
-    srcs = [(int(b),) for b in batch_ids] + [
-        (-(int(g) + 1),) for g in all_gens
-    ]
+    srcs = (
+        [(int(b),) for b in batch_ids]
+        + [(int(b),) for b in sorted(folded_batch_ids)]
+        + [(-(int(g) + 1),) for g in all_gens]
+    )
     spark.createDataFrame(srcs, "src long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{parent}/compact_sources/g_{gen:020d}")
@@ -737,13 +750,19 @@ def _compact_batch_store(
     jvm, fs = _rollup_fs(spark, parent)
     all_gens, live_gens, already = _gen_ledger(spark, parent)
     batch_dirs: list[tuple[int, str]] = []
+    stale_dirs: list[str] = []
     root = jvm.org.apache.hadoop.fs.Path(parent)
     if fs.exists(root):
         for st_ in fs.listStatus(root):
             name = st_.getPath().getName()
             if st_.isDirectory() and name.startswith(prefix):
                 bid = int(name[len(prefix):])
-                if bid < max_batch_exclusive and bid not in already:
+                if bid in already:
+                    # leftover source dir an earlier crashed cleanup
+                    # never deleted — already excluded by the ledger;
+                    # retry its deletion below
+                    stale_dirs.append(f"{parent}/{name}")
+                elif bid < max_batch_exclusive:
                     batch_dirs.append((bid, f"{parent}/{name}"))
     batch_dirs.sort()
     # data sources are the LIVE generations only — a folded-forward
@@ -764,9 +783,11 @@ def _compact_batch_store(
     merged = spark.read.parquet(*src_paths).repartition(n_files)
     merged.write.mode("overwrite").parquet(_gen_dir(parent, gen))
     _commit_generation(
-        spark, parent, gen, [b for b, _ in batch_dirs], all_gens
+        spark, parent, gen, [b for b, _ in batch_dirs], already, all_gens
     )
-    _cleanup_compacted(spark, parent, [p for _, p in batch_dirs], all_gens)
+    _cleanup_compacted(
+        spark, parent, [p for _, p in batch_dirs] + stale_dirs, all_gens
+    )
     return gen
 
 
@@ -863,12 +884,15 @@ def compact_pack_rows(
         return None
     all_gens, live_gens, already = _gen_ledger(spark, parent)
     batch_dirs: list[tuple[int, str]] = []
+    stale_dirs: list[str] = []
     root = jvm.org.apache.hadoop.fs.Path(parent)
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
         if st_.isDirectory() and name.startswith("p_"):
             bid = int(name[2:])
-            if bid < newest and bid not in already:
+            if bid in already:
+                stale_dirs.append(f"{parent}/{name}")  # retry below
+            elif bid < newest:
                 batch_dirs.append((bid, f"{parent}/{name}"))
     batch_dirs.sort()
     src_paths = [p for _, p in batch_dirs] + [
@@ -897,9 +921,11 @@ def compact_pack_rows(
         "overwrite"
     ).parquet(f"{_gen_dir(parent, gen)}/meta")
     _commit_generation(
-        spark, parent, gen, [b for b, _ in batch_dirs], all_gens
+        spark, parent, gen, [b for b, _ in batch_dirs], already, all_gens
     )
-    _cleanup_compacted(spark, parent, [p for _, p in batch_dirs], all_gens)
+    _cleanup_compacted(
+        spark, parent, [p for _, p in batch_dirs] + stale_dirs, all_gens
+    )
     return gen
 
 
@@ -1177,12 +1203,15 @@ def fold_semantic_batch(
     )
 
     spark = batch_df.sparkSession
-    versions = rollup_committed_versions(spark, snapshot_path)
+    # one root listing serves both the replay check and the serving-
+    # state resolution (the committed fold versions are the seq-0
+    # entries of the state-dir chain)
+    state_dirs = _semantic_state_dirs(spark, snapshot_path)
+    versions = [b for b, s, _ in state_dirs if s == 0]
     if versions and versions[-1] >= batch_id:
         return  # replayed batch: already folded and committed
     jvm, fs = _rollup_fs(spark, snapshot_path)
     bits = dedup_kwargs.pop("bits", None)
-    state_dirs = _semantic_state_dirs(spark, snapshot_path)
     pinned = _semantic_pinned_bits(spark, snapshot_path, state_dirs)
     if pinned is None:
         if bits is None:
@@ -1290,7 +1319,8 @@ def reband_semantic_store(
     or None when the store already serves at the target width."""
     from ..operators.similarity import lsh_bits_for, semantic_dedup_clusters
 
-    versions = rollup_committed_versions(spark, snapshot_path)
+    state_dirs = _semantic_state_dirs(spark, snapshot_path)
+    versions = [b for b, s, _ in state_dirs if s == 0]
     if not versions:
         raise FileNotFoundError(
             f"no committed semantic snapshot under {snapshot_path}"
@@ -1303,7 +1333,6 @@ def reband_semantic_store(
         spark, f"{snapshot_path}/embs", "b_", base + 1
     )
     corpus = spark.read.parquet(*emb_dirs)
-    state_dirs = _semantic_state_dirs(spark, snapshot_path)
     pinned = _semantic_pinned_bits(spark, snapshot_path, state_dirs)
     if bits is None:
         bits = lsh_bits_for(corpus.select("vec_id").count())
@@ -1717,25 +1746,27 @@ def fold_ann_index_batch(
         save_codebook(spark, rows, cb_path)
         fs.create(cb_marker, True).close()
     cents = load_codebook(spark, cb_path)
-    assigned = ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+    obs = None
+    _MAX_ABS_EXPR = (
+        "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+    )
     if quantize:
         sc_marker = jvm.org.apache.hadoop.fs.Path(
             f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
         )
         sc_path = f"{snapshot_path}/scale"
-        row = batch_df.agg(
-            F.max(
-                F.expr(
-                    "aggregate(transform(embedding,"
-                    " x -> abs(CAST(x AS DOUBLE))),"
-                    " CAST(0 AS DOUBLE),"
-                    " (acc, v) -> greatest(acc, v))"
-                )
-            ).alias("__s")
-        ).collect()[0]
-        batch_max_abs = float(row["__s"]) if row["__s"] is not None else 0.0
+        batch_max_abs = None
         if not fs.exists(sc_marker):
             if scale is None:
+                # first fold, derived scale: the grid is needed BEFORE
+                # quantizing, so this one fold pays a separate agg
+                row = batch_df.agg(
+                    F.max(F.expr(_MAX_ABS_EXPR)).alias("__s")
+                ).collect()[0]
+                batch_max_abs = (
+                    float(row["__s"]) if row["__s"] is not None else 0.0
+                )
                 scale = batch_max_abs
             if scale <= 0.0:
                 raise ValueError(
@@ -1750,14 +1781,17 @@ def fold_ann_index_batch(
         s = float(
             spark.read.parquet(sc_path).collect()[0]["scale"]
         )
-        # drift ledger: this batch's range, recorded BEFORE the batch
-        # marker so every committed batch carries its stat (replays
-        # overwrite their own row — idempotent)
-        spark.createDataFrame(
-            [(int(batch_id), batch_max_abs)], "batch long, max_abs double"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{snapshot_path}/scale_stats/b_{batch_id:020d}"
-        )
+        if batch_max_abs is None:
+            # drift ledger without a second scan: observe the batch's
+            # max-abs inside the SAME job that writes the vectors
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            batch_df = batch_df.observe(
+                obs, F.max(F.expr(_MAX_ABS_EXPR)).alias("max_abs")
+            )
+    assigned = ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+    if quantize:
         assigned = assigned.select(
             "vec_id",
             F.expr(
@@ -1776,6 +1810,19 @@ def fold_ann_index_batch(
         .partitionBy("batch", "cell")
         .parquet(f"{snapshot_path}/vectors")
     )
+    if quantize:
+        if obs is not None:
+            got = obs.get.get("max_abs")
+            batch_max_abs = float(got) if got is not None else 0.0
+        # recorded BEFORE the batch marker so every committed batch
+        # carries its stat (replays overwrite their own row); the
+        # audit filters to committed batches, so a crash here leaves
+        # no phantom
+        spark.createDataFrame(
+            [(int(batch_id), batch_max_abs)], "batch long, max_abs double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/scale_stats/b_{batch_id:020d}"
+        )
     fs.create(marker, True).close()
 
 
@@ -1992,7 +2039,23 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
     pinned = float(
         spark.read.parquet(f"{snapshot_path}/scale").collect()[0]["scale"]
     )
-    stats = spark.read.parquet(f"{snapshot_path}/scale_stats/*")
+    # committed batches only: a fold that crashed between its stats
+    # write and its marker never entered the served index, and a
+    # phantom row must not trigger a rebuild for vectors nobody
+    # serves. Compaction generations re-home vectors but never change
+    # their values, so original batch ids remain the right stats keys.
+    committed = []
+    mroot = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
+    if fs.exists(mroot):
+        for st_ in fs.listStatus(mroot):
+            name = st_.getPath().getName()
+            if name.startswith("b_") and name.endswith(
+                ROLLUP_APPLIED_MARKER
+            ):
+                committed.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
+    stats = spark.read.parquet(f"{snapshot_path}/scale_stats/*").where(
+        F.col("batch").isin(committed)
+    )
     return stats.agg(
         F.lit(pinned).alias("pinned_scale"),
         F.max("max_abs").alias("corpus_max_abs"),
