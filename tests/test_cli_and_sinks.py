@@ -312,3 +312,66 @@ def test_shard_manifest_offsets_are_contiguous(spark, tmp_path):
     for a, b in zip(man_sorted, man_sorted[1:]):
         assert b["start_off"] == a["end_off"]
     assert man_sorted[-1]["end_off"] == total_tokens
+
+
+def test_cli_maintain_actions(spark, tmp_path, capsys):
+    """maintain subcommand (round 9): the between-folds maintenance
+    jobs run as a program — a compaction prints its generation id and
+    a re-run NOOPs, the re-band prints the new width and the served
+    state follows, and the quantizer-drift audit prints its row.
+    Drives run_maintain directly (same body main() dispatches to)."""
+    from twitter_social_triangle_mapreduce_spark.cli import run_maintain
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_ann_index_batch,
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    # semantic snapshot: 3 folds -> compact -> reband
+    snap = str(tmp_path / "sem")
+    for i in range(3):
+        fold_semantic_batch(
+            emb([(i * 2, a), (i * 2 + 1, [0.0] * i + [1.0] + [0.0] * (7 - i))]),
+            i,
+            snap,
+            dims=8,
+        )
+    run_maintain(spark, snap, "compact_semantic_embs")
+    out = capsys.readouterr().out
+    assert "GENERATION:\t0" in out
+    run_maintain(spark, snap, "compact_semantic_embs")
+    assert "NOOP" in capsys.readouterr().out  # single safe source
+    run_maintain(spark, snap, "reband_semantic", bits=9)
+    assert "REBANDED_BITS:\t9" in capsys.readouterr().out
+    assert read_semantic_snapshot(spark, snap).count() == 6
+    # quantized ANN snapshot: fold -> audit row
+    cents = [(c, [10.0 * (c == d) for d in range(8)]) for c in range(2)]
+    qsnap = str(tmp_path / "qann")
+    fold_ann_index_batch(
+        emb([(i, [2.0 * (i % 2), 1.0] + [0.0] * 6) for i in range(6)]),
+        0,
+        qsnap,
+        centroids=codebook_df(spark, cents),
+        quantize=True,
+    )
+    run_maintain(spark, qsnap, "ann_scale_headroom")
+    out = capsys.readouterr().out
+    assert "pinned_scale\t2.0" in out
+    assert "n_clamped_batches\t0" in out
+    # unknown action is rejected by main()'s dispatch
+    import pytest as _pytest
+
+    from twitter_social_triangle_mapreduce_spark import cli
+
+    with _pytest.raises(SystemExit, match="unknown maintain action"):
+        cli.main(["maintain", snap, "not_an_action"])

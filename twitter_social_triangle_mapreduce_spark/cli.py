@@ -23,9 +23,17 @@ records), only the printed scalar.
 
 Beyond the reference surface: ``sql`` (ad-hoc SQL over the registered
 views), ``explain`` (formatted physical plan of any registered query),
-``query`` (run any registered query), and ``prepare_corpus`` (the
+``query`` (run any registered query), ``prepare_corpus`` (the
 training-data capstone: curate → near-dup canonical → decontaminate →
-pack → shards, writing ``<out>/shards`` + ``<out>/audit``).
+pack → shards, writing ``<out>/shards`` + ``<out>/audit``), and
+``maintain`` (round 9: the streaming-store maintenance operations as a
+program — ``<snapshot-dir> <action>`` with actions
+``compact_semantic_embs`` / ``compact_cluster_bands`` /
+``compact_passage_windows`` / ``compact_passage_cuts`` /
+``compact_pack_rows`` / ``compact_ann_index`` / ``reband_semantic``
+(``--bits`` optional, else corpus-derived) / ``ann_scale_headroom`` —
+so compaction, re-banding, and the quantizer-drift audit run from cron
+or a shell the way they would in production, not only from Python).
 """
 
 from __future__ import annotations
@@ -206,6 +214,63 @@ def run_prepare_corpus(
     return hist
 
 
+#: maintain actions → (callable path, takes target_file_mb)
+MAINTAIN_ACTIONS = (
+    "compact_semantic_embs",
+    "compact_cluster_bands",
+    "compact_passage_windows",
+    "compact_passage_cuts",
+    "compact_pack_rows",
+    "compact_ann_index",
+    "reband_semantic",
+    "ann_scale_headroom",
+)
+
+
+def run_maintain(
+    spark,
+    snapshot_dir: str,
+    action: str,
+    bits: int | None = None,
+    target_file_mb: int = 256,
+    min_sim_e4: int | None = None,
+) -> None:
+    """``maintain`` subcommand: run one streaming-store maintenance
+    operation against a snapshot directory and print its outcome —
+    the operational surface for the between-folds jobs (compaction,
+    re-band migration, quantizer-drift audit). Compactors print the
+    new generation id or ``NOOP``; ``reband_semantic`` prints the new
+    width or ``NOOP``; ``ann_scale_headroom`` prints its one audit
+    row tab-separated. The re-band derives the embedding width from
+    the store itself; pass ``--min-sim-e4`` when the stream folds
+    with a non-default cosine threshold — the recompute must use the
+    SAME clustering knobs the folds do (only the band width has a
+    stored contract)."""
+    from . import streaming as S
+
+    if action == "reband_semantic":
+        kwargs = {} if min_sim_e4 is None else {"min_sim_e4": min_sim_e4}
+        got = S.reband_semantic_store(
+            spark, snapshot_dir, bits=bits, **kwargs
+        )
+        print(f"REBANDED_BITS:\t{got}" if got is not None else "NOOP")
+        return
+    if action == "ann_scale_headroom":
+        row = S.ann_scale_headroom(spark, snapshot_dir).collect()[0]
+        for k in (
+            "pinned_scale",
+            "corpus_max_abs",
+            "headroom_ratio",
+            "n_batches",
+            "n_clamped_batches",
+        ):
+            print(f"{k}\t{row[k]}")
+        return
+    fn = getattr(S, action)
+    gen = fn(spark, snapshot_dir, target_file_mb=target_file_mb)
+    print(f"GENERATION:\t{gen}" if gen is not None else "NOOP")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(
         prog="twitter_social_triangle_mapreduce_spark",
@@ -213,7 +278,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     p.add_argument(
         "program",
-        choices=(*PROGRAMS, "sql", "explain", "query", "prepare_corpus"),
+        choices=(
+            *PROGRAMS,
+            "sql",
+            "explain",
+            "query",
+            "prepare_corpus",
+            "maintain",
+        ),
     )
     p.add_argument(
         "input_dir",
@@ -271,6 +343,26 @@ def main(argv: list[str] | None = None) -> None:
         "publish them next to the shards, and write TOKENIZED shards "
         "packed by model-token counts",
     )
+    p.add_argument(
+        "--bits",
+        type=int,
+        default=None,
+        help="maintain reband_semantic only: explicit target width "
+        "(default: lsh_bits_for of the store's current corpus count)",
+    )
+    p.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=256,
+        help="maintain compact_* only: compacted generation file sizing",
+    )
+    p.add_argument(
+        "--min-sim-e4",
+        type=int,
+        default=None,
+        help="maintain reband_semantic only: the stream's cosine "
+        "threshold (the recompute must use the folds' knobs)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -286,6 +378,22 @@ def main(argv: list[str] | None = None) -> None:
         # input_dir = testdata dir, output_dir = "<name>[:<parquet_out>]"
         name, _, dest = args.output_dir.partition(":")
         run_query(spark, args.input_dir, name, dest or None)
+        return
+    if args.program == "maintain":
+        # input_dir = snapshot dir, output_dir = the action name
+        if args.output_dir not in MAINTAIN_ACTIONS:
+            raise SystemExit(
+                f"unknown maintain action {args.output_dir!r};"
+                f" one of {', '.join(MAINTAIN_ACTIONS)}"
+            )
+        run_maintain(
+            spark,
+            args.input_dir,
+            args.output_dir,
+            bits=args.bits,
+            target_file_mb=args.target_file_mb,
+            min_sim_e4=args.min_sim_e4,
+        )
         return
     if args.program == "prepare_corpus":
         # input_dir = testdata dir, output_dir = shards+audit destination

@@ -1333,6 +1333,13 @@ def reband_semantic_store(
         spark, f"{snapshot_path}/embs", "b_", base + 1
     )
     corpus = spark.read.parquet(*emb_dirs)
+    if "dims" not in dedup_kwargs:
+        # the store knows its own embedding width — derive it so the
+        # maintenance job can run from a shell (CLI ``maintain``)
+        # without the caller restating what is already on disk
+        dedup_kwargs["dims"] = int(
+            corpus.select(F.size("embedding")).first()[0]
+        )
     pinned = _semantic_pinned_bits(spark, snapshot_path, state_dirs)
     if bits is None:
         bits = lsh_bits_for(corpus.select("vec_id").count())
