@@ -1236,7 +1236,12 @@ def test_compaction_carries_folded_batch_ids_forward(spark, tmp_path):
     # second compaction folds g_0 + b_2 and deletes g_0's ledger; its
     # own ledger must still exclude batch 1
     assert _compact_batch_store(spark, parent, "b_", 3) == 1
-    assert 1 in _gen_sources(spark, parent, 1)  # carried forward
+    srcs1 = _gen_sources(spark, parent, 1)
+    assert 1 in srcs1  # the observed leftover is carried forward
+    # ...but NOT the whole folded history — batch 0's dir was deleted
+    # successfully, and a folded id can never be re-written, so the
+    # ledger stays bounded by live sources + crash leftovers
+    assert 0 not in srcs1
     dirs = _list_batch_dirs(spark, parent, "b_")
     assert [d.rsplit("/", 1)[1] for d in dirs] == [
         "g_" + "1".zfill(20),

@@ -656,14 +656,19 @@ def _commit_generation(
     """Steps 2–3 of the compaction contract, shared by every layout:
     write the ledger (``compact_sources/g_<gen>``) and flip visibility
     with the atomic marker create. The ledger lists the DIRECT source
-    batch ids, the batch ids every stale generation's ledger excluded
-    (``folded_batch_ids`` — carried forward because step 4 deletes the
-    stale ledgers, and a source batch dir whose own deletion failed in
-    an earlier crash would otherwise lose its only excluder and
-    resurface as live data, permanently duplicating its rows on the
-    next compaction — review finding, round 9), and ``-(g+1)`` for
-    EVERY stale generation, so one committed row excludes each of
-    them single-hop."""
+    batch ids, the already-folded batch ids whose dirs STILL EXIST on
+    disk (``folded_batch_ids`` — carried forward because step 4
+    deletes the stale ledgers, and a source batch dir whose own
+    deletion failed in an earlier crash would otherwise lose its only
+    excluder and resurface as live data, permanently duplicating its
+    rows on the next compaction — review finding, round 9; only the
+    OBSERVED leftovers are carried, never the full folded history, so
+    ledger size stays bounded by live sources + crash leftovers over
+    a long-lived stream — a successfully-deleted batch id can never
+    be re-written, because the newest batch is excluded from
+    compaction precisely so replays cannot collide with folded ids),
+    and ``-(g+1)`` for EVERY stale generation, so one committed row
+    excludes each of them single-hop."""
     jvm, fs = _rollup_fs(spark, parent)
     srcs = (
         [(int(b),) for b in batch_ids]
@@ -750,7 +755,7 @@ def _compact_batch_store(
     jvm, fs = _rollup_fs(spark, parent)
     all_gens, live_gens, already = _gen_ledger(spark, parent)
     batch_dirs: list[tuple[int, str]] = []
-    stale_dirs: list[str] = []
+    stale_dirs: list[tuple[int, str]] = []
     root = jvm.org.apache.hadoop.fs.Path(parent)
     if fs.exists(root):
         for st_ in fs.listStatus(root):
@@ -760,8 +765,8 @@ def _compact_batch_store(
                 if bid in already:
                     # leftover source dir an earlier crashed cleanup
                     # never deleted — already excluded by the ledger;
-                    # retry its deletion below
-                    stale_dirs.append(f"{parent}/{name}")
+                    # carried into the new ledger and retried below
+                    stale_dirs.append((bid, f"{parent}/{name}"))
                 elif bid < max_batch_exclusive:
                     batch_dirs.append((bid, f"{parent}/{name}"))
     batch_dirs.sort()
@@ -783,10 +788,18 @@ def _compact_batch_store(
     merged = spark.read.parquet(*src_paths).repartition(n_files)
     merged.write.mode("overwrite").parquet(_gen_dir(parent, gen))
     _commit_generation(
-        spark, parent, gen, [b for b, _ in batch_dirs], already, all_gens
+        spark,
+        parent,
+        gen,
+        [b for b, _ in batch_dirs],
+        {b for b, _ in stale_dirs},
+        all_gens,
     )
     _cleanup_compacted(
-        spark, parent, [p for _, p in batch_dirs] + stale_dirs, all_gens
+        spark,
+        parent,
+        [p for _, p in batch_dirs] + [p for _, p in stale_dirs],
+        all_gens,
     )
     return gen
 
@@ -884,14 +897,14 @@ def compact_pack_rows(
         return None
     all_gens, live_gens, already = _gen_ledger(spark, parent)
     batch_dirs: list[tuple[int, str]] = []
-    stale_dirs: list[str] = []
+    stale_dirs: list[tuple[int, str]] = []
     root = jvm.org.apache.hadoop.fs.Path(parent)
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
         if st_.isDirectory() and name.startswith("p_"):
             bid = int(name[2:])
             if bid in already:
-                stale_dirs.append(f"{parent}/{name}")  # retry below
+                stale_dirs.append((bid, f"{parent}/{name}"))  # carried
             elif bid < newest:
                 batch_dirs.append((bid, f"{parent}/{name}"))
     batch_dirs.sort()
@@ -921,10 +934,18 @@ def compact_pack_rows(
         "overwrite"
     ).parquet(f"{_gen_dir(parent, gen)}/meta")
     _commit_generation(
-        spark, parent, gen, [b for b, _ in batch_dirs], already, all_gens
+        spark,
+        parent,
+        gen,
+        [b for b, _ in batch_dirs],
+        {b for b, _ in stale_dirs},
+        all_gens,
     )
     _cleanup_compacted(
-        spark, parent, [p for _, p in batch_dirs] + stale_dirs, all_gens
+        spark,
+        parent,
+        [p for _, p in batch_dirs] + [p for _, p in stale_dirs],
+        all_gens,
     )
     return gen
 
