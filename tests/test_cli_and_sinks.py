@@ -375,3 +375,48 @@ def test_cli_maintain_actions(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="unknown maintain action"):
         cli.main(["maintain", snap, "not_an_action"])
+
+
+def test_cli_maintain_reband_with_codebook(spark, tmp_path, capsys):
+    """maintain reband_semantic --codebook: a store folded with a
+    TRAINED quantizer must be re-banded with the same one — the CLI
+    loads it from the published save_codebook path and the re-banded
+    state equals the batch recompute under those centroids at the new
+    width (a stand-in recompute would land vectors in different cells
+    and silently miss collisions)."""
+    from twitter_social_triangle_mapreduce_spark.cli import run_maintain
+    from twitter_social_triangle_mapreduce_spark.operators import similarity
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+        read_semantic_snapshot,
+    )
+
+    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.3, 0.0, 0.1, 0.0, 0.0]
+    cents = [(0, a), (1, b)]
+    cb_path = str(tmp_path / "codebook")
+    similarity.save_codebook(spark, cents, cb_path)
+    cb = similarity.load_codebook(spark, cb_path)
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "sem")
+    rows = [(0, a), (1, a), (2, b), (3, b)]
+    fold_semantic_batch(emb(rows[:2]), 0, snap, centroids=cb, dims=8)
+    fold_semantic_batch(emb(rows[2:]), 1, snap, centroids=cb, dims=8)
+    run_maintain(spark, snap, "reband_semantic", bits=9, codebook=cb_path)
+    assert "REBANDED_BITS:\t9" in capsys.readouterr().out
+    got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
+    want = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup_clusters(
+                emb(rows), centroids=cb, dims=8, bits=9
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -760,6 +760,23 @@ def test_ann_scale_headroom_flags_clamped_batches(spark, tmp_path):
     fold_ann_index_batch(emb(b1), 1, snap, centroids=cb, quantize=True)
     row = ann_scale_headroom(spark, snap).collect()[0]
     assert row["n_batches"] == 2 and row["n_clamped_batches"] == 1
+    # compaction deletes the folded batches' MARKERS but re-homes
+    # their vectors — the audit must keep their drift history (ids
+    # recovered from compact_sources) and the stats DIRS must fold
+    # with the vectors, not accumulate one per ingest forever
+    fold_ann_index_batch(
+        emb([(20, [0.5] * dims)]), 2, snap, centroids=cb, quantize=True
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_ann_index,
+    )
+
+    assert compact_ann_index(spark, snap) is not None
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["n_batches"] == 3 and row["n_clamped_batches"] == 1
+    assert row["corpus_max_abs"] == 10.0
+    stats_dirs = glob.glob(f"{snap}/scale_stats/b_*")
+    assert len(stats_dirs) == 2  # one generation dir + the newest batch
     # float stores carry no ledger
     fsnap = str(tmp_path / "fsnap")
     fold_ann_index_batch(emb(b0), 0, fsnap, centroids=cb)

@@ -214,7 +214,8 @@ def run_prepare_corpus(
     return hist
 
 
-#: maintain actions → (callable path, takes target_file_mb)
+#: action names the ``maintain`` subcommand dispatches (compact_* by
+#: getattr on the streaming package; the last two have custom arms)
 MAINTAIN_ACTIONS = (
     "compact_semantic_embs",
     "compact_cluster_bands",
@@ -234,6 +235,7 @@ def run_maintain(
     bits: int | None = None,
     target_file_mb: int = 256,
     min_sim_e4: int | None = None,
+    codebook: str | None = None,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -242,14 +244,22 @@ def run_maintain(
     new generation id or ``NOOP``; ``reband_semantic`` prints the new
     width or ``NOOP``; ``ann_scale_headroom`` prints its one audit
     row tab-separated. The re-band derives the embedding width from
-    the store itself; pass ``--min-sim-e4`` when the stream folds
-    with a non-default cosine threshold — the recompute must use the
-    SAME clustering knobs the folds do (only the band width has a
-    stored contract)."""
+    the store itself, but the OTHER clustering knobs have no stored
+    contract and must match what the folds use: pass ``--codebook``
+    (a ``save_codebook`` parquet path — the trained quantizer the
+    stream folds with; omitting it on a codebook-pinned store would
+    recompute with the stand-in quantizer and silently miss
+    collisions) and ``--min-sim-e4`` for a non-default cosine
+    threshold. Knobs beyond these (bands, k_cells, nprobe) are
+    Python-API-only — call ``reband_semantic_store`` directly."""
     from . import streaming as S
 
     if action == "reband_semantic":
         kwargs = {} if min_sim_e4 is None else {"min_sim_e4": min_sim_e4}
+        if codebook is not None:
+            from .operators.similarity import load_codebook
+
+            kwargs["centroids"] = load_codebook(spark, codebook)
         got = S.reband_semantic_store(
             spark, snapshot_dir, bits=bits, **kwargs
         )
@@ -363,6 +373,13 @@ def main(argv: list[str] | None = None) -> None:
         help="maintain reband_semantic only: the stream's cosine "
         "threshold (the recompute must use the folds' knobs)",
     )
+    p.add_argument(
+        "--codebook",
+        default=None,
+        help="maintain reband_semantic only: save_codebook parquet "
+        "path — REQUIRED when the stream folds with a trained "
+        "quantizer (a stand-in recompute silently misses collisions)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -393,6 +410,7 @@ def main(argv: list[str] | None = None) -> None:
             bits=args.bits,
             target_file_mb=args.target_file_mb,
             min_sim_e4=args.min_sim_e4,
+            codebook=args.codebook,
         )
         return
     if args.program == "prepare_corpus":

@@ -1358,9 +1358,14 @@ def reband_semantic_store(
         # the store knows its own embedding width — derive it so the
         # maintenance job can run from a shell (CLI ``maintain``)
         # without the caller restating what is already on disk
-        dedup_kwargs["dims"] = int(
-            corpus.select(F.size("embedding")).first()[0]
-        )
+        first = corpus.select(F.size("embedding").alias("w")).first()
+        if first is None or first["w"] is None or first["w"] <= 0:
+            raise ValueError(
+                f"reband_semantic_store: cannot derive the embedding"
+                f" width from {snapshot_path} (empty corpus or NULL"
+                " first embedding) — pass dims= explicitly"
+            )
+        dedup_kwargs["dims"] = int(first["w"])
     pinned = _semantic_pinned_bits(spark, snapshot_path, state_dirs)
     if bits is None:
         bits = lsh_bits_for(corpus.select("vec_id").count())
@@ -1965,6 +1970,27 @@ def compact_ann_index(
         .partitionBy("batch", "cell")
         .parquet(vec_root)
     )
+    # fold the quantizer-drift ledger alongside (round 9): one
+    # scale_stats/b_<id> dir per fold grows files linear in fold count
+    # — the exact growth this compactor exists to bound — so the
+    # sources' stats rows (original batch ids preserved; the headroom
+    # audit keys on ids from compact_sources, not on dir names) are
+    # rewritten into one b_<gen> dir and the folded dirs deleted in
+    # step 4. The audit dedupes by batch, so the crash window between
+    # this rewrite and the cleanup is exact, not just harmless.
+    stats_src = [
+        f"{snapshot_path}/scale_stats/b_{b:020d}"
+        for b in sources
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{snapshot_path}/scale_stats/b_{b:020d}"
+            )
+        )
+    ]
+    if stats_src:
+        spark.read.parquet(*stats_src).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{snapshot_path}/scale_stats/b_{gen:020d}")
     spark.createDataFrame(
         [(int(b),) for b in sources], "src long"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -1988,6 +2014,12 @@ def compact_ann_index(
             )
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}"),
+                True,
+            )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{snapshot_path}/scale_stats/b_{b:020d}"
+                ),
                 True,
             )
         except Exception:
@@ -2070,9 +2102,14 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
     # committed batches only: a fold that crashed between its stats
     # write and its marker never entered the served index, and a
     # phantom row must not trigger a rebuild for vectors nobody
-    # serves. Compaction generations re-home vectors but never change
-    # their values, so original batch ids remain the right stats keys.
-    committed = []
+    # serves. Compaction re-homes vectors (and deletes the folded
+    # batches' MARKERS), never drops them, so "committed" here is the
+    # surviving markers UNION every batch id recorded in any
+    # compact_sources ledger — ledgers are never deleted, so the
+    # folded history survives arbitrarily many compactions. A phantom
+    # batch can appear in neither (its marker never existed and
+    # compaction only folds marker-committed batches).
+    committed = set()
     mroot = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
     if fs.exists(mroot):
         for st_ in fs.listStatus(mroot):
@@ -2080,9 +2117,24 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
             if name.startswith("b_") and name.endswith(
                 ROLLUP_APPLIED_MARKER
             ):
-                committed.append(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
-    stats = spark.read.parquet(f"{snapshot_path}/scale_stats/*").where(
-        F.col("batch").isin(committed)
+                committed.add(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/compact_sources")
+    ):
+        committed.update(
+            int(r["src"])
+            for r in spark.read.parquet(
+                f"{snapshot_path}/compact_sources/*"
+            ).collect()
+        )
+    # dropDuplicates: a crash between a compaction's stats rewrite and
+    # its cleanup can leave a batch's row in both the folded dir and
+    # the generation dir — the rows are identical (max_abs is a pure
+    # function of the batch), so first-wins is exact
+    stats = (
+        spark.read.parquet(f"{snapshot_path}/scale_stats/*")
+        .where(F.col("batch").isin(sorted(committed)))
+        .dropDuplicates(["batch"])
     )
     return stats.agg(
         F.lit(pinned).alias("pinned_scale"),
