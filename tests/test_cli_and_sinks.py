@@ -408,7 +408,19 @@ def test_cli_maintain_reband_with_codebook(spark, tmp_path, capsys):
     rows = [(0, a), (1, a), (2, b), (3, b)]
     fold_semantic_batch(emb(rows[:2]), 0, snap, centroids=cb, dims=8)
     fold_semantic_batch(emb(rows[2:]), 1, snap, centroids=cb, dims=8)
-    run_maintain(spark, snap, "reband_semantic", bits=9, codebook=cb_path)
+    # through the REAL argparse wiring, not run_maintain directly — a
+    # dropped codebook=args.codebook pass-through must fail this test
+    from twitter_social_triangle_mapreduce_spark import cli
+
+    cli.main(
+        [
+            "maintain",
+            snap,
+            "reband_semantic",
+            "--bits=9",
+            f"--codebook={cb_path}",
+        ]
+    )
     assert "REBANDED_BITS:\t9" in capsys.readouterr().out
     got = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
     want = sorted(

@@ -782,3 +782,84 @@ def test_ann_scale_headroom_flags_clamped_batches(spark, tmp_path):
     fold_ann_index_batch(emb(b0), 0, fsnap, centroids=cb)
     with _pytest.raises(FileNotFoundError, match="scale_stats"):
         ann_scale_headroom(spark, fsnap)
+
+
+def test_ann_compaction_carries_leftover_markers_forward(spark, tmp_path):
+    """Round-9 review finding (ANN twin of the flat-store fix): a
+    source batch whose marker deletion failed stays excluded only by
+    its generation's ledger — and the NEXT compaction rotates that
+    ledger away. The new generation's ledger must carry the leftover
+    forward (without re-reading its vectors, which live inside the
+    generation), serving must stay duplicate-free across the
+    rotation, and the leftover's cleanup must be retried."""
+    import glob
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        compact_ann_index,
+        fold_ann_index_batch,
+    )
+
+    dims = 8
+    cents = [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)]
+    cb = codebook_df(spark, cents)
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(i, [float(i % 5), 1.0] + [0.0] * (dims - 2)) for i in range(6)],
+        [(i, [1.0, float(i % 7)] + [0.0] * (dims - 2)) for i in range(6, 12)],
+        [(i, [0.5, 2.0] + [0.0] * (dims - 2)) for i in range(12, 16)],
+    ]
+    for i, rows in enumerate(batches):
+        fold_ann_index_batch(emb(rows), i, snap, centroids=cb)
+    qs = emb(batches[0][:2])
+    want = sorted(
+        map(tuple, ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect())
+    )
+    # compaction 1 folds batches 0,1; simulate a FAILED cleanup of
+    # batch 0 (marker + vectors dir survive)
+    saved = str(tmp_path / "saved_b0")
+    spark.read.parquet(f"{snap}/vectors/batch=0").write.parquet(saved)
+    assert compact_ann_index(spark, snap) is not None
+    # restore with the cell= partition layout the fold writes
+    spark.read.parquet(saved).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{snap}/vectors/batch=0")
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _rollup_fs,
+    )
+
+    jvm, fs = _rollup_fs(spark, snap)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{snap}/markers/b_" + "0".zfill(20) + "_APPLIED"
+        ),
+        True,
+    ).close()
+    # excluded by gen1's ledger — serving unchanged
+    got = sorted(
+        map(tuple, ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect())
+    )
+    assert got == want
+    # compaction 2 rotates gen1's ledger away; without the carry,
+    # batch 0's surviving marker would make it live again
+    fold_ann_index_batch(
+        emb([(20, [3.0, 0.0] + [0.0] * (dims - 2))]), 3, snap, centroids=cb
+    )
+    assert compact_ann_index(spark, snap) is not None
+    got = sorted(
+        map(tuple, ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect())
+    )
+    assert got == want  # duplicate-free across the ledger rotation
+    # the leftover's marker and dir were retried and reclaimed
+    assert not os.path.exists(f"{snap}/markers/b_" + "0".zfill(20) + "_APPLIED")
+    assert not glob.glob(f"{snap}/vectors/batch=0")

@@ -1859,17 +1859,22 @@ def fold_ann_index_batch(
     fs.create(marker, True).close()
 
 
-def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
-    """Visible batch ids: every marker-committed batch MINUS the
-    source batches of every committed compaction generation (a
-    generation's sources parquet is written BEFORE its marker, so the
-    marker create is the atomic visibility flip — the instant it
-    exists, readers take the compacted copy and drop the sources, with
-    no window where vectors are seen twice or not at all)."""
+def _ann_marker_state(
+    spark, snapshot_path: str
+) -> tuple[list[int], list[int]]:
+    """Decode the ANN index's marker + ledger state into ``(LIVE
+    batch ids, excluded-but-marker-surviving leftovers)``. A batch is
+    live when its marker committed and no committed generation's
+    ``compact_sources`` ledger lists it; a LEFTOVER is a marker that
+    survived a crashed (or IO-failed, swallowed) best-effort cleanup —
+    its vectors are already inside a generation, so it must never be
+    served or re-folded, and the compactor carries it into the next
+    ledger before the old ledger rotates away (round 9, the same
+    rotation hole fixed for the flat stores)."""
     jvm, fs = _rollup_fs(spark, snapshot_path)
     root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
     if not fs.exists(root):
-        return []
+        return [], []
     committed = []
     for st_ in fs.listStatus(root):
         name = st_.getPath().getName()
@@ -1884,7 +1889,20 @@ def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
                     f"{snapshot_path}/compact_sources/g_{gen:020d}"
                 ).collect()
             )
-    return sorted(b for b in committed if b not in excluded)
+    return (
+        sorted(b for b in committed if b not in excluded),
+        sorted(b for b in committed if b in excluded),
+    )
+
+
+def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
+    """Visible batch ids: every marker-committed batch MINUS the
+    source batches of every committed compaction generation (a
+    generation's sources parquet is written BEFORE its marker, so the
+    marker create is the atomic visibility flip — the instant it
+    exists, readers take the compacted copy and drop the sources, with
+    no window where vectors are seen twice or not at all)."""
+    return _ann_marker_state(spark, snapshot_path)[0]
 
 
 def compact_ann_index(
@@ -1926,7 +1944,7 @@ def compact_ann_index(
     import math
 
     jvm, fs = _rollup_fs(spark, snapshot_path)
-    committed = _ann_committed_batches(spark, snapshot_path)
+    committed, leftovers = _ann_marker_state(spark, snapshot_path)
     stream_batches = [b for b in committed if b < ANN_COMPACT_BASE]
     gens = [b for b in committed if b >= ANN_COMPACT_BASE]
     # the newest stream batch may still be replayed by a recovering
@@ -1991,8 +2009,16 @@ def compact_ann_index(
         spark.read.parquet(*stats_src).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{snapshot_path}/scale_stats/b_{gen:020d}")
+    # the ledger = data sources PLUS the leftovers whose markers a
+    # crashed cleanup never deleted (their vectors live inside a
+    # prior generation being folded forward, so they are excluded,
+    # never re-read — re-reading would duplicate them into this
+    # generation; the prior generation's ledger is about to rotate
+    # away, so without the carry the surviving marker would make
+    # them live again — round-9 review finding, ANN twin of the
+    # flat-store fix)
     spark.createDataFrame(
-        [(int(b),) for b in sources], "src long"
+        [(int(b),) for b in sources + leftovers], "src long"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{snapshot_path}/compact_sources/g_{gen:020d}"
     )
@@ -2002,8 +2028,9 @@ def compact_ann_index(
         ),
         True,
     ).close()
-    # 4. cleanup — everything below is already invisible to readers
-    for b in sources:
+    # 4. cleanup — everything below is already invisible to readers;
+    # leftovers from PRIOR crashed cleanups are retried here too
+    for b in sources + leftovers:
         try:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
@@ -2109,7 +2136,7 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
     # folded history survives arbitrarily many compactions. A phantom
     # batch can appear in neither (its marker never existed and
     # compaction only folds marker-committed batches).
-    committed = set()
+    marker_ids = set()
     mroot = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/markers")
     if fs.exists(mroot):
         for st_ in fs.listStatus(mroot):
@@ -2117,23 +2144,48 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
             if name.startswith("b_") and name.endswith(
                 ROLLUP_APPLIED_MARKER
             ):
-                committed.add(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
-    if fs.exists(
-        jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/compact_sources")
-    ):
-        committed.update(
-            int(r["src"])
-            for r in spark.read.parquet(
-                f"{snapshot_path}/compact_sources/*"
-            ).collect()
-        )
-    # dropDuplicates: a crash between a compaction's stats rewrite and
-    # its cleanup can leave a batch's row in both the folded dir and
-    # the generation dir — the rows are identical (max_abs is a pure
-    # function of the batch), so first-wins is exact
+                marker_ids.add(int(name[2 : -len(ROLLUP_APPLIED_MARKER)]))
+    committed_df = spark.createDataFrame(
+        [(int(b),) for b in sorted(marker_ids)], "batch long"
+    )
+    cs_root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/compact_sources")
+    if fs.exists(cs_root):
+        ledger_paths = [
+            str(st_.getPath())
+            for st_ in fs.listStatus(cs_root)
+            if st_.isDirectory()
+        ]
+        if ledger_paths:
+            try:
+                led = spark.read.parquet(*ledger_paths)
+            except Exception:
+                # a compaction that crashed mid-ledger-write leaves a
+                # schemaless dir; its generation never committed, so
+                # the readable ledgers + markers fully decide — skip
+                # only the broken one
+                ok = []
+                for p in ledger_paths:
+                    try:
+                        ok.append(spark.read.parquet(p))
+                    except Exception:
+                        pass
+                led = ok[0] if ok else None
+                for extra in (ok or [])[1:]:
+                    led = led.unionByName(extra)
+            if led is not None:
+                committed_df = committed_df.unionByName(
+                    led.select(F.col("src").alias("batch"))
+                )
+    # semi-join, not a collected isin list: the ledger history grows
+    # with stream lifetime and must never ride the driver or the plan
+    # size. dropDuplicates: a crash between a compaction's stats
+    # rewrite and its cleanup can leave a batch's row in both the
+    # folded dir and the generation dir — the rows are identical
+    # (max_abs is a pure function of the batch), so first-wins is
+    # exact.
     stats = (
         spark.read.parquet(f"{snapshot_path}/scale_stats/*")
-        .where(F.col("batch").isin(sorted(committed)))
+        .join(committed_df.distinct(), "batch", "left_semi")
         .dropDuplicates(["batch"])
     )
     return stats.agg(
