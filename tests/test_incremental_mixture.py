@@ -1257,3 +1257,93 @@ def test_compaction_carries_folded_batch_ids_forward(spark, tmp_path):
     dirs = _list_batch_dirs(spark, parent, "b_")
     got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_reband_refreshes_legacy_root_pin(spark, tmp_path):
+    """Advisor finding (round 10): the root ``lsh_bits`` parquet is the
+    documented legacy fallback for pre-round-9 tooling, so a committed
+    re-band must (best-effort) refresh it — otherwise external readers
+    see the pre-migration width forever. Authority is unchanged: the
+    in-dir pin wins for folds."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_semantic_batch,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _semantic_pinned_bits,
+        _semantic_state_dirs,
+        reband_semantic_store,
+    )
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    rows = [(i, [1.0 * (i % 4 == d) for d in range(8)]) for i in range(6)]
+    fold_semantic_batch(emb(rows), 0, snap, dims=8)
+    assert (
+        spark.read.parquet(f"{snap}/lsh_bits").collect()[0]["bits"] == 8
+    )
+    assert reband_semantic_store(spark, snap, bits=10, dims=8) == 10
+    # the legacy root pin now reports the post-migration width too
+    assert (
+        spark.read.parquet(f"{snap}/lsh_bits").collect()[0]["bits"] == 10
+    )
+    # and the authoritative in-dir pin agrees
+    dirs = _semantic_state_dirs(spark, snap)
+    assert _semantic_pinned_bits(spark, snap, dirs) == 10
+
+
+def test_gen_ledger_tolerates_folded_leftover_without_ledger(
+    spark, tmp_path
+):
+    """Advisor finding (round 10): cleanup deletes a stale generation's
+    marker, data dir, and ledger — if the marker delete fails WITHOUT
+    raising (fs.delete returning false) while the ledger delete
+    succeeds, the store would present a marker-committed generation
+    with no readable compact_sources. The reader must tolerate exactly
+    that shape — a generation another committed ledger records as
+    folded needs no ledger of its own — while a LIVE generation with a
+    missing ledger (real corruption) still fails loudly."""
+    import os
+    import shutil
+
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _compact_batch_store,
+        _gen_ledger,
+        _list_batch_dirs,
+    )
+
+    parent = str(tmp_path / "store")
+
+    def write_batch(bid, vals):
+        spark.createDataFrame(
+            [(int(v),) for v in vals], "x long"
+        ).write.parquet(f"{parent}/b_{bid:020d}")
+
+    write_batch(0, [1, 2])
+    write_batch(1, [3])
+    write_batch(2, [4])
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0  # folds 0,1
+    write_batch(3, [5])
+    assert _compact_batch_store(spark, parent, "b_", 3) == 1  # folds g0+b2
+    # resurrect g_0's MARKER alone (failed non-raising marker delete)
+    # while its ledger and data stay deleted (successful deletes)
+    marker = f"{parent}/markers/g_" + "0".zfill(20) + "_APPLIED"
+    open(marker, "w").close()
+    assert not os.path.exists(f"{parent}/compact_sources/g_" + "0".zfill(20))
+    gens, live, folded_srcs = _gen_ledger(spark, parent)
+    assert gens == [0, 1] and live == [1]  # leftover excluded, no raise
+    # g_1's ledger lists its DIRECT batch source only (0 and 1 were
+    # g_0's — cleanly deleted, so no carry was needed)
+    assert folded_srcs == {2}
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4, 5]  # duplicate-free serving
+    # a LIVE generation with no ledger is real corruption: loud
+    os.remove(marker)
+    shutil.rmtree(f"{parent}/compact_sources/g_" + "1".zfill(20))
+    with pytest.raises(Exception):
+        _gen_ledger(spark, parent)

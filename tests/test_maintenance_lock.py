@@ -1,0 +1,272 @@
+"""Concurrent-maintenance exclusion (round 10, r9 verdict item 1).
+
+Every maintenance operation (the six compactors, the semantic re-band,
+the ANN rebuild) computes its target generation as max(committed)+1, so
+two OVERLAPPING invocations — one cron mis-schedule away now that
+``maintain`` is a CLI — would pick the SAME id and interleave writes
+into the same directory. The fix reuses the store's own durability
+primitive (the atomic marker create) as a CAS lock:
+
+- ``_acquire_maintenance_lock``: ``fs.create(lock, overwrite=False)``
+  — exactly one writer wins; the loser raises
+  ``ConcurrentMaintenanceError`` BEFORE any visible mutation;
+- crashed holders self-expire after ``MAINTENANCE_LEASE_SECONDS`` and
+  are reclaimed through the same CAS;
+- every visible flip re-checks ownership, and bulk data stages in a
+  token-unique directory first, so a lease-expired zombie aborts
+  loudly instead of mixing part files into the new holder's output.
+
+These tests simulate the race per layout by pre-creating the rival's
+lock and asserting the second compactor raises with the store intact
+and duplicate-free, plus the reclaim/zombie edges.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from twitter_social_triangle_mapreduce_spark.streaming import (
+    ConcurrentMaintenanceError,
+    compact_ann_index,
+    compact_pack_rows,
+    compact_semantic_embs,
+    fold_ann_index_batch,
+    fold_pack_batch,
+    fold_semantic_batch,
+    read_packed_corpus,
+    read_semantic_snapshot,
+)
+from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+    _acquire_maintenance_lock,
+    _assert_holds_maintenance_lock,
+    _commit_generation,
+    _compact_batch_store,
+    _list_batch_dirs,
+    _release_maintenance_lock,
+    reband_semantic_store,
+)
+
+
+def _lock_file(parent: str) -> str:
+    return f"{parent}/markers/_MAINTENANCE_LOCK"
+
+
+def _hold_rival_lock(parent: str) -> str:
+    """Pre-create the rival's lock exactly as a live holder leaves it."""
+    os.makedirs(f"{parent}/markers", exist_ok=True)
+    path = _lock_file(parent)
+    with open(path, "w") as fh:
+        fh.write("rival-token-0000")
+    return path
+
+
+def _listing(root: str) -> set[str]:
+    out = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        for n in dirnames + filenames:
+            out.add(os.path.join(rel, n))
+    return out
+
+
+def test_flat_store_compaction_rejects_concurrent_rival(spark, tmp_path):
+    """The generic flat-store compactor: a held lock makes the second
+    invocation raise with the store bit-identical (no staging residue,
+    no half-written generation), and the rival's lock survives; once
+    the rival releases, compaction proceeds and releases its own
+    lock."""
+    parent = str(tmp_path / "store")
+    for bid, vals in enumerate(([1, 2], [3], [4])):
+        spark.createDataFrame(
+            [(int(v),) for v in vals], "x long"
+        ).write.parquet(f"{parent}/b_{bid:020d}")
+    lock = _hold_rival_lock(parent)
+    before = _listing(parent)
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        _compact_batch_store(spark, parent, "b_", 2)
+    assert _listing(parent) == before  # untouched, including the lock
+    assert open(lock).read() == "rival-token-0000"  # never stolen
+    os.remove(lock)  # rival finishes
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0
+    assert not os.path.exists(lock)  # released on success
+    dirs = _list_batch_dirs(spark, parent, "b_")
+    got = sorted(r["x"] for r in spark.read.parquet(*dirs).collect())
+    assert got == [1, 2, 3, 4]  # duplicate-free
+    # no staging residue under the parent either
+    assert not [d for d in os.listdir(parent) if d.startswith("_stage_")]
+
+
+def test_semantic_store_maintenance_shares_one_snapshot_lock(
+    spark, tmp_path
+):
+    """compact_semantic_embs and reband_semantic_store lock at the
+    SNAPSHOT scope — either one running blocks the other (a re-band
+    reads the very batch dirs an embs compaction deletes)."""
+
+    def emb(rows):
+        return spark.createDataFrame(
+            [(v, [float(x) for x in e]) for v, e in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    snap = str(tmp_path / "snap")
+    rows0 = [(i, [1.0 * (i % 4 == d) for d in range(8)]) for i in range(4)]
+    rows1 = [(4 + i, [1.0 * (i == d) for d in range(8)]) for i in range(2)]
+    rows2 = [(6, [0.0] * 7 + [1.0])]
+    fold_semantic_batch(emb(rows0), 0, snap, dims=8)
+    fold_semantic_batch(emb(rows1), 1, snap, dims=8)
+    # third fold so TWO embs dirs sit below the newest-version safety
+    # bound and the compactor has something to do
+    fold_semantic_batch(emb(rows2), 2, snap, dims=8)
+    served = sorted(
+        map(tuple, read_semantic_snapshot(spark, snap).collect())
+    )
+    lock = _hold_rival_lock(snap)
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        compact_semantic_embs(spark, snap)
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        reband_semantic_store(spark, snap, bits=10, dims=8)
+    # store intact: serving state unchanged, no re-band dir appeared
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, snap).collect())
+    ) == served
+    assert not [d for d in os.listdir(snap) if d.startswith("r_")]
+    os.remove(lock)
+    assert compact_semantic_embs(spark, snap) == 0
+    assert reband_semantic_store(spark, snap, bits=10, dims=8) == 10
+    assert not os.path.exists(lock)
+
+
+def test_pack_store_compaction_rejects_concurrent_rival(spark, tmp_path):
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    snap = str(tmp_path / "snap")
+    batches = [
+        [(0, "alpha beta gamma"), (1, "delta epsilon")],
+        [(2, "zeta eta theta iota kappa")],
+        [(3, "lam mu")],
+    ]
+    for i, rows in enumerate(batches):
+        fold_pack_batch(docs(rows), i, snap, budget=8)
+    served = sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+    lock = _hold_rival_lock(snap)
+    before = _listing(snap)
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        compact_pack_rows(spark, snap)
+    assert _listing(snap) == before
+    os.remove(lock)
+    assert compact_pack_rows(spark, snap) == 0
+    assert (
+        sorted(map(tuple, read_packed_corpus(spark, snap).collect()))
+        == served
+    )
+
+
+def test_ann_index_compaction_rejects_concurrent_rival(spark, tmp_path):
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+    )
+
+    dims = 4
+    cb = codebook_df(
+        spark,
+        [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)],
+    )
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    snap = str(tmp_path / "snap")
+    for b in range(3):
+        fold_ann_index_batch(
+            emb([(b * 4 + i, [1.0 * (d == b % 2) for d in range(dims)])
+                 for i in range(2)]),
+            b,
+            snap,
+            centroids=cb,
+        )
+    qs = emb([(0, [1.0, 0.0, 0.0, 0.0])])
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ann_topk_snapshot(spark, snap, qs, k=3, nprobe=2).collect(),
+            )
+        )
+
+    served = serve()
+    lock = _hold_rival_lock(snap)
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        compact_ann_index(spark, snap)
+    assert serve() == served  # store intact, duplicate-free
+    assert not [d for d in os.listdir(snap) if d.startswith("_stage_")]
+    os.remove(lock)
+    assert compact_ann_index(spark, snap) is not None
+    assert serve() == served
+    assert not os.path.exists(lock)
+
+
+def test_stale_lock_is_reclaimed_after_lease(spark, tmp_path):
+    """A crashed holder's lock (mtime older than the lease) must not
+    block maintenance forever: the next run reclaims it through the
+    same CAS and proceeds."""
+    parent = str(tmp_path / "store")
+    for bid, vals in enumerate(([1], [2], [3])):
+        spark.createDataFrame(
+            [(int(v),) for v in vals], "x long"
+        ).write.parquet(f"{parent}/b_{bid:020d}")
+    lock = _hold_rival_lock(parent)
+    stale = time.time() - (7 * 3600)  # older than the 6h lease
+    os.utime(lock, (stale, stale))
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0
+    assert not os.path.exists(lock)  # reclaimed, used, released
+
+
+def test_lost_lock_ownership_aborts_before_commit(spark, tmp_path):
+    """The zombie fence: a writer whose lock was reclaimed (lease
+    expiry) fails the pre-flip ownership check instead of committing
+    over the new holder."""
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    token = _acquire_maintenance_lock(spark, parent)
+    _assert_holds_maintenance_lock(spark, parent, token)  # sanity
+    # the reclaimer replaces the lock with its own token
+    with open(_lock_file(parent), "w") as fh:
+        fh.write("new-holder-token")
+    with pytest.raises(ConcurrentMaintenanceError, match="reclaimed"):
+        _assert_holds_maintenance_lock(spark, parent, token)
+    # release must NOT delete the new holder's lock
+    _release_maintenance_lock(spark, parent, token)
+    assert open(_lock_file(parent)).read() == "new-holder-token"
+
+
+def test_generation_marker_create_is_cas(spark, tmp_path):
+    """Defense in depth below the lock: the visibility flip itself is
+    an overwrite=False create, so double-committing one generation id
+    is structurally impossible even if two writers reached the flip."""
+    parent = str(tmp_path / "store")
+    os.makedirs(f"{parent}/markers")
+    # the rival committed generation 0's marker first
+    open(f"{parent}/markers/g_" + "0".zfill(20) + "_APPLIED", "w").close()
+    with pytest.raises(ConcurrentMaintenanceError, match="committed it first"):
+        _commit_generation(spark, parent, 0, [0, 1], set(), [])
+
+
+def test_noop_compaction_releases_the_lock(spark, tmp_path):
+    """A <2-sources no-op must release the lock on its way out."""
+    parent = str(tmp_path / "store")
+    spark.createDataFrame([(1,)], "x long").write.parquet(
+        f"{parent}/b_" + "0".zfill(20)
+    )
+    assert _compact_batch_store(spark, parent, "b_", 1) is None
+    assert not os.path.exists(_lock_file(parent))

@@ -863,3 +863,47 @@ def test_ann_compaction_carries_leftover_markers_forward(spark, tmp_path):
     # the leftover's marker and dir were retried and reclaimed
     assert not os.path.exists(f"{snap}/markers/b_" + "0".zfill(20) + "_APPLIED")
     assert not glob.glob(f"{snap}/vectors/batch=0")
+
+
+def test_ann_scale_headroom_skips_half_written_stats_dir(spark, tmp_path):
+    """Advisor finding (round 10): a fold that crashes mid-stats-write
+    leaves a schemaless ``scale_stats/b_*`` dir (its batch never
+    committed — the stat precedes the marker). The audit must skip the
+    unreadable dir and answer from the committed history, not fail
+    loudly until manual cleanup."""
+    import os
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_scale_headroom,
+        fold_ann_index_batch,
+    )
+
+    dims = 4
+    cb = codebook_df(
+        spark, [(c, [10.0 * (c == d) for d in range(dims)]) for c in range(2)]
+    )
+    snap = str(tmp_path / "qsnap")
+    b0 = [(i, [2.0 * (d == 0) for d in range(dims)]) for i in range(4)]
+    fold_ann_index_batch(
+        spark.createDataFrame(b0, "vec_id long, embedding array<float>"),
+        0,
+        snap,
+        centroids=cb,
+        quantize=True,
+    )
+    # the crash artifact: an EMPTY stats dir for a batch whose fold
+    # died before writing any parquet (and before its marker)
+    os.makedirs(f"{snap}/scale_stats/b_" + "7".zfill(20))
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["pinned_scale"] == 2.0
+    assert row["n_batches"] == 1 and row["n_clamped_batches"] == 0
+    # a half-written NON-parquet file artifact is skipped the same way
+    bad = f"{snap}/scale_stats/b_" + "8".zfill(20)
+    os.makedirs(bad)
+    with open(f"{bad}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00\x01 not parquet")
+    row = ann_scale_headroom(spark, snap).collect()[0]
+    assert row["n_batches"] == 1 and row["n_clamped_batches"] == 0

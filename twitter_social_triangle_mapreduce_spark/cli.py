@@ -34,6 +34,17 @@ program — ``<snapshot-dir> <action>`` with actions
 (``--bits`` optional, else corpus-derived) / ``ann_scale_headroom`` —
 so compaction, re-banding, and the quantizer-drift audit run from cron
 or a shell the way they would in production, not only from Python).
+
+Concurrency guarantee (round 10): maintenance operations take a
+per-snapshot single-writer lock (an atomic ``create(overwrite=False)``
+CAS on ``<snapshot>/markers/_MAINTENANCE_LOCK``). Overlapping
+``maintain`` invocations on the SAME snapshot — e.g. a cron schedule
+that fires before the previous run finished — fail loudly with
+``ConcurrentMaintenanceError`` and leave the store untouched; they
+never corrupt it. A lock left by a crashed run self-expires after
+``streaming.MAINTENANCE_LEASE_SECONDS`` (6 h) and is reclaimed
+automatically. Retry rejected runs after the holder finishes. The
+audit action (``ann_scale_headroom``) is read-only and takes no lock.
 """
 
 from __future__ import annotations

@@ -542,21 +542,32 @@ def lsh_bits_for(n: int, occupancy: int = LSH_TARGET_OCCUPANCY) -> int:
 #:   per lineage, so this hits only the same relation re-resolved
 #:   (safe for every relation kind);
 #: * for purely FILE-BACKED plans, (canonicalized plan string, the
-#:   scan's input files) — canonicalization normalizes expression ids
-#:   so two INDEPENDENT loads of the same path key identically (the
-#:   composition shape: each operator calls load_table itself); the
-#:   file list supplies the identity canonicalized strings omit.
-#:   In-memory relations (LogicalRDD/LocalRelation print no identity)
-#:   never use this key — same-schema different-data frames must not
-#:   share.
+#:   scan's input files, the file index's total byte size) —
+#:   canonicalization normalizes expression ids so two INDEPENDENT
+#:   loads of the same path key identically (the composition shape:
+#:   each operator calls load_table itself); the file list supplies
+#:   the identity canonicalized strings omit, and the byte size (one
+#:   py4j call into stats the cached file index already holds — no FS
+#:   walk) catches an EXTERNAL writer rewriting the path with
+#:   identical filenames but different contents (advisor finding,
+#:   round 10). In-memory relations (LogicalRDD/LocalRelation print no
+#:   identity) never use this key — same-schema different-data frames
+#:   must not share.
 #:
-#: Bounded FIFO. Staleness: a path atomically re-written inside one
-#: application gets NEW part-file names, so the files key re-counts;
-#: the exact key can serve a stale count only to the same DataFrame
-#: object over mutated storage, where the old plan's own re-execution
-#: is already undefined.
-_SIZING_COUNT_MEMO: dict[tuple, int] = {}
-_SIZING_COUNT_MEMO_MAX = 32
+#: Bounded LRU (a hit refreshes recency, so the relations a long-lived
+#: service keeps composing over never age out under churn from
+#: one-shot corpora). Residual staleness: a path atomically re-written
+#: by a SPARK writer inside one application gets NEW part-file names,
+#: so the files key re-counts; an external writer that preserves both
+#: every filename AND the total byte length can still serve a stale
+#: count — callers handing externally-managed paths to the embedding
+#: tier should pass ``bits=`` explicitly. The exact key can serve a
+#: stale count only to the same DataFrame object over mutated storage,
+#: where the old plan's own re-execution is already undefined.
+from collections import OrderedDict as _OrderedDict
+
+_SIZING_COUNT_MEMO: "_OrderedDict[tuple, int]" = _OrderedDict()
+_SIZING_COUNT_MEMO_MAX = 256
 
 
 def _sizing_count(rel: DataFrame) -> int:
@@ -570,16 +581,18 @@ def _sizing_count(rel: DataFrame) -> int:
         if "LogicalRDD" not in canon and "LocalRelation" not in canon:
             files = tuple(sorted(ids.inputFiles()))
             if files:
-                keys.append((app, "files", canon, files))
+                size = str(analyzed.stats().sizeInBytes())
+                keys.append((app, "files", canon, files, size))
     except Exception:
         keys = []
     for k in keys:
         if k in _SIZING_COUNT_MEMO:
+            _SIZING_COUNT_MEMO.move_to_end(k)
             return _SIZING_COUNT_MEMO[k]
     n = ids.count()
     for k in keys:
         while len(_SIZING_COUNT_MEMO) >= _SIZING_COUNT_MEMO_MAX:
-            _SIZING_COUNT_MEMO.pop(next(iter(_SIZING_COUNT_MEMO)))
+            _SIZING_COUNT_MEMO.popitem(last=False)
         _SIZING_COUNT_MEMO[k] = n
     return n
 
