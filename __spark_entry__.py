@@ -40,6 +40,16 @@ queries, so its marginal driver signal was the lowest) in favor of
 driver-hash-gated against the same DuckDB clustering oracle as the
 batch query; it exercises the generalized compactor whose
 crash-after-flip window round 9 closed.
+
+Round 10 rotation: ``embedding_near_dup_pairs`` → pytest tier (the
+raw banded-LSH pair listing is wholly contained in the driver-gated
+``semantic_dedup_clusters`` / ``semantic_decontam`` /
+``semantic_snapshot_*`` pipelines, so its marginal driver signal was
+the lowest) in favor of ``semantic_snapshot_rebanded`` — the
+mid-stream WIDTH MIGRATION (folds pinned at the 8-bit floor →
+``reband_semantic_store`` to 9 bits → a post-migration fold) is now
+driver-hash-gated against the DuckDB clustering oracle regenerated
+entirely at the new width.
 """
 
 from __future__ import annotations

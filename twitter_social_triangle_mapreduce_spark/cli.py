@@ -31,9 +31,13 @@ program — ``<snapshot-dir> <action>`` with actions
 ``compact_semantic_embs`` / ``compact_cluster_bands`` /
 ``compact_passage_windows`` / ``compact_passage_cuts`` /
 ``compact_pack_rows`` / ``compact_ann_index`` / ``reband_semantic``
-(``--bits`` optional, else corpus-derived) / ``ann_scale_headroom`` —
-so compaction, re-banding, and the quantizer-drift audit run from cron
-or a shell the way they would in production, not only from Python).
+(``--bits`` optional, else corpus-derived) / ``ann_scale_headroom`` /
+``rebuild_ann_index`` (round 10, ``--source`` required, ``--scale``
+optional — the executable response to the drift audit: re-quantize the
+whole corpus from the float source onto a corpus-sized grid) — so
+compaction, re-banding, the quantizer-drift audit, and the drift-cure
+rebuild run from cron or a shell the way they would in production, not
+only from Python).
 
 Concurrency guarantee (round 10): maintenance operations take a
 per-snapshot single-writer lock (an atomic ``create(overwrite=False)``
@@ -236,6 +240,7 @@ MAINTAIN_ACTIONS = (
     "compact_ann_index",
     "reband_semantic",
     "ann_scale_headroom",
+    "rebuild_ann_index",
 )
 
 
@@ -247,6 +252,8 @@ def run_maintain(
     target_file_mb: int = 256,
     min_sim_e4: int | None = None,
     codebook: str | None = None,
+    source: str | None = None,
+    scale: float | None = None,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -275,6 +282,24 @@ def run_maintain(
             spark, snapshot_dir, bits=bits, **kwargs
         )
         print(f"REBANDED_BITS:\t{got}" if got is not None else "NOOP")
+        return
+    if action == "rebuild_ann_index":
+        if source is None:
+            raise SystemExit(
+                "maintain rebuild_ann_index requires --source: the"
+                " parquet path of the FULL float embeddings relation"
+                " (vec_id, embedding) — the quantized store discarded"
+                " its floats, so the cure must come from the source"
+                " of truth"
+            )
+        got = S.rebuild_ann_index(
+            spark,
+            snapshot_dir,
+            spark.read.parquet(source),
+            scale=scale,
+            target_file_mb=target_file_mb,
+        )
+        print(f"REBUILT_SCALE:\t{got}")
         return
     if action == "ann_scale_headroom":
         row = S.ann_scale_headroom(spark, snapshot_dir).collect()[0]
@@ -391,6 +416,20 @@ def main(argv: list[str] | None = None) -> None:
         "path — REQUIRED when the stream folds with a trained "
         "quantizer (a stand-in recompute silently misses collisions)",
     )
+    p.add_argument(
+        "--source",
+        default=None,
+        help="maintain rebuild_ann_index only (required): parquet path "
+        "of the FULL float embeddings relation (vec_id, embedding) to "
+        "re-quantize from",
+    )
+    p.add_argument(
+        "--scale",
+        type=float,
+        default=None,
+        help="maintain rebuild_ann_index only: explicit int8 grid "
+        "scale (default: the source corpus max-abs)",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -422,6 +461,8 @@ def main(argv: list[str] | None = None) -> None:
             target_file_mb=args.target_file_mb,
             min_sim_e4=args.min_sim_e4,
             codebook=args.codebook,
+            source=args.source,
+            scale=args.scale,
         )
         return
     if args.program == "prepare_corpus":

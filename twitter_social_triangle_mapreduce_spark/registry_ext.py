@@ -522,7 +522,13 @@ EXT_QUERIES = {
     "user_event_setops": q_user_event_setops,
     "user_counts_by_type": q_user_counts_by_type,  # exact countDistinct
     "events_last_order_asof": q_events_last_order_asof,
-    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    # round 10: embedding_near_dup_pairs rotated to the pytest tier —
+    # its banded-candidates + exact-cosine machinery is fully inside
+    # the driver-gated semantic_dedup_clusters / semantic_decontam /
+    # semantic_snapshot_* queries, so the raw pair listing had the
+    # lowest marginal driver signal — in favor of
+    # semantic_snapshot_rebanded (the width-migration path), appended
+    # below its definition
     "ann_topk_ivf": q_ann_topk_ivf,
 }
 # round-4 flagships take the two weakest marginal driver slots
@@ -1207,6 +1213,11 @@ EXT_QUERIES["semantic_decontam"] = q_semantic_decontam
 # fix's evidence is part of the hard signal (rotation ledger in
 # __spark_entry__.py; lsh_signature moved to the pytest tier below)
 EXT_QUERIES["semantic_snapshot_compacted"] = q_semantic_snapshot_compacted
+# round 10 rotation: the mid-stream width migration (folds at the
+# 8-bit floor -> reband_semantic_store to 9 bits -> a post-migration
+# fold) is driver-hash-gated against the clustering oracle regenerated
+# at the NEW width; embedding_near_dup_pairs moved to the pytest tier
+EXT_QUERIES["semantic_snapshot_rebanded"] = q_semantic_snapshot_rebanded
 
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
@@ -1227,10 +1238,12 @@ EXT_EXTRA_QUERIES = {
     # embedding_near_dup_pairs / semantic_* queries; still
     # hash-oracled here
     "lsh_signature": q_lsh_signature,
-    # round 9: the mid-stream width migration (folds at 8 bits →
-    # re-band → fold at 9 bits) against the clustering oracle
-    # regenerated at the NEW width — every hyperplane re-drawn
-    "semantic_snapshot_rebanded": q_semantic_snapshot_rebanded,
+    # round 10: rotated out of the driver 50 for
+    # semantic_snapshot_rebanded — the raw banded-LSH pair listing is
+    # wholly contained in the driver-gated semantic_dedup_clusters /
+    # semantic_decontam / semantic_snapshot_* pipelines; still
+    # hash-oracled here
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     # round 7: rotated out of the driver 50 for semantic_decontam —
     # the rolling hash is an intermediate of the driver-gated passage
     # pipelines (doc_passage_cuts), so its marginal driver signal was

@@ -2025,6 +2025,14 @@ def streaming_pack_maintenance(
 #: stream's own ids.
 ANN_COMPACT_BASE = 10**15
 
+#: per-row max-abs over a float embedding column — the int8 grid-sizing
+#: and drift-observation expression shared by the quantized fold and
+#: ``rebuild_ann_index``
+_MAX_ABS_EXPR = (
+    "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+    " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+)
+
 
 def fold_ann_index_batch(
     batch_df: DataFrame,
@@ -2125,10 +2133,6 @@ def fold_ann_index_batch(
         fs.create(cb_marker, True).close()
     cents = load_codebook(spark, cb_path)
     obs = None
-    _MAX_ABS_EXPR = (
-        "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
-        " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
-    )
     if quantize:
         sc_marker = jvm.org.apache.hadoop.fs.Path(
             f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
@@ -2156,9 +2160,11 @@ def fold_ann_index_batch(
                 [(float(scale),)], "scale double"
             ).coalesce(1).write.mode("overwrite").parquet(sc_path)
             fs.create(sc_marker, True).close()
-        s = float(
-            spark.read.parquet(sc_path).collect()[0]["scale"]
-        )
+        # resolve through the generation-pinned record chain (round
+        # 10): after a rebuild_ann_index the authoritative scale
+        # travels with the committed rebuild generation, and folds
+        # must quantize on THAT grid, not the legacy root pin
+        s = _ann_pinned_scale(spark, snapshot_path)
         if batch_max_abs is None:
             # drift ledger without a second scan: observe the batch's
             # max-abs inside the SAME job that writes the vectors
@@ -2248,6 +2254,42 @@ def _ann_committed_batches(spark, snapshot_path: str) -> list[int]:
     exists, readers take the compacted copy and drop the sources, with
     no window where vectors are seen twice or not at all)."""
     return _ann_marker_state(spark, snapshot_path)[0]
+
+
+def _ann_pinned_scale(
+    spark, snapshot_path: str, live: list[int] | None = None
+) -> float:
+    """The int8 grid scale the snapshot currently serves and folds at:
+    the NEWEST live batch/generation carrying a ``scale_gens/b_<id>``
+    record wins — a rebuild pins its corpus-derived scale WITH the
+    generation it commits, so scale and vectors flip under one marker
+    (the quantized twin of the semantic store's in-dir bits pin), and
+    compaction carries the record forward with the folded vectors.
+    Stores never rebuilt have no records and fall through to the root
+    ``scale`` pin (also the legacy location, best-effort refreshed
+    after a rebuild for external readers). Liveness matters: a crashed
+    rebuild's orphan record (no marker) must never win, so resolution
+    walks COMMITTED ids only, newest first."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    if live is None:
+        live = _ann_committed_batches(spark, snapshot_path)
+    sg_root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_gens")
+    if fs.exists(sg_root):
+        recs = set()
+        for st_ in fs.listStatus(sg_root):
+            name = st_.getPath().getName()
+            if name.startswith("b_"):
+                recs.add(int(name[2:]))
+        for b in sorted(live, reverse=True):
+            if b in recs:
+                return float(
+                    spark.read.parquet(
+                        f"{snapshot_path}/scale_gens/b_{b:020d}"
+                    ).collect()[0]["scale"]
+                )
+    return float(
+        spark.read.parquet(f"{snapshot_path}/scale").collect()[0]["scale"]
+    )
 
 
 def compact_ann_index(
@@ -2396,6 +2438,23 @@ def _compact_ann_index_locked(
         spark.read.parquet(*stats_src).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{snapshot_path}/scale_stats/b_{gen:020d}")
+    # carry the generation-pinned scale with the fold (round 10): on a
+    # quantized store, resolution follows the NEWEST live record
+    # (``_ann_pinned_scale``), and this compaction is about to fold
+    # away the sources that may carry it — re-pin the resolved scale
+    # on the new generation so a post-rebuild store keeps serving and
+    # folding at the rebuilt grid across arbitrarily many compactions
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
+        )
+    ):
+        spark.createDataFrame(
+            [(float(_ann_pinned_scale(spark, snapshot_path)),)],
+            "scale double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/scale_gens/b_{gen:020d}"
+        )
     # the ledger = data sources PLUS the leftovers whose markers a
     # crashed cleanup never deleted (their vectors live inside a
     # prior generation being folded forward, so they are excluded,
@@ -2429,15 +2488,50 @@ def _compact_ann_index_locked(
         ) from exc
     # 4. cleanup — everything below is already invisible to readers;
     # leftovers from PRIOR crashed cleanups are retried here too
-    for b in sources + leftovers:
+    _cleanup_ann_sources(
+        spark,
+        snapshot_path,
+        sources + leftovers,
+        live_stream_max=(stream_batches[-1] if stream_batches else None),
+    )
+    return gen
+
+
+def _cleanup_ann_sources(
+    spark, snapshot_path: str, candidates: list[int],
+    live_stream_max: int | None,
+) -> None:
+    """Best-effort reclamation of folded ANN sources (markers, vector
+    partitions, drift stats, scale records). Stream-batch MARKERS obey
+    the replay fence (round 10): the marker of the NEWEST known stream
+    batch is kept whenever no live stream batch outranks it — it is
+    the only thing stopping a recovering stream from re-folding that
+    batch's vectors (which now live inside a generation) as new data.
+    A rebuild folds ALL stream batches, so its newest source must keep
+    its marker until a later stream batch commits; ordinary compaction
+    always leaves the newest batch LIVE (never a candidate), so its
+    behavior is unchanged. The fenced marker is excluded by the
+    committed ledger regardless, shows up as a ``leftover`` to every
+    later maintenance run, and is retired by the first one that sees a
+    newer stream batch."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    vec_root = f"{snapshot_path}/vectors"
+    stream_ids = [b for b in candidates if b < ANN_COMPACT_BASE]
+    fence = None
+    if stream_ids:
+        newest_known = max(stream_ids)
+        if live_stream_max is None or live_stream_max <= newest_known:
+            fence = newest_known
+    for b in candidates:
         try:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{snapshot_path}/markers/"
-                    f"b_{b:020d}{ROLLUP_APPLIED_MARKER}"
-                ),
-                False,
-            )
+            if b != fence:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{snapshot_path}/markers/"
+                        f"b_{b:020d}{ROLLUP_APPLIED_MARKER}"
+                    ),
+                    False,
+                )
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}"),
                 True,
@@ -2448,9 +2542,14 @@ def _compact_ann_index_locked(
                 ),
                 True,
             )
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{snapshot_path}/scale_gens/b_{b:020d}"
+                ),
+                True,
+            )
         except Exception:
             pass  # best-effort; invisible garbage, retried next run
-    return gen
 
 
 def ann_topk_snapshot(
@@ -2487,11 +2586,7 @@ def ann_topk_snapshot(
     )
     cents = load_codebook(spark, f"{snapshot_path}/codebook")
     if "qemb" in vecs.columns:
-        scale = float(
-            spark.read.parquet(f"{snapshot_path}/scale").collect()[0][
-                "scale"
-            ]
-        )
+        scale = _ann_pinned_scale(spark, snapshot_path, committed)
         if scale <= 0.0:
             raise ValueError(
                 f"ann_topk_snapshot: stored scale {scale} is degenerate"
@@ -2522,9 +2617,7 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
             f"no scale_stats under {snapshot_path} — not a quantized"
             " snapshot (or written before the round-9 drift ledger)"
         )
-    pinned = float(
-        spark.read.parquet(f"{snapshot_path}/scale").collect()[0]["scale"]
-    )
+    pinned = _ann_pinned_scale(spark, snapshot_path)
     # committed batches only: a fold that crashed between its stats
     # write and its marker never entered the served index, and a
     # phantom row must not trigger a rebuild for vectors nobody
@@ -2621,6 +2714,240 @@ def ann_scale_headroom(spark, snapshot_path: str) -> DataFrame:
             (F.col("max_abs") > F.lit(pinned)).cast("long")
         ).alias("n_clamped_batches"),
     )
+
+
+def rebuild_ann_index(
+    spark,
+    snapshot_path: str,
+    source: DataFrame,
+    scale: float | None = None,
+    target_file_mb: int = 256,
+    verify_coverage: bool = True,
+) -> float:
+    """Drift-cure maintenance fold for a QUANTIZED streaming ANN index
+    (round 10, r9 verdict item 2): re-quantize the WHOLE corpus from
+    ``source`` — the float embeddings relation; the store itself
+    cannot supply floats because int8 clamping destroys information,
+    which is exactly why ``ann_scale_headroom``'s "rebuild from
+    source" signal needed an executable response — onto a grid sized
+    for the corpus (``scale`` defaults to the corpus max-abs), and
+    commit it as ONE new generation under the standard ledger/marker
+    flip. After the flip:
+
+    - serving and folds resolve the NEW scale via the
+      generation-pinned record (``scale_gens/b_<gen>``, written BEFORE
+      the marker — vectors and grid flip atomically under one create,
+      so a crash leaves the old store at the old scale or the new
+      store at the new scale, never a mix; the root ``scale`` pin is
+      refreshed best-effort for legacy readers, the bits-pin pattern);
+    - the drift ledger RESTARTS: the folded batches' ``scale_stats``
+      are deleted (their clamping is cured) and the rebuild records
+      the observed corpus max-abs, so ``ann_scale_headroom`` reports
+      the restored headroom immediately;
+    - cell routing is unchanged: assignment re-runs against the PINNED
+      codebook on the source floats, so probes keep hitting the same
+      inverted lists (a rebuild cures the grid, never re-clusters).
+
+    Replay fence: unlike compaction, the rebuild folds the NEWEST
+    stream batch too (its floats come from ``source``), so that
+    batch's MARKER is kept — a recovering stream that replays the
+    batch sees the marker and skips, while the committed ledger
+    already excludes its old vectors from serving; the fence marker is
+    retired by the first later maintenance run that sees a newer
+    stream batch (``_cleanup_ann_sources``).
+
+    ``verify_coverage`` (default on) cross-checks distinct source ids
+    against the live stored vector count and refuses a partial-corpus
+    rebuild — a silently smaller source would DELETE the missing
+    vectors from the index.
+
+    100 TB shape: one scan of the source (cell assignment +
+    quantization, with the max-abs observed inside the same job when
+    an explicit scale is passed), one shuffle by cell, per-cell file
+    sizing from the sources' on-disk bytes; nothing rides the driver
+    beyond the k-row codebook and 1-row pins. Runs under the snapshot
+    maintenance lock (concurrent maintenance raises
+    ``ConcurrentMaintenanceError`` with the store untouched). Returns
+    the new pinned scale."""
+    import math
+
+    from ..operators.similarity import ivf_assign_with_payload, load_codebook
+
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
+        )
+    ):
+        raise ValueError(
+            f"rebuild_ann_index: {snapshot_path} is not a quantized"
+            " snapshot (no pinned scale) — a float store has no grid"
+            " to drift; nothing to rebuild"
+        )
+    token = _acquire_maintenance_lock(spark, snapshot_path)
+    stage = f"{snapshot_path}/_stage_{token}"
+    try:
+        live, leftovers = _ann_marker_state(spark, snapshot_path)
+        if not live:
+            raise FileNotFoundError(
+                f"no committed ANN batches under {snapshot_path}"
+            )
+        marker_gens = [
+            b for b in live + leftovers if b >= ANN_COMPACT_BASE
+        ]
+        gen = (max(marker_gens) + 1) if marker_gens else ANN_COMPACT_BASE
+        vec_root = f"{snapshot_path}/vectors"
+        if verify_coverage:
+            n_src = source.select("vec_id").distinct().count()
+            n_store = (
+                spark.read.parquet(vec_root)
+                .where(F.col("batch").isin(live))
+                .count()
+            )
+            if n_src != n_store:
+                raise ValueError(
+                    f"rebuild_ann_index: source has {n_src} distinct"
+                    f" vec_ids but the store serves {n_store} vectors —"
+                    " rebuilding from a partial corpus would silently"
+                    " drop the difference; pass the FULL embeddings"
+                    " relation (or verify_coverage=False if the"
+                    " mismatch is intended)"
+                )
+        corpus_max = None
+        if scale is None:
+            # the grid is needed BEFORE quantizing, so the derived-
+            # scale path pays a separate max-abs pass (ids+embedding
+            # only), exactly like the fold's first-batch path
+            row = source.agg(
+                F.max(F.expr(_MAX_ABS_EXPR)).alias("__s")
+            ).collect()[0]
+            corpus_max = float(row["__s"]) if row["__s"] is not None else 0.0
+            scale = corpus_max
+        scale = float(scale)
+        if scale <= 0.0:
+            raise ValueError(
+                f"rebuild_ann_index: target scale {scale} is degenerate"
+                " (empty or all-zero source) — supply scale= from"
+                " corpus statistics"
+            )
+        src = source
+        obs = None
+        if corpus_max is None:
+            # explicit scale: observe the corpus max-abs inside the
+            # SAME job that writes the vectors (no second scan) — the
+            # restarted drift ledger must record the truth, not the
+            # caller's claim
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            src = source.observe(
+                obs, F.max(F.expr(_MAX_ABS_EXPR)).alias("max_abs")
+            )
+        cents = load_codebook(spark, f"{snapshot_path}/codebook")
+        n_cells = cents.count()
+        assigned = ivf_assign_with_payload(
+            src, int(n_cells), centroids=cents
+        )
+        quantized = assigned.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(least(greatest("
+                f"floor(CAST(x AS DOUBLE) / {scale!r} * 127 + 0.5),"
+                " -127), 127) AS TINYINT))"
+            ).alias("qemb"),
+            "cell",
+        ).withColumn("batch", F.lit(gen))
+        total_bytes = 0
+        for b in live:
+            total_bytes += fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}")
+            ).getLength()
+        files_per_cell = max(
+            1,
+            math.ceil(
+                total_bytes / max(1, n_cells) / (target_file_mb * 2**20)
+            ),
+        )
+        if files_per_cell > 1:
+            quantized = quantized.repartition(
+                files_per_cell * max(1, int(n_cells)),
+                "cell",
+                F.pmod(F.xxhash64("vec_id"), F.lit(files_per_cell)),
+            )
+        else:
+            quantized = quantized.repartition("cell")
+        (
+            quantized.write.mode("overwrite")
+            .partitionBy("batch", "cell")
+            .parquet(stage)
+        )
+        if obs is not None:
+            got = obs.get.get("max_abs")
+            corpus_max = float(got) if got is not None else 0.0
+        _assert_holds_maintenance_lock(spark, snapshot_path, token)
+        dest = jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={gen}")
+        if fs.exists(dest):
+            fs.delete(dest, True)  # crashed holder's uncommitted leftover
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{stage}/batch={gen}"), dest
+        ):
+            raise ConcurrentMaintenanceError(
+                f"could not install rebuild partition {dest} — lost a race"
+            )
+        # drift ledger restart + generation-pinned scale, both BEFORE
+        # the marker so the flip is atomic
+        spark.createDataFrame(
+            [(int(gen), float(corpus_max))], "batch long, max_abs double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/scale_stats/b_{gen:020d}"
+        )
+        spark.createDataFrame(
+            [(float(scale),)], "scale double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/scale_gens/b_{gen:020d}"
+        )
+        spark.createDataFrame(
+            [(int(b),) for b in live + leftovers], "src long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{snapshot_path}/compact_sources/g_{gen:020d}"
+        )
+        _assert_holds_maintenance_lock(spark, snapshot_path, token)
+        try:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{snapshot_path}/markers/"
+                    f"b_{gen:020d}{ROLLUP_APPLIED_MARKER}"
+                ),
+                False,
+            ).close()
+        except Exception as exc:
+            raise ConcurrentMaintenanceError(
+                f"rebuild marker b_{gen} already exists under"
+                f" {snapshot_path} — a concurrent maintenance run"
+                " committed it first"
+            ) from exc
+        try:
+            # best-effort legacy root-pin refresh (external readers);
+            # authority lives in the generation-pinned record
+            spark.createDataFrame(
+                [(float(scale),)], "scale double"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{snapshot_path}/scale"
+            )
+        except Exception:
+            pass
+        _cleanup_ann_sources(
+            spark, snapshot_path, live + leftovers, live_stream_max=None
+        )
+        return scale
+    finally:
+        try:
+            sp = jvm.org.apache.hadoop.fs.Path(stage)
+            if fs.exists(sp):
+                fs.delete(sp, True)
+        except Exception:
+            pass
+        _release_maintenance_lock(spark, snapshot_path, token)
 
 
 def streaming_ann_index_maintenance(
