@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -7,6 +9,33 @@ from twitter_social_triangle_mapreduce_spark.session import get_spark
 from twitter_social_triangle_mapreduce_spark.sources.io import TABLES
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow — the fresh-JVM subprocess"
+        " probes and 100k+-row parity folds the default gate skips"
+        " (the closing-battery path; RUN_SLOW=1 works too)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Round-10 suite split (r9 verdict item 6): the default gate
+    (``pytest tests/ -x -q``) skips ``slow``-marked probes-as-tests so
+    it stays a fast pre-commit signal; the closing battery runs
+    everything with ``--runslow``. Skipped-not-deselected so the
+    default output still shows how many heavyweights were deferred."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow: run with --runslow (closing-battery path)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

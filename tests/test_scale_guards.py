@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from twitter_social_triangle_mapreduce_spark.operators.graph import (
@@ -349,6 +350,7 @@ def _run_capstone_probe(arg: str | None = None) -> dict:
     return json.loads(line)
 
 
+@pytest.mark.slow
 def test_capstone_shuffle_budget():
     """Round-4 guard (verdict item 5), restated as a RATIO in round 5
     (ADVICE: the absolute <3.0 MB / <80-stage constants would flake on
@@ -369,6 +371,7 @@ def test_capstone_shuffle_budget():
     assert got["n_stages"] < base["n_stages"], (got, base)
 
 
+@pytest.mark.slow
 def test_capstone_cut_arm_shuffle_budget():
     """Round-5 extension of the capstone budget guard to the
     cut_passages product path (verdict item 4): with the span-relation
@@ -387,6 +390,7 @@ def test_capstone_cut_arm_shuffle_budget():
     assert got["n_stages"] < base["n_stages"], (got, base)
 
 
+@pytest.mark.slow
 def test_capstone_semantic_arm_shuffle_budget():
     """Round-7 extension of the capstone budget guard to the SEMANTIC
     product path (embeddings joined — semantic-dup gate in the verdict
@@ -474,6 +478,7 @@ def _headline_bytes_probe(sf_dir: str) -> dict:
     return json.loads(line)["write_bytes"]
 
 
+@pytest.mark.slow
 def test_headline_shuffle_byte_budgets_at_bench_scale():
     """Round-6 verdict item 4: the per-query byte budgets asserted at
     the scale BENCH_rN actually records (sf0.1) — BENCH's
@@ -488,6 +493,7 @@ def test_headline_shuffle_byte_budgets_at_bench_scale():
         assert runs[0] <= budget, (name, runs[0], budget)
 
 
+@pytest.mark.slow
 def test_headline_shuffle_byte_budgets():
     """Round-5 verdict item 7: shuffle BYTES as the headline gate.
     Every headline query's per-run shuffle write must be (a) identical
@@ -521,6 +527,7 @@ def test_headline_shuffle_byte_budgets():
         assert runs[0] <= budget, (name, runs[0], budget)
 
 
+@pytest.mark.slow
 def test_passage_hot_window_join_splits_and_stays_bounded():
     """Round-5 verdict item 3: the adversarial boilerplate fixture (one
     8-token window = 50% of ALL corpus window occurrences) through the
