@@ -28,7 +28,8 @@ def pytest_collection_modifyitems(config, items):
     it stays a fast pre-commit signal; the closing battery runs
     everything with ``--runslow``. Skipped-not-deselected so the
     default output still shows how many heavyweights were deferred."""
-    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+    run_slow = os.environ.get("RUN_SLOW", "").strip().lower()
+    if config.getoption("--runslow") or run_slow not in ("", "0", "false"):
         return
     skip = pytest.mark.skip(
         reason="slow: run with --runslow (closing-battery path)"

@@ -198,3 +198,75 @@ def test_rebuild_with_explicit_scale_keeps_ledger_honest(spark, tmp_path):
     assert row["corpus_max_abs"] == 10.0  # observed, not claimed
     assert row["headroom_ratio"] == 0.5
     assert row["n_clamped_batches"] == 1
+
+
+def test_empty_batch_marker_without_dir_breaks_nothing(spark, tmp_path):
+    """An empty micro-batch's dynamic-partition write emits NO
+    ``vectors/batch=<id>`` dir yet still commits its marker (round-10
+    review finding): the rebuild's byte-sizing loop and the
+    compactor's source listing must both tolerate the dir-less
+    committed batch instead of dying on getContentSummary — which
+    would make the drift cure permanently unrunnable on any store
+    that ever saw an empty fold."""
+    snap, cb = _drifted_store(spark, tmp_path)
+    # empty fold: marker commits, no vectors/batch=2 dir appears
+    fold_ann_index_batch(_emb(spark, []), 2, snap, centroids=cb, quantize=True)
+    assert os.path.exists(f"{snap}/markers/b_{2:020d}_APPLIED")
+    assert not os.path.exists(f"{snap}/vectors/batch=2")
+
+    # rebuild over live = [0, 1, 2] walks the dir-less batch fine
+    assert rebuild_ann_index(spark, snap, _emb(spark, B0 + B1)) == 10.0
+    got = _serve(spark, snap, [(0, [10.0, 2.0, 0.0, 0.0])], k=1)
+    assert set(got) == {(0, 2)}  # true nearest, un-clamped
+
+    # compaction with a dir-less SOURCE batch: fold an empty batch 3
+    # (compactable once batch 4 exists) and a real batch 4
+    fold_ann_index_batch(_emb(spark, []), 3, snap, centroids=cb, quantize=True)
+    fold_ann_index_batch(
+        _emb(spark, [(4, [0.0, 0.0, 8.0, 0.0])]),
+        4,
+        snap,
+        centroids=cb,
+        quantize=True,
+    )
+    assert compact_ann_index(spark, snap) is not None
+    # the merged generation serves the rebuilt corpus; batch 4 stays
+    # live as the replay fence (qid 99: the top-k tail excludes
+    # nid == qid, so a colliding query id would hide vec 0)
+    got = _serve(spark, snap, [(99, [10.0, 2.0, 0.0, 0.0])], k=5)
+    assert {nid for (_, nid) in got} == {0, 1, 2, 3, 4}
+
+
+def test_rebuild_flip_fence_aborts_on_mid_rebuild_stream_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A fold that commits WHILE the rebuild runs carries old-grid
+    vectors the rebuild cannot cure (it is absent from the sources, so
+    post-flip serving would dequantize it on the new grid). The
+    pre-flip fence re-lists the committed batches and aborts with the
+    store untouched (round-10 review finding)."""
+    import twitter_social_triangle_mapreduce_spark.streaming.streams as S
+
+    snap, cb = _drifted_store(spark, tmp_path)
+    before = _serve(spark, snap, [(0, [1.0, 0.2, 0.0, 0.0])])
+
+    real = S._ann_marker_state
+    calls = {"n": 0}
+
+    def spy(spark_, path):
+        live, left = real(spark_, path)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the pre-flip fence re-listing
+            live = list(live) + [7]  # a stream batch landed mid-rebuild
+        return live, left
+
+    monkeypatch.setattr(S, "_ann_marker_state", spy)
+    with pytest.raises(ConcurrentMaintenanceError, match="Pause the"):
+        rebuild_ann_index(spark, snap, _emb(spark, B0 + B1))
+    monkeypatch.undo()
+    assert calls["n"] == 2
+    # nothing flipped: no rebuild generation committed, old serving intact
+    markers = set(os.listdir(f"{snap}/markers"))
+    assert {f"b_{0:020d}_APPLIED", f"b_{1:020d}_APPLIED"} <= markers
+    assert not any(m.startswith("b_000000000010") for m in markers)
+    assert _serve(spark, snap, [(0, [1.0, 0.2, 0.0, 0.0])]) == before

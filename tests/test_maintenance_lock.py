@@ -270,3 +270,70 @@ def test_noop_compaction_releases_the_lock(spark, tmp_path):
     )
     assert _compact_batch_store(spark, parent, "b_", 1) is None
     assert not os.path.exists(_lock_file(parent))
+
+
+def test_stale_reclaim_gives_back_a_freshly_recreated_lock(
+    spark, tmp_path, monkeypatch
+):
+    """Reclaim is rename-then-VERIFY (round-10 review finding): if a
+    rival reclaimer deletes the stale lock and creates its own fresh
+    one in the window between our age check and our rename, a bare
+    delete-then-create would destroy the rival's live lock and let
+    BOTH writers proceed. The rename catches whatever is at the lock
+    path; a token mismatch (we caught a FRESH lock, not the stale one
+    we aged) must give the file straight back and raise."""
+    import twitter_social_triangle_mapreduce_spark.streaming.streams as S
+
+    parent = str(tmp_path / "store")
+    os.makedirs(f"{parent}/markers", exist_ok=True)
+    lock = _lock_file(parent)
+    with open(lock, "w") as fh:
+        fh.write("crashed-holder-token")
+    stale = time.time() - (7 * 3600)
+    os.utime(lock, (stale, stale))
+
+    real = S._read_lock_token
+    fired = {"done": False}
+
+    def racer(fs, path):
+        got = real(fs, path)
+        if not fired["done"] and path.getName() == "_MAINTENANCE_LOCK":
+            fired["done"] = True
+            # the rival wins the stat→rename window: reclaims the
+            # stale lock and installs its own FRESH one
+            with open(lock, "w") as fh:
+                fh.write("rival-fresh-token")
+        return got
+
+    monkeypatch.setattr(S, "_read_lock_token", racer)
+    with pytest.raises(ConcurrentMaintenanceError):
+        _acquire_maintenance_lock(spark, parent)
+    monkeypatch.undo()
+    # the rival's fresh lock survived the loser's reclaim attempt
+    assert open(lock).read() == "rival-fresh-token"
+    # and no parked reclaim file was left behind
+    leftovers = [
+        n
+        for n in os.listdir(f"{parent}/markers")
+        if n.startswith("_MAINTENANCE_LOCK.reclaim_")
+    ]
+    assert leftovers == []
+
+
+def test_crashed_holder_stage_dir_is_swept_by_next_run(spark, tmp_path):
+    """A SIGKILLed holder leaves its token-unique ``_stage_<t>`` dir
+    behind (its own finally never ran); the next maintenance run —
+    which holds the lock, so the dir is provably garbage or a doomed
+    zombie's — must reclaim it instead of letting crashes accumulate
+    unbounded staging (round-10 review finding)."""
+    parent = str(tmp_path / "store")
+    for bid, vals in enumerate(([1], [2], [3])):
+        spark.createDataFrame(
+            [(int(v),) for v in vals], "x long"
+        ).write.parquet(f"{parent}/b_{bid:020d}")
+    leftover = f"{parent}/_stage_deadbeefcafe"
+    os.makedirs(leftover)
+    with open(f"{leftover}/part-00000", "w") as fh:
+        fh.write("crashed holder's multi-GB merge, in spirit")
+    assert _compact_batch_store(spark, parent, "b_", 2) == 0
+    assert not os.path.exists(leftover)

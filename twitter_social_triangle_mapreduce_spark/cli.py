@@ -49,6 +49,15 @@ never corrupt it. A lock left by a crashed run self-expires after
 ``streaming.MAINTENANCE_LEASE_SECONDS`` (6 h) and is reclaimed
 automatically. Retry rejected runs after the holder finishes. The
 audit action (``ann_scale_headroom``) is read-only and takes no lock.
+
+The lock serializes MAINTENANCE against MAINTENANCE; it does not stop
+the owning STREAM from folding (folds are the store's normal writers
+and take no lock). Compactors tolerate that by never touching the
+newest stream batch; ``rebuild_ann_index`` is stricter — PAUSE the
+stream first, because a fold that commits mid-rebuild carries
+old-grid vectors the rebuild cannot cure (the pre-flip fence aborts
+loudly when it sees one committed, but a fold still in flight at flip
+time can only be excluded by pausing).
 """
 
 from __future__ import annotations

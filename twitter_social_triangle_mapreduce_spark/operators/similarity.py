@@ -571,20 +571,42 @@ _SIZING_COUNT_MEMO_MAX = 256
 
 
 def _sizing_count(rel: DataFrame) -> int:
+    import hashlib
+
+    def _digest(*parts: str) -> str:
+        h = hashlib.sha256()
+        for p in parts:
+            h.update(p.encode("utf-8", "replace"))
+            h.update(b"\x00")
+        return h.hexdigest()
+
     ids = rel.select("vec_id")
+    # keys hold fixed-size DIGESTS, not the raw plan strings / file
+    # lists (review finding, round 10: 256 LRU slots of multi-KB plan
+    # strings and 10k-path tuples would pin real driver memory in a
+    # long-lived service; the strings are only ever used as identity)
     keys: list[tuple] = []
     try:
         app = rel.sparkSession.sparkContext.applicationId
         analyzed = ids._jdf.queryExecution().analyzed()
-        keys.append((app, "exact", analyzed.toString()))
-        canon = analyzed.canonicalized().toString()
-        if "LogicalRDD" not in canon and "LocalRelation" not in canon:
-            files = tuple(sorted(ids.inputFiles()))
-            if files:
-                size = str(analyzed.stats().sizeInBytes())
-                keys.append((app, "files", canon, files, size))
+        keys.append((app, "exact", _digest(analyzed.toString())))
     except Exception:
         keys = []
+    if keys:
+        # the files key is strictly optional — a stats()/inputFiles()
+        # failure must not also discard the exact key built above
+        # (review finding, round 10)
+        try:
+            canon = analyzed.canonicalized().toString()
+            if "LogicalRDD" not in canon and "LocalRelation" not in canon:
+                files = tuple(sorted(ids.inputFiles()))
+                if files:
+                    size = str(analyzed.stats().sizeInBytes())
+                    keys.append(
+                        (app, "files", _digest(canon, *files), size)
+                    )
+        except Exception:
+            pass
     for k in keys:
         if k in _SIZING_COUNT_MEMO:
             _SIZING_COUNT_MEMO.move_to_end(k)

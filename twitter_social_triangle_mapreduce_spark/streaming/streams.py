@@ -723,11 +723,15 @@ def _acquire_maintenance_lock(
 
     Crashed-holder reclamation: a holder that died leaves the lock
     file behind; when its modification time is older than the lease
-    the next writer deletes it and re-runs the CAS (the create stays
-    the decider — of N concurrent reclaimers exactly one wins, the
-    rest raise). The reclaimed run then overwrites the crashed
-    holder's uncommitted staging exactly as the pre-lock replay
-    contract always did.
+    the next writer claims it by ATOMIC RENAME to a token-unique park
+    path — of N concurrent reclaimers exactly one rename succeeds —
+    then verifies the parked file still carries the STALE token it
+    aged (a delete-then-create reclaim could instead destroy the
+    FRESH lock a faster reclaimer had just created — review finding,
+    round 10; a mismatched catch is renamed straight back) and only
+    then deletes it and re-runs the CAS create. The reclaimed run
+    then overwrites the crashed holder's uncommitted staging exactly
+    as the pre-lock replay contract always did.
 
     Fencing caveat (documented, not hidden): file locks without
     server-side leases cannot fence a writer that stalls PAST the
@@ -747,22 +751,52 @@ def _acquire_maintenance_lock(
     fs.mkdirs(lock.getParent())
     token = uuid.uuid4().hex
 
+    def sweep_parked() -> None:
+        # a reclaimer that crashed between its rename and its delete
+        # orphans a 32-byte ``.reclaim_*`` park file; with the lock
+        # now held (or free), any park present is dead — an in-flight
+        # racer that loses its park mid-verify degrades to the loud
+        # ConcurrentMaintenanceError path, never a silent grab
+        try:
+            for st_ in fs.listStatus(lock.getParent()):
+                name = st_.getPath().getName()
+                if name.startswith(f"{_MAINTENANCE_LOCK_NAME}.reclaim_"):
+                    try:
+                        fs.delete(st_.getPath(), False)
+                    except Exception:
+                        pass
+        except Exception:
+            pass
+
     def try_create() -> bool:
         try:
             out = fs.create(lock, False)
         except Exception:
             return False
-        out.write(bytearray(token.encode("ascii")))
-        out.close()
+        try:
+            out.write(bytearray(token.encode("ascii")))
+            out.close()
+        except Exception:
+            # the lock FILE exists but our token never landed: left
+            # behind it would block every maintenance run for the
+            # whole lease (review finding, round 10) — undo the
+            # create and surface the transient write error
+            try:
+                fs.delete(lock, False)
+            except Exception:
+                pass
+            raise
         return True
 
     if try_create():
+        sweep_parked()
         return token
     try:
         age = (
             time.time()
             - fs.getFileStatus(lock).getModificationTime() / 1000.0
         )
+        stale_token = _read_lock_token(fs, lock)
     except Exception:
         # released between our create and the stat — one clean retry
         if try_create():
@@ -777,11 +811,43 @@ def _acquire_maintenance_lock(
             " maintenance jobs one-at-a-time per snapshot; if the"
             " holder crashed, the lock self-expires after the lease"
         )
+    # claim the stale file by ATOMIC rename (only one reclaimer's
+    # rename can succeed — the source vanishes for the rest), then
+    # verify we caught the file we AGED: a bare delete here could
+    # race a faster reclaimer and destroy its freshly-created lock
+    park = jvm.org.apache.hadoop.fs.Path(
+        f"{lock_parent}/markers/{_MAINTENANCE_LOCK_NAME}.reclaim_{token}"
+    )
+    claimed = False
     try:
-        fs.delete(lock, False)  # stale: holder presumed dead
+        claimed = bool(fs.rename(lock, park))
     except Exception:
-        pass
+        claimed = False
+    if claimed:
+        caught = _read_lock_token(fs, park)
+        if caught == stale_token:
+            try:
+                fs.delete(park, False)
+            except Exception:
+                pass
+        else:
+            # we caught a FRESH lock (another reclaimer won and
+            # re-created between our stat and our rename): give it
+            # straight back and contend normally. If the give-back
+            # itself loses yet another race the displaced holder
+            # aborts LOUDLY at its next ownership assert — the
+            # documented lease-race degradation, never corruption.
+            try:
+                fs.rename(park, lock)
+            except Exception:
+                pass
+            raise ConcurrentMaintenanceError(
+                f"another maintenance operation holds {lock}"
+                " (reclaimed concurrently) — run maintenance jobs"
+                " one-at-a-time per snapshot"
+            )
     if try_create():
+        sweep_parked()
         return token
     raise ConcurrentMaintenanceError(
         f"lost the stale-lock reclaim race at {lock}"
@@ -815,6 +881,54 @@ def _release_maintenance_lock(spark, lock_parent: str, token: str) -> None:
             fs.delete(lock, False)
     except Exception:
         pass  # an unreleased lock self-expires after the lease
+
+
+def _sweep_foreign_stages(jvm, fs, stage_parent: str, token: str) -> None:
+    """Reclaim ``_stage_<token>`` directories left by CRASHED
+    maintenance runs (review finding, round 10: the finally-block
+    sweep only ever removes the CURRENT run's stage, so a SIGKILLed
+    holder's multi-GB staging would accumulate forever). Called with
+    the maintenance lock HELD, which is what makes deletion safe:
+    any foreign stage under this snapshot belongs either to a
+    crashed holder (garbage by definition) or to a lease-expired
+    zombie — whose rename/flip will fail its ownership assert anyway,
+    so destroying its staging turns a doomed silent commit into the
+    loud abort the fencing contract already promises. Best-effort:
+    an undeletable dir is skipped, never fatal."""
+    try:
+        root = jvm.org.apache.hadoop.fs.Path(stage_parent)
+        if not fs.exists(root):
+            return
+        for st_ in fs.listStatus(root):
+            name = st_.getPath().getName()
+            if (
+                st_.isDirectory()
+                and name.startswith("_stage_")
+                and name != f"_stage_{token}"
+            ):
+                try:
+                    fs.delete(st_.getPath(), True)
+                except Exception:
+                    pass
+    except Exception:
+        pass
+
+
+def _finish_maintenance(
+    spark, jvm, fs, stage: str, lock_parent: str, token: str
+) -> None:
+    """Shared ``finally`` tail of every maintenance operation: reclaim
+    the run's OWN staging dir (committed output was renamed out of it;
+    anything left is garbage) and release the lock if it still carries
+    our token. One definition so the five maintenance sites cannot
+    drift apart (review finding, round 10)."""
+    try:
+        sp = jvm.org.apache.hadoop.fs.Path(stage)
+        if fs.exists(sp):
+            fs.delete(sp, True)
+    except Exception:
+        pass
+    _release_maintenance_lock(spark, lock_parent, token)
 
 
 def _commit_generation(
@@ -959,6 +1073,7 @@ def _compact_batch_store(
     lockp = lock_parent if lock_parent is not None else parent
     token = _acquire_maintenance_lock(spark, lockp)
     stage = f"{parent}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, parent, token)
     try:
         all_gens, live_gens, already = _gen_ledger(spark, parent)
         batch_dirs: list[tuple[int, str]] = []
@@ -1025,13 +1140,7 @@ def _compact_batch_store(
         )
         return gen
     finally:
-        try:
-            sp = jvm.org.apache.hadoop.fs.Path(stage)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-        except Exception:
-            pass
-        _release_maintenance_lock(spark, lockp, token)
+        _finish_maintenance(spark, jvm, fs, stage, lockp, token)
 
 
 def compact_semantic_embs(
@@ -1142,6 +1251,7 @@ def compact_pack_rows(
         return None
     token = _acquire_maintenance_lock(spark, snapshot_path)
     stage = f"{parent}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, parent, token)
     try:
         all_gens, live_gens, already = _gen_ledger(spark, parent)
         batch_dirs: list[tuple[int, str]] = []
@@ -1208,13 +1318,7 @@ def compact_pack_rows(
         )
         return gen
     finally:
-        try:
-            sp = jvm.org.apache.hadoop.fs.Path(stage)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-        except Exception:
-            pass
-        _release_maintenance_lock(spark, snapshot_path, token)
+        _finish_maintenance(spark, jvm, fs, stage, snapshot_path, token)
 
 
 def compact_passage_windows(
@@ -1656,6 +1760,7 @@ def reband_semantic_store(
     # snapshot serializes the whole maintenance surface.
     token = _acquire_maintenance_lock(spark, snapshot_path)
     stage = f"{snapshot_path}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, snapshot_path, token)
     try:
         # re-list under the lock: seq must reflect any re-band that
         # committed between our first listing and the acquire, and the
@@ -1699,13 +1804,7 @@ def reband_semantic_store(
             keep_versions,
         )
     finally:
-        try:
-            sp = jvm.org.apache.hadoop.fs.Path(stage)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-        except Exception:
-            pass
-        _release_maintenance_lock(spark, snapshot_path, token)
+        _finish_maintenance(spark, jvm, fs, stage, snapshot_path, token)
 
 
 def _reband_finish(
@@ -2171,10 +2270,14 @@ def fold_ann_index_batch(
             from pyspark.sql import Observation
 
             obs = Observation()
-            batch_df = batch_df.observe(
+            fold_src = batch_df.observe(
                 obs, F.max(F.expr(_MAX_ABS_EXPR)).alias("max_abs")
             )
-    assigned = ivf_assign_with_payload(batch_df, k_cells, centroids=cents)
+        else:
+            fold_src = batch_df
+    else:
+        fold_src = batch_df
+    assigned = ivf_assign_with_payload(fold_src, k_cells, centroids=cents)
     if quantize:
         assigned = assigned.select(
             "vec_id",
@@ -2196,7 +2299,17 @@ def fold_ann_index_batch(
     )
     if quantize:
         if obs is not None:
-            got = obs.get.get("max_abs")
+            try:
+                got = obs.get.get("max_abs")
+            except Exception:
+                # an EMPTY micro-batch's observe node never fires and
+                # Observation.get asserts (found by the round-10
+                # empty-batch test); the ledger must stay honest, so
+                # fall back to an explicit scan of the (unobserved)
+                # batch — zero rows, zero cost, max() → null → 0.0
+                got = batch_df.agg(
+                    F.max(F.expr(_MAX_ABS_EXPR)).alias("__s")
+                ).collect()[0]["__s"]
             batch_max_abs = float(got) if got is not None else 0.0
         # recorded BEFORE the batch marker so every committed batch
         # carries its stat (replays overwrite their own row); the
@@ -2339,18 +2452,13 @@ def compact_ann_index(
     jvm, fs = _rollup_fs(spark, snapshot_path)
     token = _acquire_maintenance_lock(spark, snapshot_path)
     stage = f"{snapshot_path}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, snapshot_path, token)
     try:
         return _compact_ann_index_locked(
             spark, snapshot_path, target_file_mb, jvm, fs, token, stage
         )
     finally:
-        try:
-            sp = jvm.org.apache.hadoop.fs.Path(stage)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-        except Exception:
-            pass
-        _release_maintenance_lock(spark, snapshot_path, token)
+        _finish_maintenance(spark, jvm, fs, stage, snapshot_path, token)
 
 
 def _compact_ann_index_locked(
@@ -2372,7 +2480,20 @@ def _compact_ann_index_locked(
         return None
     gen = (max(gens) + 1) if gens else ANN_COMPACT_BASE
     vec_root = f"{snapshot_path}/vectors"
-    src_dirs = [f"{vec_root}/batch={b}" for b in sources]
+    # a committed marker does NOT guarantee a partition dir: an empty
+    # micro-batch's dynamic-partition write emits no batch=<id> dir
+    # yet still commits its marker (review finding, round 10). The
+    # dir-less sources still enter the LEDGER below — that is what
+    # retires their markers — but only the dirs that exist feed the
+    # byte sizing and the merge read (a missing path would fail both).
+    src_dirs = [
+        d
+        for b in sources
+        for d in (f"{vec_root}/batch={b}",)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(d))
+    ]
+    if not src_dirs:
+        return None  # every source batch was empty — nothing to merge
     total_bytes = 0
     for d in src_dirs:
         total_bytes += fs.getContentSummary(
@@ -2756,6 +2877,16 @@ def rebuild_ann_index(
     retired by the first later maintenance run that sees a newer
     stream batch (``_cleanup_ann_sources``).
 
+    PAUSE THE STREAM FIRST (stricter than the compactors' run-between-
+    folds rule): a fold that commits while the rebuild runs quantizes
+    on the OLD grid, is absent from the rebuild's sources so it stays
+    live, and post-flip serving would dequantize it on the NEW grid —
+    silently wrong similarities. The pre-flip fence re-lists the
+    committed batches and aborts loudly (store untouched) if any
+    appeared, which catches the committed case; a fold still in
+    flight at flip time can only be excluded by actually pausing the
+    stream.
+
     ``verify_coverage`` (default on) cross-checks distinct source ids
     against the live stored vector count and refuses a partial-corpus
     rebuild — a silently smaller source would DELETE the missing
@@ -2786,6 +2917,7 @@ def rebuild_ann_index(
         )
     token = _acquire_maintenance_lock(spark, snapshot_path)
     stage = f"{snapshot_path}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, snapshot_path, token)
     try:
         live, leftovers = _ann_marker_state(spark, snapshot_path)
         if not live:
@@ -2859,9 +2991,14 @@ def rebuild_ann_index(
         ).withColumn("batch", F.lit(gen))
         total_bytes = 0
         for b in live:
-            total_bytes += fs.getContentSummary(
-                jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}")
-            ).getLength()
+            # a committed marker does NOT guarantee a partition dir:
+            # an empty micro-batch's dynamic-partition write emits no
+            # batch=<id> dir yet still commits (review finding, round
+            # 10 — an unguarded getContentSummary made the drift cure
+            # unrunnable on any store with one empty fold)
+            bp = jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={b}")
+            if fs.exists(bp):
+                total_bytes += fs.getContentSummary(bp).getLength()
         files_per_cell = max(
             1,
             math.ceil(
@@ -2882,7 +3019,15 @@ def rebuild_ann_index(
             .parquet(stage)
         )
         if obs is not None:
-            got = obs.get.get("max_abs")
+            try:
+                got = obs.get.get("max_abs")
+            except Exception:
+                # zero-task observe never fires and Observation.get
+                # asserts (see fold_ann_index_batch) — re-derive from
+                # the source so the restarted ledger stays honest
+                got = source.agg(
+                    F.max(F.expr(_MAX_ABS_EXPR)).alias("__s")
+                ).collect()[0]["__s"]
             corpus_max = float(got) if got is not None else 0.0
         _assert_holds_maintenance_lock(spark, snapshot_path, token)
         dest = jvm.org.apache.hadoop.fs.Path(f"{vec_root}/batch={gen}")
@@ -2912,6 +3057,32 @@ def rebuild_ann_index(
             f"{snapshot_path}/compact_sources/g_{gen:020d}"
         )
         _assert_holds_maintenance_lock(spark, snapshot_path, token)
+        # flip fence against a LIVE stream (review finding, round 10):
+        # a fold that committed while this rebuild ran quantized its
+        # vectors on the OLD grid (it resolved the pinned scale before
+        # our flip), is absent from our sources so it would stay live,
+        # and post-flip serving would dequantize it on the NEW grid —
+        # silently wrong similarities. Abort the flip if any stream
+        # batch committed since our listing; the store is untouched
+        # (nothing is visible until the marker lands). A fold still
+        # IN FLIGHT here can evade this check, which is why the
+        # docstring requires the stream paused — this turns the easy
+        # mistake loud, it cannot fence a racing writer.
+        post_live, post_left = _ann_marker_state(spark, snapshot_path)
+        seen = set(live) | set(leftovers)
+        intruders = [
+            b
+            for b in post_live + post_left
+            if b < ANN_COMPACT_BASE and b not in seen
+        ]
+        if intruders:
+            raise ConcurrentMaintenanceError(
+                f"stream batches {sorted(intruders)} committed under"
+                f" {snapshot_path} while the rebuild ran — they carry"
+                " OLD-grid vectors the rebuild cannot cure. Pause the"
+                " stream, then re-run rebuild_ann_index; nothing was"
+                " flipped"
+            )
         try:
             fs.create(
                 jvm.org.apache.hadoop.fs.Path(
@@ -2941,13 +3112,7 @@ def rebuild_ann_index(
         )
         return scale
     finally:
-        try:
-            sp = jvm.org.apache.hadoop.fs.Path(stage)
-            if fs.exists(sp):
-                fs.delete(sp, True)
-        except Exception:
-            pass
-        _release_maintenance_lock(spark, snapshot_path, token)
+        _finish_maintenance(spark, jvm, fs, stage, snapshot_path, token)
 
 
 def streaming_ann_index_maintenance(
