@@ -52,13 +52,20 @@ def main() -> int:
             json_out = a.split("=", 1)[1]
             args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         # deliberately NON-UTC: any timezone-sensitive arithmetic must fail here
         .config("spark.sql.session.timeZone", "America/New_York")
-        .getOrCreate()
     )
+    # "vanilla" means no SEMANTIC factory confs (timezone above is
+    # adversarial, not helpful) — JVM sizing is environment, not
+    # semantics: the 1g default OOMs at sf1 (round 10), and the real
+    # driver's harness sizes its own heap too
+    mem = os.environ.get("DRIVER_SIM_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

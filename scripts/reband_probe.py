@@ -65,6 +65,14 @@ def main() -> None:
     ap.add_argument("--dims", type=int, default=16)
     ap.add_argument("--first-batch", type=int, default=2_000)
     ap.add_argument("--probe-batch", type=int, default=2_000)
+    ap.add_argument(
+        "--exact-dedup",
+        action="store_true",
+        help="count DISTINCT candidate pairs (the r9 metric) instead"
+        " of the occupancy-exact pre-dedup collision rows; at 1M and"
+        " a pinned narrow width the distinct spills past this box's"
+        " disk — use only at ≤100k",
+    )
     args = ap.parse_args()
 
     if args.n < args.first_batch + 3 * args.probe_batch:
@@ -119,13 +127,54 @@ def main() -> None:
         derived = similarity.lsh_bits_for(args.n)
         for label, bits in (("pinned", pinned), ("rebanded", derived)):
             t0 = time.time()
-            cand = similarity.banded_lsh_candidates(
-                corpus, bits=bits, dims=args.dims
-            ).count()
+            if args.exact_dedup:
+                # the r9 metric: DISTINCT cross-band pairs — exactly
+                # the operator's candidate relation. Infeasible at
+                # 1M × a pinned narrow width: the distinct must
+                # shuffle every pre-dedup collision row (~1.2e10 at
+                # 8 bits), >80 GB of spill on this box — which is the
+                # quadratic the re-band exists to kill, demonstrated
+                # by the disk instead of the clock.
+                cand = similarity.banded_lsh_candidates(
+                    corpus, bits=bits, dims=args.dims
+                ).count()
+                metric = "distinct_pairs"
+            else:
+                # occupancy-exact PRE-DEDUP collision rows: group the
+                # banded keys (O(n) rows, bands·2^bits groups) and sum
+                # m·(m−1)/2 — the exact row count the candidate join
+                # emits before its dedup, i.e. the work the screen
+                # pays, without materializing it
+                bands = similarity.LSH_BANDS
+                mask = (1 << bits) - 1
+                sig = corpus.select(
+                    similarity._sig_col(bits * bands, args.dims).alias(
+                        "sig"
+                    )
+                )
+                occ = (
+                    sig.select(
+                        F.explode(
+                            F.expr(
+                                f"transform(sequence(0, {bands - 1}),"
+                                " b -> named_struct('band', b, 'bkey',"
+                                f" shiftright(sig, b * {bits}) & {mask}))"
+                            )
+                        ).alias("bb")
+                    )
+                    .groupBy("bb.band", "bb.bkey")
+                    .count()
+                )
+                row = occ.agg(
+                    F.sum(F.expr("count * (count - 1) / 2")).alias("p")
+                ).collect()[0]
+                cand = int(row["p"] or 0)
+                metric = "collision_rows_pre_dedup"
             print(
                 json.dumps(
                     {
                         "stage": f"candidates_{label}",
+                        "metric": metric,
                         "bits": bits,
                         "n": grow_end,
                         "pairs": int(cand),

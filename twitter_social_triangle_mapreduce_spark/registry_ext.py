@@ -126,6 +126,66 @@ _DOT = (
 )
 
 
+#: widest signature any oracle pre-computes for the derived-width mask
+#: (round 10): covers corpora to occupancy·2^20 ≈ 16M vectors per band
+#: — far beyond any gate scale; banded oracles use bands·this ≤ 60
+#: hyperplanes, still inside one BIGINT
+_LSH_SQL_MAX_BITS = 20
+
+
+def _lsh_bits_sql(n_sql: str) -> str:
+    """SQL twin of ``similarity.lsh_bits_for`` — the corpus-derived
+    band width, computed by DUCKDB from the same relation the Spark
+    side sizes (round 10, found by the sf1 gate: the Spark operators
+    derive width from the corpus count, so a fixed-width oracle
+    silently diverges at the first scale where the derivation leaves
+    the LSH_BITS floor — embeddings ≈ 20k at sf1). ``n_sql`` is a
+    scalar COUNT subquery/CTE reference for the sizing relation."""
+    from .operators.similarity import LSH_TARGET_OCCUPANCY
+
+    return (
+        f"GREATEST({LSH_BITS}, CAST(CEIL(LOG2(GREATEST(({n_sql}), 2)"
+        f" / {LSH_TARGET_OCCUPANCY}.0)) AS BIGINT))"
+    )
+
+
+def _lsh_sig_sql_derived(
+    dims: int, n_sql: str, col: str = "embedding", bands: int = 1
+) -> str:
+    """Signature at the DERIVED width, as SQL: hyperplane b's
+    coefficients depend only on b (never on the total width), so the
+    W-bit signature is the low-W-bit PREFIX of a wider one — compute
+    the signature once at the fixed ``_LSH_SQL_MAX_BITS``(·bands)
+    ceiling and mask to the derived width. ``bands > 1`` widens the
+    precomputed signature for banded callers, which slice their own
+    band keys with the derived width (the mask here keeps the low
+    ``bands·W`` bits — exactly the hyperplanes the Spark side draws)."""
+    bits_sql = _lsh_bits_sql(n_sql)
+    full = _lsh_sig_sql(dims, bits=_LSH_SQL_MAX_BITS * bands, col=col)
+    return (
+        f"(CAST({full} AS BIGINT)"
+        f" & ((CAST(1 AS BIGINT) << ({bands} * ({bits_sql}))) - 1))"
+    )
+
+
+def _balanced_sum(exprs: list[str]) -> str:
+    """Sum as a BALANCED parse tree (depth log2 n instead of n): wide
+    derived-width signatures (round 10: up to 60 hyperplanes for the
+    banded mask) overflow DuckDB's 128-deep binder recursion when the
+    per-bit CASE terms are chained left-associatively. Only ever used
+    on the INTEGER per-bit terms — exact arithmetic, so regrouping
+    cannot change the value; the per-bit FLOAT projection sums below
+    stay strictly left-to-right to match the Spark fold bit-for-bit."""
+    while len(exprs) > 1:
+        exprs = [
+            f"({exprs[i]} + {exprs[i + 1]})"
+            if i + 1 < len(exprs)
+            else exprs[i]
+            for i in range(0, len(exprs), 2)
+        ]
+    return exprs[0]
+
+
 def _lsh_sig_sql(dims: int, bits: int = LSH_BITS, col: str = "embedding") -> str:
     """Same ±1 hyperplane expression the Spark side generates
     (similarity.lsh_signature) with DuckDB's 1-based array indexing; term
@@ -142,7 +202,7 @@ def _lsh_sig_sql(dims: int, bits: int = LSH_BITS, col: str = "embedding") -> str
             for d in range(dims)
         )
         bit_exprs.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
-    return " + ".join(bit_exprs)
+    return _balanced_sum(bit_exprs)
 
 
 # Spark callables ------------------------------------------------------------
@@ -1932,17 +1992,24 @@ EXT_ORACLES["ivf_cells_trained"] = f"""
 SEMANTIC_QUERY_MIN_SIM_E4 = 2000
 
 
-def _semantic_dedup_oracle(dims: int = 64, bits: int = LSH_BITS) -> str:
+def _semantic_dedup_oracle(
+    dims: int = 64, bits: int | None = None
+) -> str:
     """DuckDB twin of ``similarity.semantic_dedup_clusters`` as
     registered: TRAINED IVF cell assignment (round 5 — the unrolled
     farthest-point + exact-Lloyd chain) + hyperplane signatures,
     cell-local thresholded cosine pairs, then the SAME unrolled
-    min-label rounds as the MinHash cluster oracle. ``bits`` widens
-    the signature for the re-band twin (round 9)."""
+    min-label rounds as the MinHash cluster oracle. ``bits`` pins an
+    explicit signature width (the streaming twins: the fold pin, the
+    re-band migration width); ``None`` derives it from the corpus
+    count exactly as the Spark operator does (round 10, sf1 gate)."""
     from .operators.dedup import NEAR_DUP_CC_ROUNDS
 
     it = NEAR_DUP_CC_ROUNDS
-    sig = _lsh_sig_sql(dims, bits)
+    if bits is None:
+        sig = _lsh_sig_sql_derived(dims, "SELECT COUNT(*) FROM embeddings")
+    else:
+        sig = _lsh_sig_sql(dims, bits)
     parts = [
         f"WITH {_ivf_trained_cells_cte()},",
         f"sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig"
@@ -2316,16 +2383,22 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["lsh_signature"] = f"""
         SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings
     """
-    bands, bbits = similarity.LSH_BANDS, LSH_BITS
-    bmask = (1 << bbits) - 1
-    sig_all = _lsh_sig_sql(dims, bits=bbits * bands)
+    bands = similarity.LSH_BANDS
+    # derived band width (round 10): the Spark side sizes bits from
+    # the corpus count; band b's key is hyperplanes [b·W, (b+1)·W) of
+    # ONE wide signature, so the oracle precomputes the fixed-ceiling
+    # signature and slices with the SQL-derived W
+    _N_EMB_SQL = "SELECT COUNT(*) FROM embeddings"
+    dbits = _lsh_bits_sql(_N_EMB_SQL)
+    dmask = f"((CAST(1 AS BIGINT) << ({dbits})) - 1)"
+    sig_all_d = _lsh_sig_sql_derived(dims, _N_EMB_SQL, bands=bands)
     out["embedding_near_dup_pairs"] = f"""
-        WITH sigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+        WITH sigs AS (SELECT vec_id, {sig_all_d} AS sig
                       FROM embeddings),
         bx AS (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
                FROM sigs),
         banded AS (SELECT vec_id, band,
-                          (sig >> (band * {bbits})) & {bmask} AS bkey
+                          (sig >> (band * ({dbits}))) & {dmask} AS bkey
                    FROM bx),
         cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
                  FROM banded x JOIN banded y
@@ -2348,10 +2421,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     # symmetric join), then the exact thresholded cosine
     out["semantic_pairs_banded"] = f"""
         WITH {_IVF_CELLS_CTE},
-        sigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+        sigs AS (SELECT vec_id, {sig_all_d} AS sig
                  FROM embeddings),
         banded AS (SELECT vec_id, band,
-                          (sig >> (band * {bbits})) & {bmask} AS bkey
+                          (sig >> (band * ({dbits}))) & {dmask} AS bkey
                    FROM (SELECT vec_id, sig,
                                 unnest(range(0, {bands})) AS band
                          FROM sigs)),
@@ -2382,7 +2455,8 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     # suffices where the engine unions two
     out["semantic_pairs_probed"] = f"""
         WITH {_IVF_CELLS_CTE},
-        sigs AS (SELECT vec_id, CAST({sig} AS BIGINT) AS sig
+        sigs AS (SELECT vec_id,
+                        {_lsh_sig_sql_derived(dims, _N_EMB_SQL)} AS sig
                  FROM embeddings),
         ranked AS (SELECT vec_id, cid,
                           row_number() OVER (PARTITION BY vec_id
@@ -2413,19 +2487,25 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
                       * sqrt({_SQ_SUM.format(col='ce')})))) AS BIGINT)
               >= {SEMANTIC_QUERY_MIN_SIM_E4}
     """
+    # decontam sizes its band width from the TRAIN side only, exactly
+    # like similarity.semantic_decontaminate (round 10)
+    _N_TRAIN_SQL = "SELECT COUNT(*) FROM train"
+    tdbits = _lsh_bits_sql(_N_TRAIN_SQL)
+    tdmask = f"((CAST(1 AS BIGINT) << ({tdbits})) - 1)"
+    sig_all_t = _lsh_sig_sql_derived(dims, _N_TRAIN_SQL, bands=bands)
     out["semantic_decontam"] = f"""
         WITH train AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
         ev AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
-        tsigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+        tsigs AS (SELECT vec_id, {sig_all_t} AS sig
                   FROM train),
-        esigs AS (SELECT vec_id, CAST({sig_all} AS BIGINT) AS sig
+        esigs AS (SELECT vec_id, {sig_all_t} AS sig
                   FROM ev),
         tb AS (SELECT vec_id, band,
-                      (sig >> (band * {bbits})) & {bmask} AS bkey
+                      (sig >> (band * ({tdbits}))) & {tdmask} AS bkey
                FROM (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
                      FROM tsigs)),
         eb AS (SELECT vec_id AS eval_id, band,
-                      (sig >> (band * {bbits})) & {bmask} AS bkey
+                      (sig >> (band * ({tdbits}))) & {tdmask} AS bkey
                FROM (SELECT vec_id, sig, unnest(range(0, {bands})) AS band
                      FROM esigs)),
         cand AS (SELECT DISTINCT tb.vec_id, eb.eval_id
@@ -2454,8 +2534,11 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         FROM train t
         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
     """
-    qsig = _lsh_sig_sql(dims, col="qe")
-    csig = _lsh_sig_sql(dims, col="ce")
+    # derived-width signatures (round 10): the Spark side sizes its
+    # bucket width from the corpus count, so the oracle must too
+    _N_EMB = "SELECT COUNT(*) FROM embeddings"
+    qsig = _lsh_sig_sql_derived(dims, _N_EMB, col="qe")
+    csig = _lsh_sig_sql_derived(dims, _N_EMB, col="ce")
     out["ann_topk_lsh"] = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qe,
                           CAST({qsig} AS BIGINT) AS qsig
@@ -2482,11 +2565,19 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     """
     from .operators import passages as _passages
 
+    # bits=None → the oracle derives the width from the corpus count
+    # like the Spark operator does (round 10, sf1 gate)
     out["semantic_dedup_clusters"] = _semantic_dedup_oracle(dims)
     # round 8: the streaming-snapshot twin shares the clustering oracle
-    # VERBATIM — fold + compaction + marker-pruned serving must land on
-    # the same clusters an independent engine derives from raw parquet
-    out["semantic_snapshot_compacted"] = _semantic_dedup_oracle(dims)
+    # — fold + compaction + marker-pruned serving must land on the
+    # same clusters an independent engine derives from raw parquet.
+    # Width is the EXPLICIT fold pin (the registered folds pass
+    # bits=LSH_BITS), never corpus-derived: a pinned stream serves at
+    # its stored width at any sf (round 10 — the batch oracle now
+    # derives, so the twins' oracles part ways above the floor)
+    out["semantic_snapshot_compacted"] = _semantic_dedup_oracle(
+        dims, bits=LSH_BITS
+    )
     # round 9: the re-banded twin's oracle is the SAME clustering SQL
     # regenerated at the migration width — the snapshot that folded at
     # 8 bits, re-banded, and kept folding must match batch-at-9-bits
