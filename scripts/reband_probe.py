@@ -73,6 +73,20 @@ def main() -> None:
         " a pinned narrow width the distinct spills past this box's"
         " disk — use only at ≤100k",
     )
+    ap.add_argument(
+        "--pin-bits",
+        type=int,
+        default=None,
+        help="pin the FIRST fold at this width (comparison arm: the"
+        " same ingest with the right-sized width from the start"
+        " prices what the 8-bit pin costs in the 250k-batch regime)",
+    )
+    ap.add_argument(
+        "--ingest-only",
+        action="store_true",
+        help="stop after the ingest JSON line (for the --pin-bits"
+        " comparison arm)",
+    )
     args = ap.parse_args()
 
     if args.n < args.first_batch + 3 * args.probe_batch:
@@ -107,6 +121,7 @@ def main() -> None:
                 i,
                 snap,
                 dims=args.dims,
+                **({"bits": args.pin_bits} if i == 0 and args.pin_bits else {}),
             )
         pinned = int(
             spark.read.parquet(f"{snap}/lsh_bits").collect()[0]["bits"]
@@ -122,6 +137,8 @@ def main() -> None:
             ),
             flush=True,
         )
+        if args.ingest_only:
+            return
 
         corpus = spark.read.parquet(f"{snap}/embs/*")
         derived = similarity.lsh_bits_for(args.n)
