@@ -92,22 +92,27 @@ def connected_components_oracle_sql(
     edges_sql: str, iterations: int = CC_ITERATIONS
 ) -> str:
     """Unrolled DuckDB twin of ``connected_components`` — identical
-    per-round min algebra, integer-exact."""
+    per-round min algebra, integer-exact. Every per-round CTE is
+    MATERIALIZED (like the kcore/bfs oracles): ``it{k}`` is referenced
+    twice per round, so letting the optimizer inline it doubles the
+    plan per round — 2^iterations copies of the base scan, which at
+    sf1 (round 10) spilled past the gate box's disk before failing."""
     parts = [
-        f"WITH edges AS ({edges_sql})",
-        "sym AS (SELECT DISTINCT src, dst FROM ("
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
         "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges))",
-        "verts AS (SELECT DISTINCT v FROM ("
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM ("
         "SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges))",
-        "it0 AS (SELECT v, v AS l FROM verts)",
+        "it0 AS MATERIALIZED (SELECT v, v AS l FROM verts)",
     ]
     for k in range(iterations):
         parts.append(
-            f"nm{k} AS (SELECT s.dst AS v2, MIN(i.l) AS nl"
+            f"nm{k} AS MATERIALIZED (SELECT s.dst AS v2, MIN(i.l) AS nl"
             f" FROM sym s JOIN it{k} i ON s.src = i.v GROUP BY s.dst)"
         )
         parts.append(
-            f"it{k + 1} AS (SELECT i.v, LEAST(i.l, COALESCE(n.nl, i.l)) AS l"
+            f"it{k + 1} AS MATERIALIZED"
+            f" (SELECT i.v, LEAST(i.l, COALESCE(n.nl, i.l)) AS l"
             f" FROM it{k} i LEFT JOIN nm{k} n ON i.v = n.v2)"
         )
     body = ",\n".join(parts)
