@@ -1,0 +1,165 @@
+"""maintenance_status (round 10): the read-only observe side of the
+maintenance surface.
+
+Every mutator (compactors, re-band, rebuild) and the drift audit were
+CLI-dispatchable, but choosing WHICH to run — is compaction overdue, is
+a lock stuck, did the re-band land, is the quantizer drifting — meant
+poking at marker files by hand. ``maintenance_status`` answers from
+the same crash-consistent listings the readers use, takes NO lock
+(asserted: it works, unchanged, while a rival lock is held), and emits
+only rows for sub-stores that exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from twitter_social_triangle_mapreduce_spark.cli import run_maintain
+from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+    codebook_df,
+)
+from twitter_social_triangle_mapreduce_spark.streaming import (
+    compact_semantic_embs,
+    fold_ann_index_batch,
+    fold_semantic_batch,
+    maintenance_status,
+    reband_semantic_store,
+)
+
+DIMS = 8
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(v, [float(x) for x in e]) for v, e in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _semantic_store(spark, tmp_path, folds=3):
+    snap = str(tmp_path / "snap")
+    for b in range(folds):
+        rows = [
+            (b * 4 + i, [1.0 * ((b * 4 + i) % DIMS == d) for d in range(DIMS)])
+            for i in range(2)
+        ]
+        fold_semantic_batch(_emb(spark, rows), b, snap, dims=DIMS)
+    return snap
+
+
+def _rows(df):
+    return {
+        (r["component"], r["metric"]): (r["value"], r["detail"])
+        for r in df.collect()
+    }
+
+
+def test_empty_snapshot_reports_only_the_lock(spark, tmp_path):
+    snap = str(tmp_path / "nothing")
+    os.makedirs(snap)
+    got = _rows(maintenance_status(spark, snap))
+    assert got[("lock", "held")][0] == 0.0
+    assert got[("lock", "reclaim_parks")][0] == 0.0
+    assert got[("lock", "stage_dirs")][0] == 0.0
+    assert {c for c, _ in got} == {"lock"}
+
+
+def test_semantic_store_versions_batches_and_bits(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path)
+    got = _rows(maintenance_status(spark, snap))
+    # the rollup keep-window prunes to 2 retained versions of the 3
+    assert got[("versions", "committed")] == (2.0, "newest=v_2")
+    # three folds → three live embs dirs, no generations yet
+    assert got[("embs", "live_batch_dirs")][0] == 3.0
+    assert ("embs", "generations") not in got
+    assert got[("bits", "pinned")][0] >= 1.0
+    assert ("vectors", "live_batches") not in got  # no ANN sub-store
+
+    gen = compact_semantic_embs(spark, snap)
+    got = _rows(maintenance_status(spark, snap))
+    # two below-the-bound dirs folded into one generation; best-effort
+    # cleanup ran, so no stale dirs linger — the live count is 1 batch
+    # dir + the generation row reports itself separately
+    assert got[("embs", "generations")][0] == 1.0
+    assert f"live=[{gen}]" in got[("embs", "generations")][1]
+    assert got[("embs", "live_batch_dirs")][0] == 1.0
+
+
+def test_reband_reports_serving_state_and_new_width(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path)
+    before = _rows(maintenance_status(spark, snap))
+    assert ("states", "rebands") not in before
+    got_bits = reband_semantic_store(spark, snap, bits=10, dims=DIMS)
+    assert got_bits == 10
+    after = _rows(maintenance_status(spark, snap))
+    assert after[("states", "rebands")][0] == 1.0
+    assert after[("states", "rebands")][1].startswith("serving=r_")
+    assert after[("bits", "pinned")][0] == 10.0
+    assert after[("bits", "pinned")][1].startswith("state=r_")
+
+
+def test_status_is_lockless_and_sees_the_holder(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path, folds=1)
+    lock = os.path.join(snap, "markers", "_MAINTENANCE_LOCK")
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("feedc0de" * 4)
+    # a crashed holder's staging and a crashed reclaimer's park too
+    os.makedirs(os.path.join(snap, "embs", "_stage_deadbeef"))
+    with open(lock + ".reclaim_cafe", "w") as f:
+        f.write("x")
+    got = _rows(maintenance_status(spark, snap))  # must not raise/block
+    assert got[("lock", "held")][0] == 1.0
+    detail = got[("lock", "held")][1]
+    assert "token=feedc0de" in detail and "age_s=" in detail
+    assert got[("lock", "reclaim_parks")][0] == 1.0
+    assert got[("lock", "stage_dirs")] == (1.0, "embs/_stage_deadbeef")
+
+
+def test_quantized_ann_store_reports_scale_and_drift(spark, tmp_path):
+    snap = str(tmp_path / "ann")
+    cb = codebook_df(
+        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
+    )
+
+    def emb4(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    fold_ann_index_batch(
+        emb4([(0, [1.0, 0, 0, 0]), (1, [0, 1.0, 0, 0])]),
+        0,
+        snap,
+        centroids=cb,
+        quantize=True,
+        scale=1.0,
+    )
+    fold_ann_index_batch(  # drifted: max-abs 10 on a 1.0 grid
+        emb4([(2, [10.0, 2.0, 0, 0])]),
+        1,
+        snap,
+        centroids=cb,
+        quantize=True,
+    )
+    got = _rows(maintenance_status(spark, snap))
+    assert got[("vectors", "live_batches")] == (2.0, "newest=1")
+    assert got[("vectors", "pinned_scale")][0] == 1.0
+    assert got[("drift", "headroom_ratio")][0] < 1.0  # clamped → flagged
+    assert got[("drift", "n_clamped_batches")][0] == 1.0
+    # pure-listing probe: no Spark job over scale_stats
+    lazy = _rows(maintenance_status(spark, snap, drift=False))
+    assert ("drift", "headroom_ratio") not in lazy
+    assert lazy[("vectors", "live_batches")][0] == 2.0
+
+
+def test_cli_status_prints_the_report(spark, tmp_path, capsys):
+    snap = _semantic_store(spark, tmp_path, folds=1)
+    run_maintain(spark, snap, "status")
+    out = capsys.readouterr().out
+    lines = [ln.split("\t") for ln in out.strip().splitlines()]
+    by_key = {(c, m): (v, d) for c, m, v, d in lines}
+    assert by_key[("lock", "held")][0] == "0"  # integral → un-decimaled
+    assert by_key[("versions", "committed")] == ("1", "newest=v_0")
+    assert by_key[("embs", "live_batch_dirs")][0] == "1"

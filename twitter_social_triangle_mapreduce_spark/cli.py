@@ -34,7 +34,11 @@ program — ``<snapshot-dir> <action>`` with actions
 (``--bits`` optional, else corpus-derived) / ``ann_scale_headroom`` /
 ``rebuild_ann_index`` (round 10, ``--source`` required, ``--scale``
 optional — the executable response to the drift audit: re-quantize the
-whole corpus from the float source onto a corpus-sized grid) — so
+whole corpus from the float source onto a corpus-sized grid) /
+``status`` (round 10: the read-only operational report — lock state,
+versions, per-store live batches vs committed generations, cleanup
+backlog, width/scale pins, drift audit — so an operator can decide
+WHICH maintenance to run without poking at marker files) — so
 compaction, re-banding, the quantizer-drift audit, and the drift-cure
 rebuild run from cron or a shell the way they would in production, not
 only from Python).
@@ -48,7 +52,9 @@ that fires before the previous run finished — fail loudly with
 never corrupt it. A lock left by a crashed run self-expires after
 ``streaming.MAINTENANCE_LEASE_SECONDS`` (6 h) and is reclaimed
 automatically. Retry rejected runs after the holder finishes. The
-audit action (``ann_scale_headroom``) is read-only and takes no lock.
+read-only actions (``ann_scale_headroom``, ``status``) take no lock —
+a status probe must never block, or be blocked by, a running
+compactor.
 
 The lock serializes MAINTENANCE against MAINTENANCE; it does not stop
 the owning STREAM from folding (folds are the store's normal writers
@@ -250,6 +256,7 @@ MAINTAIN_ACTIONS = (
     "reband_semantic",
     "ann_scale_headroom",
     "rebuild_ann_index",
+    "status",
 )
 
 
@@ -270,7 +277,9 @@ def run_maintain(
     re-band migration, quantizer-drift audit). Compactors print the
     new generation id or ``NOOP``; ``reband_semantic`` prints the new
     width or ``NOOP``; ``ann_scale_headroom`` prints its one audit
-    row tab-separated. The re-band derives the embedding width from
+    row tab-separated; ``status`` prints the read-only operational
+    report (one ``component  metric  value  detail`` line per
+    observed fact, integral values un-decimaled). The re-band derives the embedding width from
     the store itself, but the OTHER clustering knobs have no stored
     contract and must match what the folds use: pass ``--codebook``
     (a ``save_codebook`` parquet path — the trained quantizer the
@@ -309,6 +318,19 @@ def run_maintain(
             target_file_mb=target_file_mb,
         )
         print(f"REBUILT_SCALE:\t{got}")
+        return
+    if action == "status":
+        for r in S.maintenance_status(spark, snapshot_dir).collect():
+            v = r["value"]
+            v_str = (
+                ""
+                if v is None
+                else str(int(v)) if float(v).is_integer() else f"{v:.6g}"
+            )
+            print(
+                f"{r['component']}\t{r['metric']}\t{v_str}"
+                f"\t{r['detail'] or ''}"
+            )
         return
     if action == "ann_scale_headroom":
         row = S.ann_scale_headroom(spark, snapshot_dir).collect()[0]

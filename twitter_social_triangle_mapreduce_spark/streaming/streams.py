@@ -3151,6 +3151,266 @@ def streaming_ann_index_maintenance(
     )
 
 
+def maintenance_status(
+    spark, snapshot_path: str, drift: bool = True
+) -> DataFrame:
+    """Read-only operational report over a streaming-store snapshot —
+    the observe-before-you-mutate half of the maintenance surface
+    (round 10): six mutators and one audit were dispatchable from the
+    CLI, but deciding WHICH to run (is compaction overdue? is a lock
+    stuck? did a re-band actually land? is the quantizer drifting?)
+    required poking at marker files by hand. Takes NO lock (every
+    listing it reads is crash-consistent by the store's own marker
+    contract, and a status probe must never block — or be blocked
+    by — a running compactor).
+
+    Returns a long-format DataFrame ``(component, metric, value,
+    detail)`` with one row per observed fact, emitting only the rows
+    whose sub-store exists under the snapshot:
+
+    - ``lock``: ``held`` (1/0, with holder token prefix + age in the
+      detail), ``reclaim_parks`` (orphaned ``.reclaim_*`` files — a
+      reclaimer crashed mid-claim), ``stage_dirs`` (crashed holders'
+      ``_stage_*`` staging awaiting the next holder's sweep).
+    - ``versions``: committed rollup/state versions (``v_<id>``).
+    - ``states`` / ``bits``: the semantic serving state (fold version
+      or re-band rewrite) and the LSH width it pins.
+    - one row-group per batch store (``embs`` ``bands`` ``cuts``
+      ``windows`` ``packs``): live batch dirs, committed generations
+      (live vs folded-forward), and folded dirs still awaiting
+      best-effort cleanup — the "is compaction overdue / did cleanup
+      keep up" signals.
+    - ``vectors``: the ANN index's live batches, generations,
+      leftover markers, and the pinned int8 grid scale.
+    - ``drift``: the ``ann_scale_headroom`` audit row (quantized
+      stores only; the one Spark job in the report, skipped with
+      ``drift=False`` for a pure-listing probe).
+
+    Values are doubles (counts and batch ids are exact well past any
+    real id; scale/headroom are genuinely fractional); ``detail``
+    carries the non-numeric context. Best-effort throughout: a
+    half-written sub-store yields its readable rows, never an
+    exception — status must stay usable on exactly the broken stores
+    it exists to diagnose."""
+    import time
+
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    rows: list[tuple[str, str, float | None, str | None]] = []
+
+    def _dirs(path: str, prefix: str) -> list[int]:
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st_ in fs.listStatus(root):
+            name = st_.getPath().getName()
+            if st_.isDirectory() and name.startswith(prefix):
+                try:
+                    out.append(int(name[len(prefix):]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    # --- lock ---
+    lock = _maintenance_lock_path(jvm, snapshot_path)
+    parks = 0
+    stages: list[str] = []
+    try:
+        if fs.exists(lock.getParent()):
+            for st_ in fs.listStatus(lock.getParent()):
+                if st_.getPath().getName().startswith(
+                    f"{_MAINTENANCE_LOCK_NAME}.reclaim_"
+                ):
+                    parks += 1
+    except Exception:
+        pass
+    held = False
+    try:
+        held = bool(fs.exists(lock))
+    except Exception:
+        pass
+    if held:
+        try:
+            age = (
+                time.time()
+                - fs.getFileStatus(lock).getModificationTime() / 1000.0
+            )
+            tok = _read_lock_token(fs, lock) or ""
+            rows.append(
+                (
+                    "lock",
+                    "held",
+                    1.0,
+                    f"age_s={age:.0f} lease_s={MAINTENANCE_LEASE_SECONDS:.0f}"
+                    f" token={tok[:8]}…",
+                )
+            )
+        except Exception:  # released between the exists and the stat
+            rows.append(("lock", "held", 0.0, None))
+    else:
+        rows.append(("lock", "held", 0.0, None))
+    rows.append(("lock", "reclaim_parks", float(parks), None))
+    stage_parents = [snapshot_path] + [
+        f"{snapshot_path}/{sub}"
+        for sub in ("embs", "bands", "cuts", "windows", "packs")
+    ]
+    for parent in stage_parents:
+        try:
+            root = jvm.org.apache.hadoop.fs.Path(parent)
+            if fs.exists(root):
+                for st_ in fs.listStatus(root):
+                    name = st_.getPath().getName()
+                    if st_.isDirectory() and name.startswith("_stage_"):
+                        rel = parent[len(snapshot_path):].lstrip("/")
+                        stages.append(f"{rel}/{name}".lstrip("/"))
+        except Exception:
+            pass
+    rows.append(
+        (
+            "lock",
+            "stage_dirs",
+            float(len(stages)),
+            ",".join(sorted(stages)) or None,
+        )
+    )
+
+    # --- rollup versions + semantic serving state ---
+    try:
+        versions = rollup_committed_versions(spark, snapshot_path)
+    except Exception:
+        versions = []
+    if versions:
+        rows.append(
+            (
+                "versions",
+                "committed",
+                float(len(versions)),
+                f"newest=v_{versions[-1]}",
+            )
+        )
+    try:
+        states = _semantic_state_dirs(spark, snapshot_path)
+    except Exception:
+        states = []
+    rebands = [s for s in states if s[1] > 0]
+    if rebands:
+        rows.append(
+            (
+                "states",
+                "rebands",
+                float(len(rebands)),
+                f"serving={states[-1][2].rsplit('/', 1)[-1]}",
+            )
+        )
+    if states:
+        try:
+            bits = _semantic_pinned_bits(spark, snapshot_path, states)
+            if bits is not None:
+                rows.append(
+                    (
+                        "bits",
+                        "pinned",
+                        float(bits),
+                        f"state={states[-1][2].rsplit('/', 1)[-1]}",
+                    )
+                )
+        except Exception:
+            pass
+
+    # --- flat batch stores ---
+    for sub, prefix in (
+        ("embs", "b_"),
+        ("bands", "b_"),
+        ("cuts", "c_"),
+        ("windows", "w_"),
+        ("packs", "p_"),
+    ):
+        parent = f"{snapshot_path}/{sub}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(parent)):
+            continue
+        batch_ids = _dirs(parent, prefix)
+        try:
+            gens, live_gens, folded = _gen_ledger(spark, parent)
+        except Exception as exc:
+            rows.append(
+                (sub, "ledger_unreadable", 1.0, repr(exc)[:120])
+            )
+            gens, live_gens, folded = [], [], set()
+        live = [b for b in batch_ids if b not in folded]
+        stale = [b for b in batch_ids if b in folded]
+        rows.append(
+            (
+                sub,
+                "live_batch_dirs",
+                float(len(live)),
+                f"newest={prefix}{live[-1]}" if live else None,
+            )
+        )
+        if gens:
+            rows.append(
+                (
+                    sub,
+                    "generations",
+                    float(len(gens)),
+                    f"live={live_gens} folded={len(gens) - len(live_gens)}",
+                )
+            )
+        if stale:
+            rows.append(
+                (sub, "folded_dirs_pending_cleanup", float(len(stale)), None)
+            )
+
+    # --- ANN index ---
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/vectors")):
+        try:
+            live_ids, leftovers = _ann_marker_state(spark, snapshot_path)
+        except Exception:
+            live_ids, leftovers = [], []
+        gens = [b for b in live_ids if b >= ANN_COMPACT_BASE]
+        batches = [b for b in live_ids if b < ANN_COMPACT_BASE]
+        rows.append(
+            (
+                "vectors",
+                "live_batches",
+                float(len(batches)),
+                f"newest={batches[-1]}" if batches else None,
+            )
+        )
+        if gens:
+            rows.append(("vectors", "generations", float(len(gens)), None))
+        if leftovers:
+            rows.append(
+                ("vectors", "leftover_markers", float(len(leftovers)), None)
+            )
+        try:
+            scale = _ann_pinned_scale(spark, snapshot_path, live_ids)
+            rows.append(("vectors", "pinned_scale", float(scale), None))
+        except Exception:
+            pass  # un-quantized index: no scale pin to report
+        if drift and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_stats")
+        ):
+            try:
+                audit = ann_scale_headroom(spark, snapshot_path).collect()[0]
+                for k in (
+                    "pinned_scale",
+                    "corpus_max_abs",
+                    "headroom_ratio",
+                    "n_batches",
+                    "n_clamped_batches",
+                ):
+                    v = audit[k]
+                    rows.append(
+                        ("drift", k, None if v is None else float(v), None)
+                    )
+            except Exception as exc:
+                rows.append(("drift", "audit_failed", 1.0, repr(exc)[:120]))
+
+    return spark.createDataFrame(
+        rows, "component string, metric string, value double, detail string"
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
