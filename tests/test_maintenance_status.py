@@ -163,3 +163,119 @@ def test_cli_status_prints_the_report(spark, tmp_path, capsys):
     assert by_key[("lock", "held")][0] == "0"  # integral → un-decimaled
     assert by_key[("versions", "committed")] == ("1", "newest=v_0")
     assert by_key[("embs", "live_batch_dirs")][0] == "1"
+
+
+# --- maintenance_check (the fsck half) ---
+
+
+import shutil  # noqa: E402
+
+import pytest  # noqa: E402
+
+from twitter_social_triangle_mapreduce_spark.streaming import (  # noqa: E402
+    maintenance_check,
+)
+
+
+def _findings(df):
+    return {
+        (r["severity"], r["component"], r["finding"]): r["detail"]
+        for r in df.collect()
+    }
+
+
+def _gen_name(snap, sub):
+    root = os.path.join(snap, sub)
+    gens = [d for d in os.listdir(root) if d.startswith("g_")]
+    assert len(gens) == 1
+    return gens[0]
+
+
+def test_check_healthy_semantic_store_is_all_ok(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, snap)
+    got = _findings(maintenance_check(spark, snap))
+    assert all(sev == "ok" for sev, _, _ in got)
+    assert ("ok", "embs", "verified") in got
+    assert ("ok", "states", "verified") in got
+    assert got[("ok", "states", "verified")].startswith("serving=v_")
+
+
+def test_check_flags_lost_live_generation_dir(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, snap)
+    shutil.rmtree(os.path.join(snap, "embs", _gen_name(snap, "embs")))
+    got = _findings(maintenance_check(spark, snap))
+    assert ("error", "embs", "live_generation_dir_missing") in got
+    assert ("ok", "embs", "verified") not in got
+    # the untouched stores still verify
+    assert ("ok", "states", "verified") in got
+
+
+def test_check_flags_live_generation_without_ledger(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, snap)
+    shutil.rmtree(os.path.join(snap, "embs", "compact_sources"))
+    got = _findings(maintenance_check(spark, snap))
+    assert ("error", "embs", "live_generation_without_ledger") in got
+
+
+def test_check_flags_lost_serving_state(spark, tmp_path):
+    snap = _semantic_store(spark, tmp_path, folds=1)
+    shutil.rmtree(os.path.join(snap, "v_" + "0" * 20, "state"))
+    got = _findings(maintenance_check(spark, snap))
+    assert ("error", "states", "serving_state_missing") in got
+
+
+def test_check_warns_on_stale_lock_and_dirless_ann_batch(spark, tmp_path):
+    snap = str(tmp_path / "ann")
+    cb = codebook_df(
+        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    fold_ann_index_batch(emb, 0, snap, centroids=cb, quantize=True, scale=1.0)
+    # simulate an empty micro-batch: marker committed, no partition dir
+    with open(
+        os.path.join(snap, "markers", "b_" + f"{1:020d}" + "_APPLIED"), "w"
+    ):
+        pass
+    lock = os.path.join(snap, "markers", "_MAINTENANCE_LOCK")
+    with open(lock, "w") as f:
+        f.write("deadc0de" * 4)
+    week_ago = os.path.getmtime(lock) - 7 * 24 * 3600
+    os.utime(lock, (week_ago, week_ago))
+    got = _findings(maintenance_check(spark, snap))
+    assert ("warning", "lock", "stale_lock_past_lease") in got
+    assert ("warning", "vectors", "committed_batch_without_dir") in got
+    # a dir-less batch is a warning, not an error: vectors still verify
+    assert ("ok", "vectors", "verified") in got
+    assert "quantized" in got[("ok", "vectors", "verified")]
+
+
+def test_check_plain_rollup_versions_do_not_false_error(spark, tmp_path):
+    """A plain incremental rollup's v_* dirs hold parquet DIRECTLY (no
+    state/ subdir) — the serving-state invariant is semantic/cluster
+    only and must not fire here."""
+    snap = str(tmp_path / "rollup")
+    vdir = os.path.join(snap, "v_" + "0" * 20)
+    spark.createDataFrame([(1, 2)], "k int, n long").coalesce(
+        1
+    ).write.parquet(vdir)
+    with open(os.path.join(vdir, "_APPLIED"), "w"):
+        pass
+    got = _findings(maintenance_check(spark, snap))
+    assert not [k for k in got if k[0] == "error"]
+    assert ("error", "states", "serving_state_missing") not in got
+
+
+def test_cli_check_exits_nonzero_on_error(spark, tmp_path, capsys):
+    snap = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, snap)
+    run_maintain(spark, snap, "check")
+    assert "CHECK:\tOK" in capsys.readouterr().out
+    shutil.rmtree(os.path.join(snap, "embs", "compact_sources"))
+    with pytest.raises(SystemExit):
+        run_maintain(spark, snap, "check")
+    assert "ERRORS=1" in capsys.readouterr().out

@@ -38,7 +38,12 @@ whole corpus from the float source onto a corpus-sized grid) /
 ``status`` (round 10: the read-only operational report — lock state,
 versions, per-store live batches vs committed generations, cleanup
 backlog, width/scale pins, drift audit — so an operator can decide
-WHICH maintenance to run without poking at marker files) — so
+WHICH maintenance to run without poking at marker files) / ``check``
+(read-only fsck: classifies store state against the read path's own
+invariants — ``error`` = readers will misbehave (live generation
+without its data dir or ledger, unreadable scale/bits pin),
+``warning`` = degraded but serving, ``ok`` = verified; exits 1 on any
+error so cron can alert) — so
 compaction, re-banding, the quantizer-drift audit, and the drift-cure
 rebuild run from cron or a shell the way they would in production, not
 only from Python).
@@ -52,9 +57,9 @@ that fires before the previous run finished — fail loudly with
 never corrupt it. A lock left by a crashed run self-expires after
 ``streaming.MAINTENANCE_LEASE_SECONDS`` (6 h) and is reclaimed
 automatically. Retry rejected runs after the holder finishes. The
-read-only actions (``ann_scale_headroom``, ``status``) take no lock —
-a status probe must never block, or be blocked by, a running
-compactor.
+read-only actions (``ann_scale_headroom``, ``status``, ``check``)
+take no lock — a status or integrity probe must never block, or be
+blocked by, a running compactor.
 
 The lock serializes MAINTENANCE against MAINTENANCE; it does not stop
 the owning STREAM from folding (folds are the store's normal writers
@@ -257,6 +262,7 @@ MAINTAIN_ACTIONS = (
     "ann_scale_headroom",
     "rebuild_ann_index",
     "status",
+    "check",
 )
 
 
@@ -318,6 +324,18 @@ def run_maintain(
             target_file_mb=target_file_mb,
         )
         print(f"REBUILT_SCALE:\t{got}")
+        return
+    if action == "check":
+        findings = S.maintenance_check(spark, snapshot_dir).collect()
+        for r in findings:
+            print(
+                f"{r['severity']}\t{r['component']}\t{r['finding']}"
+                f"\t{r['detail'] or ''}"
+            )
+        n_err = sum(1 for r in findings if r["severity"] == "error")
+        print(f"CHECK:\t{'OK' if n_err == 0 else f'ERRORS={n_err}'}")
+        if n_err:
+            raise SystemExit(1)
         return
     if action == "status":
         for r in S.maintenance_status(spark, snapshot_dir).collect():

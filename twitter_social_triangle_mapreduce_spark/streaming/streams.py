@@ -3411,6 +3411,246 @@ def maintenance_status(
     )
 
 
+def maintenance_check(spark, snapshot_path: str) -> DataFrame:
+    """Read-only integrity check (fsck) over a streaming-store
+    snapshot — where ``maintenance_status`` reports COUNTS, this
+    classifies STATE against the invariants the read path relies on
+    (round 10). Takes no lock, like status. Returns a long-format
+    DataFrame ``(severity, component, finding, detail)``:
+
+    - ``error`` — the store will misbehave for readers: a LIVE
+      committed generation whose data dir or ``compact_sources``
+      ledger is gone (data loss / every listing raises), an
+      unresolvable scale pin on a quantized index, a semantic serving
+      state without its ``state`` parquet.
+    - ``warning`` — degraded but serving: a live committed ANN stream
+      batch with no partition dir (LEGAL for an empty micro-batch —
+      indistinguishable from a lost dir, which is exactly why it
+      warrants eyes), a live quantized batch missing its
+      ``scale_stats`` record (the drift audit is blind to it), a
+      maintenance lock older than its lease (a crashed holder — the
+      next maintenance run reclaims it).
+    - ``ok`` — one summary row per verified sub-store, so a clean
+      report is positive evidence, not absence of output.
+
+    Benign garbage (folded dirs awaiting cleanup, ``_stage_*``
+    leftovers, reclaim parks, uncommitted crash dirs) is deliberately
+    NOT flagged here — the read path never sees it and the next
+    maintenance run sweeps it; ``maintenance_status`` counts it. The
+    severity split mirrors the read-path semantics exactly: whatever
+    a reader tolerates, the check tolerates."""
+    import time
+
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    rows: list[tuple[str, str, str, str | None]] = []
+
+    def _exists(path: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+    # --- lock age ---
+    lock = _maintenance_lock_path(jvm, snapshot_path)
+    try:
+        if fs.exists(lock):
+            age = (
+                time.time()
+                - fs.getFileStatus(lock).getModificationTime() / 1000.0
+            )
+            if age > MAINTENANCE_LEASE_SECONDS:
+                rows.append(
+                    (
+                        "warning",
+                        "lock",
+                        "stale_lock_past_lease",
+                        f"age_s={age:.0f} — holder presumed crashed;"
+                        " next maintenance run reclaims it",
+                    )
+                )
+    except Exception:
+        pass
+
+    # --- flat batch stores: generation marker <-> dir <-> ledger ---
+    for sub in ("embs", "bands", "cuts", "windows", "packs"):
+        parent = f"{snapshot_path}/{sub}"
+        if not _exists(parent):
+            continue
+        errs = 0
+        try:
+            gens, live_gens, _ = _gen_ledger(spark, parent)
+        except Exception as exc:
+            rows.append(
+                (
+                    "error",
+                    sub,
+                    "live_generation_without_ledger",
+                    f"{exc!r}"[:160] + " — every listing of this store"
+                    " raises; restore compact_sources or remove the"
+                    " generation marker",
+                )
+            )
+            continue
+        for g in live_gens:
+            if not _exists(_gen_dir(parent, g)):
+                errs += 1
+                rows.append(
+                    (
+                        "error",
+                        sub,
+                        "live_generation_dir_missing",
+                        f"g_{g} marker is committed and not folded"
+                        " forward, but its data dir is gone — the"
+                        " folded rows are lost",
+                    )
+                )
+        if not errs:
+            rows.append(
+                (
+                    "ok",
+                    sub,
+                    "verified",
+                    f"generations={len(gens)} live={len(live_gens)}",
+                )
+            )
+
+    # --- ANN index ---
+    if _exists(f"{snapshot_path}/vectors"):
+        errs = 0
+        try:
+            live, leftovers = _ann_marker_state(spark, snapshot_path)
+        except Exception as exc:
+            rows.append(
+                (
+                    "error",
+                    "vectors",
+                    "live_generation_without_ledger",
+                    f"{exc!r}"[:160],
+                )
+            )
+            live, leftovers = [], []
+            errs += 1
+        quantized = _exists(
+            f"{snapshot_path}/markers/scale{ROLLUP_APPLIED_MARKER}"
+        )
+        for b in live:
+            have_dir = _exists(f"{snapshot_path}/vectors/batch={b}")
+            if b >= ANN_COMPACT_BASE:
+                if not have_dir:
+                    errs += 1
+                    rows.append(
+                        (
+                            "error",
+                            "vectors",
+                            "live_generation_dir_missing",
+                            f"batch={b} (generation) marker committed"
+                            " but its partition dir is gone — the"
+                            " compacted corpus is lost",
+                        )
+                    )
+            elif not have_dir:
+                rows.append(
+                    (
+                        "warning",
+                        "vectors",
+                        "committed_batch_without_dir",
+                        f"batch={b} — legal for an empty micro-batch,"
+                        " data loss if the fold was non-empty",
+                    )
+                )
+            if (
+                quantized
+                and have_dir
+                and not _exists(f"{snapshot_path}/scale_stats/b_{b:020d}")
+            ):
+                rows.append(
+                    (
+                        "warning",
+                        "vectors",
+                        "live_batch_without_scale_stat",
+                        f"batch={b} — the drift audit cannot see this"
+                        " batch's max-abs (pre-round-9 fold?)",
+                    )
+                )
+        if quantized and live:
+            try:
+                _ann_pinned_scale(spark, snapshot_path, live)
+            except Exception as exc:
+                errs += 1
+                rows.append(
+                    (
+                        "error",
+                        "vectors",
+                        "scale_pin_unreadable",
+                        f"{exc!r}"[:160] + " — quantized serving cannot"
+                        " dequantize",
+                    )
+                )
+        if not errs:
+            rows.append(
+                (
+                    "ok",
+                    "vectors",
+                    "verified",
+                    f"live={len(live)} leftover_markers={len(leftovers)}"
+                    + (" quantized" if quantized else ""),
+                )
+            )
+
+    # --- semantic/cluster serving state (their ``v_*``/``r_*`` dirs
+    # hold a ``state`` parquet; a PLAIN incremental rollup's ``v_*``
+    # holds parquet directly and has no embs/bands sibling — its
+    # versions need no deeper check than the marker contract) ---
+    try:
+        states = _semantic_state_dirs(spark, snapshot_path)
+    except Exception:
+        states = []
+    if states and (
+        _exists(f"{snapshot_path}/embs")
+        or _exists(f"{snapshot_path}/bands")
+        or any(s[1] > 0 for s in states)
+    ):
+        path = states[-1][2]
+        if not _exists(f"{path}/state"):
+            rows.append(
+                (
+                    "error",
+                    "states",
+                    "serving_state_missing",
+                    f"{path.rsplit('/', 1)[-1]} is the committed serving"
+                    " state but has no state parquet —"
+                    " read_semantic_snapshot will fail",
+                )
+            )
+        else:
+            try:
+                bits = _semantic_pinned_bits(spark, snapshot_path, states)
+                rows.append(
+                    (
+                        "ok",
+                        "states",
+                        "verified",
+                        f"serving={path.rsplit('/', 1)[-1]} bits={bits}",
+                    )
+                )
+            except Exception as exc:
+                rows.append(
+                    (
+                        "error",
+                        "states",
+                        "bits_pin_unreadable",
+                        f"{exc!r}"[:160] + " — folds cannot resolve the"
+                        " store's LSH width",
+                    )
+                )
+
+    if not rows:
+        rows.append(
+            ("ok", "snapshot", "empty", "no sub-stores under this path")
+        )
+    return spark.createDataFrame(
+        rows, "severity string, component string, finding string,"
+        " detail string"
+    )
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
