@@ -279,3 +279,51 @@ def test_cli_check_exits_nonzero_on_error(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_maintain(spark, snap, "check")
     assert "ERRORS=1" in capsys.readouterr().out
+
+
+def test_deep_check_counts_interleaved_write_duplicates(spark, tmp_path):
+    """deep=True reads the live union and counts duplicated FULL rows —
+    the signature of two writers' interleaved overwrite part files both
+    surviving (the corruption class the CAS lock prevents). Injected
+    here by literally duplicating a part file inside a live batch
+    dir, exactly what a lost overwrite race leaves behind."""
+    snap = _semantic_store(spark, tmp_path, folds=2)
+    got = _findings(maintenance_check(spark, snap, deep=True))
+    assert ("ok", "embs", "deep_no_duplicates") in got
+    assert ("warning", "embs", "duplicate_rows") not in got
+    n_before = int(got[("ok", "embs", "deep_no_duplicates")].split("=")[1])
+
+    b0 = os.path.join(snap, "embs", "b_" + "0" * 20)
+    # largest part file: the write spreads 2 rows over many partitions,
+    # so most part files are empty footers — duplicating one of those
+    # would duplicate zero rows
+    part = max(
+        (
+            f for f in os.listdir(b0)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ),
+        key=lambda f: os.path.getsize(os.path.join(b0, f)),
+    )
+    shutil.copy(
+        os.path.join(b0, part), os.path.join(b0, "part-rival-" + part)
+    )
+    got = _findings(maintenance_check(spark, snap, deep=True))
+    assert ("ok", "embs", "deep_no_duplicates") not in got
+    detail = got[("warning", "embs", "duplicate_rows")]
+    # the copied part file held >=1 of the batch's rows; every row it
+    # held is now a full-row duplicate and the union grew by as many
+    dups = int(detail.split("=")[1].split(" ")[0])
+    total = int(detail.split(" of ")[1].split(" ")[0])
+    assert dups >= 1 and total == n_before + dups
+    # shallow pass unaffected: markers/ledgers are intact
+    assert ("ok", "embs", "verified") in got
+
+
+def test_cli_deep_check_stays_ok_on_duplicates(spark, tmp_path, capsys):
+    """duplicate_rows is a WARNING (an upstream feeder that repeated
+    rows is indistinguishable) — the CLI must not exit nonzero."""
+    snap = _semantic_store(spark, tmp_path, folds=1)
+    run_maintain(spark, snap, "check", deep=True)
+    out = capsys.readouterr().out
+    assert "deep_no_duplicates" in out
+    assert "CHECK:\tOK" in out

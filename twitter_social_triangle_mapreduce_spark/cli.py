@@ -276,6 +276,7 @@ def run_maintain(
     codebook: str | None = None,
     source: str | None = None,
     scale: float | None = None,
+    deep: bool = False,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -326,7 +327,9 @@ def run_maintain(
         print(f"REBUILT_SCALE:\t{got}")
         return
     if action == "check":
-        findings = S.maintenance_check(spark, snapshot_dir).collect()
+        findings = S.maintenance_check(
+            spark, snapshot_dir, deep=deep
+        ).collect()
         for r in findings:
             print(
                 f"{r['severity']}\t{r['component']}\t{r['finding']}"
@@ -479,6 +482,13 @@ def main(argv: list[str] | None = None) -> None:
         help="maintain rebuild_ann_index only: explicit int8 grid "
         "scale (default: the source corpus max-abs)",
     )
+    p.add_argument(
+        "--deep",
+        action="store_true",
+        help="maintain check only: also scan each store's live union "
+        "for duplicated full rows (one Spark aggregation per store) — "
+        "the interleaved-concurrent-writes corruption signature",
+    )
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"tstm-{args.program}")
     spark.sparkContext.setLogLevel("WARN")
@@ -512,6 +522,7 @@ def main(argv: list[str] | None = None) -> None:
             codebook=args.codebook,
             source=args.source,
             scale=args.scale,
+            deep=args.deep,
         )
         return
     if args.program == "prepare_corpus":

@@ -3411,7 +3411,9 @@ def maintenance_status(
     )
 
 
-def maintenance_check(spark, snapshot_path: str) -> DataFrame:
+def maintenance_check(
+    spark, snapshot_path: str, deep: bool = False
+) -> DataFrame:
     """Read-only integrity check (fsck) over a streaming-store
     snapshot — where ``maintenance_status`` reports COUNTS, this
     classifies STATE against the invariants the read path relies on
@@ -3438,7 +3440,19 @@ def maintenance_check(spark, snapshot_path: str) -> DataFrame:
     NOT flagged here — the read path never sees it and the next
     maintenance run sweeps it; ``maintenance_status`` counts it. The
     severity split mirrors the read-path semantics exactly: whatever
-    a reader tolerates, the check tolerates."""
+    a reader tolerates, the check tolerates.
+
+    ``deep=True`` additionally reads each store's LIVE union and
+    counts duplicated full rows — the signature of the corruption
+    class the maintenance lock exists to prevent (two writers'
+    interleaved ``mode("overwrite")`` part files both surviving in
+    one generation). One Spark aggregation per store; reported as a
+    ``warning`` (``duplicate_rows``), not an error, because an
+    upstream stream that genuinely repeated rows across batches
+    produces the same observable — the store can't distinguish its
+    writers' corruption from its feeder's duplicates, only report
+    them. Skipped for a store whose shallow pass already errored
+    (its union is unreadable by definition)."""
     import time
 
     jvm, fs = _rollup_fs(spark, snapshot_path)
@@ -3467,6 +3481,26 @@ def maintenance_check(spark, snapshot_path: str) -> DataFrame:
                 )
     except Exception:
         pass
+
+    def _deep_dup_scan(sub: str, df: DataFrame) -> None:
+        n = df.count()
+        dups = n - df.distinct().count()
+        if dups > 0:
+            rows.append(
+                (
+                    "warning",
+                    sub,
+                    "duplicate_rows",
+                    f"n={dups} of {n} — full-row duplicates across the"
+                    " live union: either interleaved concurrent writes"
+                    " (the lock's failure class) or an upstream stream"
+                    " that repeated rows",
+                )
+            )
+        else:
+            rows.append(
+                ("ok", sub, "deep_no_duplicates", f"rows={n}")
+            )
 
     # --- flat batch stores: generation marker <-> dir <-> ledger ---
     for sub in ("embs", "bands", "cuts", "windows", "packs"):
@@ -3510,6 +3544,33 @@ def maintenance_check(spark, snapshot_path: str) -> DataFrame:
                     f"generations={len(gens)} live={len(live_gens)}",
                 )
             )
+            if deep:
+                prefix = {"cuts": "c_", "windows": "w_", "packs": "p_"}.get(
+                    sub, "b_"
+                )
+                live_dirs = _list_batch_dirs(spark, parent, prefix)
+                if sub == "packs":
+                    live_dirs = [f"{d}/rows" for d in live_dirs]
+                if live_dirs:
+                    try:
+                        # the session FileStatusCache can hold a stale
+                        # listing of these dirs (a prior query listed
+                        # them before the rival's part files landed) —
+                        # an fsck must see the CURRENT on-disk truth
+                        for d in live_dirs:
+                            spark.catalog.refreshByPath(d)
+                        _deep_dup_scan(
+                            sub, spark.read.parquet(*live_dirs)
+                        )
+                    except Exception as exc:
+                        rows.append(
+                            (
+                                "warning",
+                                sub,
+                                "deep_scan_failed",
+                                f"{exc!r}"[:160],
+                            )
+                        )
 
     # --- ANN index ---
     if _exists(f"{snapshot_path}/vectors"):
@@ -3593,6 +3654,24 @@ def maintenance_check(spark, snapshot_path: str) -> DataFrame:
                     + (" quantized" if quantized else ""),
                 )
             )
+            if deep and live:
+                try:
+                    spark.catalog.refreshByPath(f"{snapshot_path}/vectors")
+                    _deep_dup_scan(
+                        "vectors",
+                        spark.read.parquet(
+                            f"{snapshot_path}/vectors"
+                        ).where(F.col("batch").isin(live)),
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (
+                            "warning",
+                            "vectors",
+                            "deep_scan_failed",
+                            f"{exc!r}"[:160],
+                        )
+                    )
 
     # --- semantic/cluster serving state (their ``v_*``/``r_*`` dirs
     # hold a ``state`` parquet; a PLAIN incremental rollup's ``v_*``
