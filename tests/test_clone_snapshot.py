@@ -1,0 +1,184 @@
+"""clone_snapshot (round 10): marker-cut-consistent physical clone of
+a streaming-store snapshot — the backup / DR / promotion primitive.
+
+Contract under test: the cut is the set of committed markers listed
+FIRST; data copies next (a crash there leaves an INVISIBLE dst); the
+surviving markers land LAST, so every committed dir at dst is whole.
+The one legal mid-copy mutation — the rollup fold's ``v_*`` prune —
+drops that version from the cut, exactly as a later cut would have.
+Everything else vanishing raises (under the held maintenance lock,
+only maintenance deletes those paths, and maintenance is locked out).
+The clone is verified by the destination's own fsck, not by trusting
+the copy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from twitter_social_triangle_mapreduce_spark.cli import run_maintain
+from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+    codebook_df,
+)
+from twitter_social_triangle_mapreduce_spark.streaming import (
+    ConcurrentMaintenanceError,
+    ann_topk_snapshot,
+    clone_snapshot,
+    compact_semantic_embs,
+    fold_ann_index_batch,
+    fold_semantic_batch,
+    maintenance_check,
+    read_semantic_snapshot,
+)
+
+DIMS = 8
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(v, [float(x) for x in e]) for v, e in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _semantic_store(spark, tmp_path, folds=3):
+    snap = str(tmp_path / "src")
+    for b in range(folds):
+        rows = [
+            (b * 4 + i, [1.0 * ((b * 4 + i) % DIMS == d) for d in range(DIMS)])
+            for i in range(2)
+        ]
+        fold_semantic_batch(_emb(spark, rows), b, snap, dims=DIMS)
+    return snap
+
+
+def test_clone_semantic_store_with_generations(spark, tmp_path):
+    """The richest flat-store layout: batch dirs + a committed
+    generation + ledgers + version states + the bits pin all survive
+    the clone, byte-compatible with the read path."""
+    src = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, src)
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(spark, src, dst)
+    assert got["files"] > 0 and got["markers"] > 0 and not got["skipped"]
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+    # the clone releases the source lock: maintenance runs again
+    assert compact_semantic_embs(spark, src) is not None or True
+
+
+def test_clone_quantized_ann_store_serves_identically(spark, tmp_path):
+    src = str(tmp_path / "src")
+    cb = codebook_df(
+        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
+    )
+    for b in range(2):
+        fold_ann_index_batch(
+            _emb(
+                spark,
+                [(b * 2 + i, [1.0 * (d == b % 2) for d in range(4)])
+                 for i in range(2)],
+            ),
+            b,
+            src,
+            centroids=cb,
+            quantize=True,
+            scale=1.0,
+        )
+    dst = str(tmp_path / "dst")
+    clone_snapshot(spark, src, dst)
+    q = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+
+    def serve(snap):
+        return sorted(
+            map(
+                tuple,
+                ann_topk_snapshot(spark, snap, q, k=4, nprobe=2).collect(),
+            )
+        )
+
+    assert serve(dst) == serve(src)
+
+
+def test_clone_refuses_non_empty_destination(spark, tmp_path):
+    src = _semantic_store(spark, tmp_path, folds=1)
+    dst = str(tmp_path / "dst")
+    os.makedirs(os.path.join(dst, "something"))
+    with pytest.raises(ValueError, match="not empty"):
+        clone_snapshot(spark, src, dst)
+
+
+def test_clone_respects_the_source_maintenance_lock(spark, tmp_path):
+    src = _semantic_store(spark, tmp_path, folds=1)
+    lock = os.path.join(src, "markers", "_MAINTENANCE_LOCK")
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    with open(lock, "w") as f:
+        f.write("feedc0de" * 4)
+    dst = str(tmp_path / "dst")
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        clone_snapshot(spark, src, dst)
+    assert not os.path.exists(os.path.join(dst, "markers"))
+    os.remove(lock)
+    assert clone_snapshot(spark, src, dst)["markers"] > 0
+    assert not os.path.exists(lock)  # clone released its own lock
+
+
+def test_concurrent_fold_prune_drops_the_version_from_the_cut(
+    spark, tmp_path
+):
+    """Simulate the one legal racing mutation: between the cut and the
+    copy, the feeding stream's fold prunes an old v_* past its
+    keep-window. The clone must neither fail nor commit the vanished
+    version — it lands exactly the clone a later cut would have."""
+    src = _semantic_store(spark, tmp_path)  # keeps v_1, v_2
+    pruned = os.path.join(src, "v_" + f"{1:020d}")
+    assert os.path.isdir(pruned)
+
+    def fold_prunes_v1():
+        shutil.rmtree(pruned)
+
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(spark, src, dst, _after_cut=fold_prunes_v1)
+    assert got["skipped"] == ["v_" + f"{1:020d}"]
+    assert not os.path.exists(os.path.join(dst, "v_" + f"{1:020d}"))
+    # dst serves the newest version, is fsck-clean, and src data that
+    # was NOT pruned is all there
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+
+
+def test_unexpected_vanish_raises_instead_of_silently_dropping(
+    spark, tmp_path
+):
+    """A non-prunable path (here: an embs batch dir — only locked-out
+    maintenance may delete those) vanishing mid-copy is real trouble
+    and must abort the clone, never shrink it."""
+    src = _semantic_store(spark, tmp_path, folds=2)
+
+    def rogue_delete():
+        shutil.rmtree(os.path.join(src, "embs", "b_" + "0" * 20))
+
+    with pytest.raises(Exception, match="b_0|copy|exist"):
+        clone_snapshot(
+            spark, src, str(tmp_path / "dst"), _after_cut=rogue_delete
+        )
+
+
+def test_cli_clone_prints_summary(spark, tmp_path, capsys):
+    src = _semantic_store(spark, tmp_path, folds=1)
+    dst = str(tmp_path / "dst")
+    run_maintain(spark, src, "clone", dest=dst)
+    out = capsys.readouterr().out
+    assert out.startswith("CLONED:\t")
+    assert "markers" in out
+    with pytest.raises(SystemExit, match="--dest"):
+        run_maintain(spark, src, "clone")

@@ -43,7 +43,12 @@ WHICH maintenance to run without poking at marker files) / ``check``
 invariants — ``error`` = readers will misbehave (live generation
 without its data dir or ledger, unreadable scale/bits pin),
 ``warning`` = degraded but serving, ``ok`` = verified; exits 1 on any
-error so cron can alert) — so
+error so cron can alert; ``--deep`` adds a duplicate-row scan) /
+``clone`` (``--dest`` required: marker-cut-consistent physical copy
+of the whole snapshot into an empty directory — data first, markers
+last, fsck-verified — the backup/DR/promotion primitive; holds the
+source maintenance lock, so the feeding stream keeps running but
+compactors wait) — so
 compaction, re-banding, the quantizer-drift audit, and the drift-cure
 rebuild run from cron or a shell the way they would in production, not
 only from Python).
@@ -263,6 +268,7 @@ MAINTAIN_ACTIONS = (
     "rebuild_ann_index",
     "status",
     "check",
+    "clone",
 )
 
 
@@ -277,6 +283,7 @@ def run_maintain(
     source: str | None = None,
     scale: float | None = None,
     deep: bool = False,
+    dest: str | None = None,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -325,6 +332,19 @@ def run_maintain(
             target_file_mb=target_file_mb,
         )
         print(f"REBUILT_SCALE:\t{got}")
+        return
+    if action == "clone":
+        if dest is None:
+            raise SystemExit(
+                "maintain clone requires --dest: the (empty) directory"
+                " to clone the snapshot into"
+            )
+        got = S.clone_snapshot(spark, snapshot_dir, dest)
+        print(
+            f"CLONED:\t{got['files']} files\t{got['bytes']} bytes"
+            f"\t{got['markers']} markers"
+            + (f"\tpruned={','.join(got['skipped'])}" if got["skipped"] else "")
+        )
         return
     if action == "check":
         findings = S.maintenance_check(
@@ -483,6 +503,12 @@ def main(argv: list[str] | None = None) -> None:
         "scale (default: the source corpus max-abs)",
     )
     p.add_argument(
+        "--dest",
+        default=None,
+        help="maintain clone only (required): empty directory to clone "
+        "the snapshot into (marker-cut consistent, fsck-verified)",
+    )
+    p.add_argument(
         "--deep",
         action="store_true",
         help="maintain check only: also scan each store's live union "
@@ -523,6 +549,7 @@ def main(argv: list[str] | None = None) -> None:
             source=args.source,
             scale=args.scale,
             deep=args.deep,
+            dest=args.dest,
         )
         return
     if args.program == "prepare_corpus":

@@ -3730,6 +3730,204 @@ def maintenance_check(
     )
 
 
+def clone_snapshot(
+    spark, src_path: str, dst_path: str, _after_cut=None
+) -> dict:
+    """Consistent physical clone of a streaming-store snapshot (round
+    10): backup, DR seeding, or environment promotion of ANY of the
+    store layouts, without pausing the stream that feeds the source.
+
+    Consistency model — a MARKER CUT, in three passes:
+
+    1. **Cut**: recursively list every committed ``_APPLIED`` marker
+       under the source (central ``markers/`` entries and in-dir
+       version markers alike). This frozen set IS the clone: whatever
+       commits afterwards is past the cut.
+    2. **Data**: copy everything EXCEPT markers, the maintenance
+       lock/parks, and ``_stage_*`` staging. Copy order doesn't matter
+       because nothing at the destination is visible yet — a crash
+       anywhere in this pass leaves a destination readers see as
+       empty (the same invisibility contract every fold relies on).
+       Exactly ONE class of source path may legally vanish mid-copy:
+       a top-level ``v_*`` version dir (the owning stream's fold — the
+       one writer the lock does not stop — prunes versions past its
+       keep-window). A vanished ``v_*`` is recorded and its marker
+       dropped from the cut, exactly as if the cut had been taken a
+       moment later. ANY other copy failure raises: generation dirs,
+       ledgers, and pins are deleted only by maintenance (locked out
+       here), so their disappearance is real trouble, and silently
+       dropping their markers would silently drop folded rows.
+    3. **Markers**: create the surviving cut markers at the
+       destination. Each marker's data is fully present before any
+       marker exists (pass 2 completed), so a crash mid-pass leaves a
+       consistent PREFIX of the cut — every committed generation/
+       version is whole; re-run the clone into a fresh destination
+       for completeness.
+
+    The source MAINTENANCE LOCK is held throughout: folds don't take
+    it (appends are cut-safe), but compactors/re-bands/rebuilds
+    DELETE and REWRITE the very dirs being copied — serializing
+    against them is what makes one recursive copy a snapshot. The
+    destination must not exist (or be empty): a clone never merges.
+
+    Ends by running ``maintenance_check`` on the destination and
+    raising if the fsck reports any error — the clone is verified by
+    the same invariants readers depend on, not by trusting the copy.
+    Returns ``{"files": n, "bytes": n, "markers": n, "skipped": [...]}``.
+
+    100 TB shape: the copy is driver-orchestrated file-by-file here
+    (one FileUtil.copy per file — correct but serial); on a real
+    cluster the data pass parallelizes trivially (DistCp or a
+    mapPartitions over the file list) because pass boundaries are the
+    only ordering constraint. The cut/verify logic — the part that
+    carries the consistency contract — is unchanged by how bytes
+    move."""
+    jvm, fs = _rollup_fs(spark, src_path)
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src_root = HPath(src_path)
+    if not fs.exists(src_root):
+        raise FileNotFoundError(f"clone_snapshot: no snapshot at {src_path}")
+    dst_root = HPath(dst_path)
+    if fs.exists(dst_root) and fs.listStatus(dst_root):
+        raise ValueError(
+            f"clone_snapshot: destination {dst_path} is not empty — a"
+            " clone never merges; point it at a fresh directory"
+        )
+
+    src_prefix = str(fs.makeQualified(src_root).toUri().getPath())
+
+    def _rel(path) -> str:
+        return str(
+            fs.makeQualified(path).toUri().getPath()
+        )[len(src_prefix):].lstrip("/")
+
+    def _walk(path):
+        try:
+            children = fs.listStatus(path)
+        except Exception:
+            return  # dir vanished mid-walk; handled at the file level
+        for st_ in children:
+            yield st_
+            if st_.isDirectory():
+                yield from _walk(st_.getPath())
+
+    def _excluded(rel: str) -> bool:
+        parts = rel.split("/")
+        return any(p.startswith("_stage_") for p in parts) or parts[
+            -1
+        ].startswith(_MAINTENANCE_LOCK_NAME)
+
+    def _prunable(rel: str) -> bool:
+        # top-level v_<id>: the rollup fold's keep-window prune is the
+        # one deletion the maintenance lock does not serialize against
+        head = rel.split("/", 1)[0]
+        return head.startswith("v_") and head[2:].isdigit()
+
+    token = _acquire_maintenance_lock(spark, src_path)
+    try:
+        # pass 1 — the cut is a full INVENTORY, not just the marker
+        # list: pass 2 copies from the inventory rather than a fresh
+        # walk, so a dir that vanishes between cut and copy FAILS its
+        # copy instead of silently never being visited (a fresh walk
+        # would just not see it — the silent-shrink hazard)
+        inventory: list[tuple[str, bool, object]] = []
+        cut: list[str] = []
+        for st_ in _walk(src_root):
+            rel = _rel(st_.getPath())
+            if _excluded(rel):
+                continue
+            if not st_.isDirectory() and rel.endswith(
+                ROLLUP_APPLIED_MARKER
+            ):
+                cut.append(rel)
+                continue
+            inventory.append(
+                (rel, st_.isDirectory(), st_.getPath(), st_.getLen())
+            )
+        if _after_cut is not None:
+            _after_cut()  # test seam: mutate src between cut and copy
+
+        # pass 2 — data (markers excluded; nothing visible at dst yet)
+        n_files = 0
+        n_bytes = 0
+        pruned: list[str] = []
+
+        def _is_pruned(rel: str) -> bool:
+            return any(
+                rel == d or rel.startswith(d + "/") for d in pruned
+            )
+
+        for rel, is_dir, spath, slen in inventory:
+            if _is_pruned(rel):
+                continue
+            dst = HPath(f"{dst_path}/{rel}")
+            if is_dir:
+                fs.mkdirs(dst)
+                continue
+            try:
+                if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, spath, fs, dst, False, True, conf
+                ):
+                    raise IOError(f"copy returned false for {rel}")
+                n_files += 1
+                n_bytes += slen
+            except Exception as exc:
+                if _prunable(rel) and not fs.exists(spath):
+                    pruned.append(rel.split("/", 1)[0])
+                    continue
+                if not fs.exists(spath):
+                    raise IOError(
+                        f"clone_snapshot: {rel} vanished mid-copy — only"
+                        " the rollup fold's v_* prune may delete under"
+                        " the held maintenance lock; the source is being"
+                        " mutated outside the contract (a compactor"
+                        " without the lock?)"
+                    ) from exc
+                raise
+
+        # a pruned version's marker leaves the cut — same clone the
+        # cut would have produced a moment later; its partial copy at
+        # the destination is deleted rather than left as unmarked junk
+        survivors = [
+            m
+            for m in cut
+            if not any(m == d or m.startswith(d + "/") for d in set(pruned))
+        ]
+        for d in set(pruned):
+            try:
+                fs.delete(HPath(f"{dst_path}/{d}"), True)
+            except Exception:
+                pass  # unmarked, invisible either way
+
+        # pass 3 — markers, now that every surviving dir is whole
+        for m in survivors:
+            p = HPath(f"{dst_path}/{m}")
+            fs.mkdirs(p.getParent())
+            fs.create(p, False).close()
+    finally:
+        _release_maintenance_lock(spark, src_path, token)
+
+    bad = [
+        (r["finding"], r["detail"])
+        for r in maintenance_check(spark, dst_path).collect()
+        if r["severity"] == "error"
+    ]
+    if bad:
+        raise RuntimeError(
+            f"clone_snapshot: destination failed its fsck: {bad} —"
+            " the source mutated outside the cut contract (is a"
+            " compactor running without the lock?); delete the"
+            " destination and re-run"
+        )
+    return {
+        "files": n_files,
+        "bytes": n_bytes,
+        "markers": len(survivors),
+        "skipped": sorted(set(pruned)),
+    }
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
