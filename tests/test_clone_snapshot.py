@@ -182,3 +182,46 @@ def test_cli_clone_prints_summary(spark, tmp_path, capsys):
     assert "markers" in out
     with pytest.raises(SystemExit, match="--dest"):
         run_maintain(spark, src, "clone")
+
+
+def test_sync_refreshes_a_previous_clone_through_compaction_and_reband(
+    spark, tmp_path
+):
+    """The incremental-backup loop: clone, then the source lives on
+    (fold + compaction + re-band), then sync. The sync must carry the
+    new generation, the new serving state, AND the rewritten root
+    width pin — the pin dir is refreshed by overwrite with NEW part
+    names, so without the file-level mirror the destination pin dir
+    would hold two parquet files and read two rows."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        compact_semantic_embs as compact,
+        maintenance_status,
+        reband_semantic_store,
+    )
+
+    src = _semantic_store(spark, tmp_path, folds=2)
+    dst = str(tmp_path / "dst")
+    clone_snapshot(spark, src, dst)
+
+    fold_semantic_batch(
+        _emb(spark, [(100, [0.0] * 7 + [1.0])]), 2, src, dims=DIMS
+    )
+    compact(spark, src)
+    assert reband_semantic_store(spark, src, bits=10, dims=DIMS) == 10
+
+    got = clone_snapshot(spark, src, dst, sync=True)
+    assert got["files"] > 0  # the new generation/state/pins moved
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+    # the width pin reads ONE unambiguous row at the new width
+    stat = {
+        (r["component"], r["metric"]): r["value"]
+        for r in maintenance_status(spark, dst).collect()
+    }
+    assert stat[("bits", "pinned")] == 10.0
+
+    again = clone_snapshot(spark, src, dst, sync=True)
+    assert again["files"] == 0 and again["markers"] == 0  # idempotent

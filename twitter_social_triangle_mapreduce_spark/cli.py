@@ -284,6 +284,7 @@ def run_maintain(
     scale: float | None = None,
     deep: bool = False,
     dest: str | None = None,
+    sync: bool = False,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -339,7 +340,7 @@ def run_maintain(
                 "maintain clone requires --dest: the (empty) directory"
                 " to clone the snapshot into"
             )
-        got = S.clone_snapshot(spark, snapshot_dir, dest)
+        got = S.clone_snapshot(spark, snapshot_dir, dest, sync=sync)
         print(
             f"CLONED:\t{got['files']} files\t{got['bytes']} bytes"
             f"\t{got['markers']} markers"
@@ -509,6 +510,13 @@ def main(argv: list[str] | None = None) -> None:
         "the snapshot into (marker-cut consistent, fsck-verified)",
     )
     p.add_argument(
+        "--sync",
+        action="store_true",
+        help="maintain clone only: refresh an existing clone "
+        "incrementally (skip already-present files, mirror pin dirs, "
+        "add new markers) instead of requiring an empty --dest",
+    )
+    p.add_argument(
         "--deep",
         action="store_true",
         help="maintain check only: also scan each store's live union "
@@ -550,6 +558,7 @@ def main(argv: list[str] | None = None) -> None:
             scale=args.scale,
             deep=args.deep,
             dest=args.dest,
+            sync=args.sync,
         )
         return
     if args.program == "prepare_corpus":

@@ -3731,7 +3731,7 @@ def maintenance_check(
 
 
 def clone_snapshot(
-    spark, src_path: str, dst_path: str, _after_cut=None
+    spark, src_path: str, dst_path: str, sync: bool = False, _after_cut=None
 ) -> dict:
     """Consistent physical clone of a streaming-store snapshot (round
     10): backup, DR seeding, or environment promotion of ANY of the
@@ -3770,6 +3770,25 @@ def clone_snapshot(
     against them is what makes one recursive copy a snapshot. The
     destination must not exist (or be empty): a clone never merges.
 
+    ``sync=True`` refreshes an EXISTING clone incrementally: files
+    already present at the destination with the source's length are
+    skipped (committed store files are immutable, so rel-path +
+    length identifies them), new batches/generations/states copy as
+    usual, and every directory present in the source is file-level
+    MIRRORED — destination files the source dir no longer contains
+    are deleted. The mirror is what makes sync correct for the
+    MUTABLE pin dirs (root ``lsh_bits``/``scale``, refreshed by
+    overwrite with NEW part-file names): an additive copy would leave
+    two parquet files in a 1-row pin dir and poison every
+    ``collect()[0]`` read of it. Dirs the source dropped entirely
+    (compacted-away batches, pruned versions) are NOT deleted — they
+    are exactly the benign leftover class the destination's read path
+    already excludes via markers + ledgers (and the copied newer
+    ledger now excludes them at the destination too). Sync never
+    deletes a destination MARKER: a marker the source cleaned up is a
+    leftover the ledger already supersedes. Re-running sync against
+    an unchanged source copies zero files (idempotence, tested).
+
     Ends by running ``maintenance_check`` on the destination and
     raising if the fsck reports any error — the clone is verified by
     the same invariants readers depend on, not by trusting the copy.
@@ -3789,10 +3808,11 @@ def clone_snapshot(
     if not fs.exists(src_root):
         raise FileNotFoundError(f"clone_snapshot: no snapshot at {src_path}")
     dst_root = HPath(dst_path)
-    if fs.exists(dst_root) and fs.listStatus(dst_root):
+    if not sync and fs.exists(dst_root) and fs.listStatus(dst_root):
         raise ValueError(
             f"clone_snapshot: destination {dst_path} is not empty — a"
-            " clone never merges; point it at a fresh directory"
+            " clone never merges; pass sync=True to refresh a previous"
+            " clone, or point it at a fresh directory"
         )
 
     src_prefix = str(fs.makeQualified(src_root).toUri().getPath())
@@ -3865,6 +3885,13 @@ def clone_snapshot(
             if is_dir:
                 fs.mkdirs(dst)
                 continue
+            if sync:
+                try:
+                    if fs.getFileStatus(dst).getLen() == slen:
+                        continue  # committed files are immutable:
+                        # rel-path + length identifies them
+                except Exception:
+                    pass  # absent at dst — copy below
             try:
                 if not jvm.org.apache.hadoop.fs.FileUtil.copy(
                     fs, spath, fs, dst, False, True, conf
@@ -3886,6 +3913,42 @@ def clone_snapshot(
                     ) from exc
                 raise
 
+        if sync:
+            # file-level MIRROR of every source dir: destination files
+            # a source dir no longer contains are stale pin rewrites
+            # (overwrite = new part names) — left behind they'd make a
+            # 1-row pin dir read two rows. Markers/locks never deleted;
+            # whole dirs the source dropped are the benign leftover
+            # class the ledgers already exclude.
+            src_children: dict[str, set] = {}
+            for rel, is_dir, _sp, _sl in inventory:
+                if is_dir:
+                    src_children.setdefault(rel, set())
+                else:
+                    d, _, name = rel.rpartition("/")
+                    src_children.setdefault(d, set()).add(name)
+            for d, names in src_children.items():
+                if _is_pruned(d) and d:
+                    continue
+                droot = HPath(f"{dst_path}/{d}" if d else dst_path)
+                try:
+                    children = fs.listStatus(droot)
+                except Exception:
+                    continue
+                for st_ in children:
+                    name = st_.getPath().getName()
+                    if (
+                        st_.isDirectory()
+                        or name in names
+                        or name.endswith(ROLLUP_APPLIED_MARKER)
+                        or name.startswith(_MAINTENANCE_LOCK_NAME)
+                    ):
+                        continue
+                    try:
+                        fs.delete(st_.getPath(), False)
+                    except Exception:
+                        pass
+
         # a pruned version's marker leaves the cut — same clone the
         # cut would have produced a moment later; its partial copy at
         # the destination is deleted rather than left as unmarked junk
@@ -3901,10 +3964,14 @@ def clone_snapshot(
                 pass  # unmarked, invisible either way
 
         # pass 3 — markers, now that every surviving dir is whole
+        n_markers = 0
         for m in survivors:
             p = HPath(f"{dst_path}/{m}")
+            if sync and fs.exists(p):
+                continue
             fs.mkdirs(p.getParent())
             fs.create(p, False).close()
+            n_markers += 1
     finally:
         _release_maintenance_lock(spark, src_path, token)
 
@@ -3923,7 +3990,7 @@ def clone_snapshot(
     return {
         "files": n_files,
         "bytes": n_bytes,
-        "markers": len(survivors),
+        "markers": n_markers,
         "skipped": sorted(set(pruned)),
     }
 
