@@ -225,3 +225,18 @@ def test_sync_refreshes_a_previous_clone_through_compaction_and_reband(
 
     again = clone_snapshot(spark, src, dst, sync=True)
     assert again["files"] == 0 and again["markers"] == 0  # idempotent
+
+
+def test_sync_refuses_a_destination_that_was_never_a_clone(
+    spark, tmp_path
+):
+    """sync DELETES files while mirroring — a mistyped --dest pointing
+    at an unrelated non-empty tree must be refused, not mirrored."""
+    src = _semantic_store(spark, tmp_path, folds=1)
+    dst = str(tmp_path / "unrelated")
+    os.makedirs(dst)
+    with open(os.path.join(dst, "precious.txt"), "w") as f:
+        f.write("do not delete")
+    with pytest.raises(ValueError, match="never a clone"):
+        clone_snapshot(spark, src, dst, sync=True)
+    assert os.path.exists(os.path.join(dst, "precious.txt"))

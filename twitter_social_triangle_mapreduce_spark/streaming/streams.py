@@ -3808,12 +3808,31 @@ def clone_snapshot(
     if not fs.exists(src_root):
         raise FileNotFoundError(f"clone_snapshot: no snapshot at {src_path}")
     dst_root = HPath(dst_path)
-    if not sync and fs.exists(dst_root) and fs.listStatus(dst_root):
-        raise ValueError(
-            f"clone_snapshot: destination {dst_path} is not empty — a"
-            " clone never merges; pass sync=True to refresh a previous"
-            " clone, or point it at a fresh directory"
+    if fs.exists(dst_root) and fs.listStatus(dst_root):
+        if not sync:
+            raise ValueError(
+                f"clone_snapshot: destination {dst_path} is not empty —"
+                " a clone never merges; pass sync=True to refresh a"
+                " previous clone, or point it at a fresh directory"
+            )
+        # sync deletes files while mirroring — refuse a non-empty
+        # destination that doesn't LOOK like a clone of a store, so a
+        # mistyped --dest can't file-mirror an unrelated tree
+        dst_names = {
+            st_.getPath().getName() for st_ in fs.listStatus(dst_root)
+        }
+        looks_cloned = "markers" in dst_names or any(
+            n.startswith(("v_", "r_"))
+            or n.endswith(ROLLUP_APPLIED_MARKER)
+            for n in dst_names
         )
+        if not looks_cloned:
+            raise ValueError(
+                f"clone_snapshot: sync destination {dst_path} is"
+                " non-empty but carries no markers or store versions —"
+                " refusing to mirror into something that was never a"
+                " clone of a streaming store"
+            )
 
     src_prefix = str(fs.makeQualified(src_root).toUri().getPath())
 
