@@ -3870,7 +3870,7 @@ def clone_snapshot(
         # walk, so a dir that vanishes between cut and copy FAILS its
         # copy instead of silently never being visited (a fresh walk
         # would just not see it — the silent-shrink hazard)
-        inventory: list[tuple[str, bool, object]] = []
+        inventory: list[tuple[str, bool, object, int]] = []
         cut: list[str] = []
         for st_ in _walk(src_root):
             rel = _rel(st_.getPath())
