@@ -327,3 +327,19 @@ def test_cli_deep_check_stays_ok_on_duplicates(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "deep_no_duplicates" in out
     assert "CHECK:\tOK" in out
+
+
+def test_cli_json_output_is_parseable(spark, tmp_path, capsys):
+    import json
+
+    snap = _semantic_store(spark, tmp_path, folds=1)
+    run_maintain(spark, snap, "status", as_json=True)
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    by_key = {(r["component"], r["metric"]): r for r in rows}
+    assert by_key[("lock", "held")]["value"] == 0  # int, not 0.0
+    assert by_key[("versions", "committed")]["detail"] == "newest=v_0"
+
+    run_maintain(spark, snap, "check", as_json=True)
+    rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    assert rows[-1] == {"check": "ok", "errors": 0}
+    assert all("severity" in r for r in rows[:-1])

@@ -285,6 +285,7 @@ def run_maintain(
     deep: bool = False,
     dest: str | None = None,
     sync: bool = False,
+    as_json: bool = False,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
     operation against a snapshot directory and print its outcome —
@@ -348,21 +349,39 @@ def run_maintain(
         )
         return
     if action == "check":
+        import json as _json
+
         findings = S.maintenance_check(
             spark, snapshot_dir, deep=deep
         ).collect()
         for r in findings:
-            print(
-                f"{r['severity']}\t{r['component']}\t{r['finding']}"
-                f"\t{r['detail'] or ''}"
-            )
+            if as_json:
+                print(_json.dumps(r.asDict()))
+            else:
+                print(
+                    f"{r['severity']}\t{r['component']}\t{r['finding']}"
+                    f"\t{r['detail'] or ''}"
+                )
         n_err = sum(1 for r in findings if r["severity"] == "error")
-        print(f"CHECK:\t{'OK' if n_err == 0 else f'ERRORS={n_err}'}")
+        if as_json:
+            print(_json.dumps({"check": "ok" if not n_err else "errors",
+                               "errors": n_err}))
+        else:
+            print(f"CHECK:\t{'OK' if n_err == 0 else f'ERRORS={n_err}'}")
         if n_err:
             raise SystemExit(1)
         return
     if action == "status":
+        import json as _json
+
         for r in S.maintenance_status(spark, snapshot_dir).collect():
+            if as_json:
+                d = r.asDict()
+                v = d["value"]
+                if v is not None and float(v).is_integer():
+                    d["value"] = int(v)
+                print(_json.dumps(d))
+                continue
             v = r["value"]
             v_str = (
                 ""
@@ -510,6 +529,13 @@ def main(argv: list[str] | None = None) -> None:
         "the snapshot into (marker-cut consistent, fsck-verified)",
     )
     p.add_argument(
+        "--json",
+        dest="as_json",
+        action="store_true",
+        help="maintain status/check only: one JSON object per report "
+        "row (monitoring-integration format) instead of tab columns",
+    )
+    p.add_argument(
         "--sync",
         action="store_true",
         help="maintain clone only: refresh an existing clone "
@@ -559,6 +585,7 @@ def main(argv: list[str] | None = None) -> None:
             deep=args.deep,
             dest=args.dest,
             sync=args.sync,
+            as_json=args.as_json,
         )
         return
     if args.program == "prepare_corpus":
