@@ -48,7 +48,10 @@ error so cron can alert; ``--deep`` adds a duplicate-row scan) /
 of the whole snapshot into an empty directory — data first, markers
 last, fsck-verified — the backup/DR/promotion primitive; holds the
 source maintenance lock, so the feeding stream keeps running but
-compactors wait) — so
+compactors wait) / ``gc`` (explicit reclamation of the benign
+leftovers ``status`` counts — folded dirs, stale generation markers,
+crashed holders' staging — without waiting for the next compaction;
+readers see no change) — so
 compaction, re-banding, the quantizer-drift audit, and the drift-cure
 rebuild run from cron or a shell the way they would in production, not
 only from Python).
@@ -269,6 +272,7 @@ MAINTAIN_ACTIONS = (
     "status",
     "check",
     "clone",
+    "gc",
 )
 
 
@@ -334,6 +338,13 @@ def run_maintain(
             target_file_mb=target_file_mb,
         )
         print(f"REBUILT_SCALE:\t{got}")
+        return
+    if action == "gc":
+        got = S.maintenance_gc(spark, snapshot_dir)
+        print(
+            "GC:\t"
+            + "\t".join(f"{k}={v}" for k, v in sorted(got.items()))
+        )
         return
     if action == "clone":
         if dest is None:

@@ -4014,6 +4014,107 @@ def clone_snapshot(
     }
 
 
+def maintenance_gc(spark, snapshot_path: str) -> dict:
+    """Explicit garbage collection of the benign-leftover classes
+    ``maintenance_status`` counts (round 10): folded batch dirs whose
+    best-effort delete failed, stale generation markers/dirs/ledgers a
+    crashed cleanup left behind, crashed holders' ``_stage_*`` staging,
+    and orphaned reclaim parks. All of it is invisible to readers —
+    markers + ledgers already exclude it — so gc changes NOTHING a
+    reader sees; it reclaims space and shrinks the listings. Today the
+    same reclamation happens as a side effect of the NEXT compaction
+    of each store; gc is for the operator who wants the backlog gone
+    without compacting (or whose stores are fully compacted already).
+
+    Runs under the snapshot maintenance lock (it deletes the very dirs
+    a concurrent compactor might be staging around). What it will NOT
+    touch: uncommitted version dirs (``v_*``/``r_*`` without a
+    marker) — folds don't take the lock, and an in-flight fold's
+    pre-marker write is indistinguishable from a crashed one's; those
+    are reclaimed by the fold's own replay-overwrite instead.
+
+    Returns ``{"folded_dirs": n, "stale_generations": n,
+    "ann_leftovers": n, "stages": n}`` — counts of reclaim ATTEMPTS
+    (deletes stay best-effort; a failure just leaves the entry for
+    the next run, same as the compactors)."""
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    token = _acquire_maintenance_lock(spark, snapshot_path)
+    out = {
+        "folded_dirs": 0,
+        "stale_generations": 0,
+        "ann_leftovers": 0,
+        "stages": 0,
+    }
+    try:
+        # crashed holders' staging, everywhere stages can live
+        for parent in [snapshot_path] + [
+            f"{snapshot_path}/{sub}"
+            for sub in ("embs", "bands", "cuts", "windows", "packs")
+        ]:
+            root = jvm.org.apache.hadoop.fs.Path(parent)
+            try:
+                if fs.exists(root):
+                    for st_ in fs.listStatus(root):
+                        name = st_.getPath().getName()
+                        if st_.isDirectory() and name.startswith("_stage_"):
+                            out["stages"] += 1
+                    _sweep_foreign_stages(jvm, fs, parent, token)
+            except Exception:
+                pass
+
+        # flat stores: folded dirs + stale generations, via the same
+        # ledger-driven reclamation the compactors end with
+        for sub, prefix in (
+            ("embs", "b_"),
+            ("bands", "b_"),
+            ("cuts", "c_"),
+            ("windows", "w_"),
+            ("packs", "p_"),
+        ):
+            parent = f"{snapshot_path}/{sub}"
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(parent)):
+                continue
+            try:
+                gens, live_gens, folded = _gen_ledger(spark, parent)
+            except Exception:
+                continue  # corrupt ledger: gc must not guess — check
+                # reports it, a human decides
+            stale = [g for g in gens if g not in live_gens]
+            dirs = []
+            for st_ in fs.listStatus(jvm.org.apache.hadoop.fs.Path(parent)):
+                name = st_.getPath().getName()
+                if (
+                    st_.isDirectory()
+                    and name.startswith(prefix)
+                    and name[len(prefix):].isdigit()
+                    and int(name[len(prefix):]) in folded
+                ):
+                    dirs.append(f"{parent}/{name}")
+            if dirs or stale:
+                out["folded_dirs"] += len(dirs)
+                out["stale_generations"] += len(stale)
+                _cleanup_compacted(spark, parent, dirs, stale)
+
+        # ANN index: marker-surviving folded sources, replay fence kept
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/vectors")):
+            try:
+                live, leftovers = _ann_marker_state(spark, snapshot_path)
+            except Exception:
+                live, leftovers = [], []
+            if leftovers:
+                out["ann_leftovers"] = len(leftovers)
+                live_stream = [b for b in live if b < ANN_COMPACT_BASE]
+                _cleanup_ann_sources(
+                    spark,
+                    snapshot_path,
+                    leftovers,
+                    live_stream_max=max(live_stream) if live_stream else None,
+                )
+    finally:
+        _release_maintenance_lock(spark, snapshot_path, token)
+    return out
+
+
 def streaming_user_running_counts(events: DataFrame) -> DataFrame:
     """Running per-user event counts via ``applyInPandasWithState`` — the
     custom stateful-operator surface (arbitrary state the built-in aggs
