@@ -240,3 +240,136 @@ def test_sync_refuses_a_destination_that_was_never_a_clone(
     with pytest.raises(ValueError, match="never a clone"):
         clone_snapshot(spark, src, dst, sync=True)
     assert os.path.exists(os.path.join(dst, "precious.txt"))
+
+
+def test_concurrent_fold_prune_of_a_reband_state_drops_it_from_the_cut(
+    spark, tmp_path
+):
+    """The fold's keep-window prune orders fold versions AND re-band
+    rewrites (``r_<base>_<seq>``) uniformly — an r_* vanishing between
+    cut and copy is the same legal race as a v_* and must be dropped
+    from the cut, not raised as a contract violation (advisor finding,
+    round 11: v_-only made clones of a live re-banded store fail
+    spuriously)."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        reband_semantic_store,
+    )
+
+    src = _semantic_store(spark, tmp_path)
+    assert reband_semantic_store(spark, src, bits=10, dims=DIMS) == 10
+    assert reband_semantic_store(spark, src, bits=12, dims=DIMS) == 12
+    rstates = sorted(n for n in os.listdir(src) if n.startswith("r_"))
+    assert len(rstates) >= 2  # keep-window retains the two newest
+    older = rstates[0]
+
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(
+        spark,
+        src,
+        dst,
+        _after_cut=lambda: shutil.rmtree(os.path.join(src, older)),
+    )
+    assert got["skipped"] == [older]
+    assert not os.path.exists(os.path.join(dst, older))
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+
+
+def test_inflight_spark_task_staging_is_excluded_from_the_cut(
+    spark, tmp_path
+):
+    """An un-paused fold's write is mid-flight during the clone: its
+    ``_temporary`` / ``.spark-staging*`` task files vanish on task
+    commit (renamed into place). They are excluded at the cut — the
+    clone neither copies them nor aborts when they disappear
+    (advisor finding, round 11: DistCp behavior)."""
+    src = _semantic_store(spark, tmp_path, folds=2)
+    tmp1 = os.path.join(src, "embs", "b_" + f"{7:020d}", "_temporary", "0")
+    os.makedirs(tmp1)
+    with open(os.path.join(tmp1, "part-00000"), "w") as f:
+        f.write("in-flight task bytes")
+    tmp2 = os.path.join(src, ".spark-staging-abc123")
+    os.makedirs(tmp2)
+    with open(os.path.join(tmp2, "pending"), "w") as f:
+        f.write("x")
+
+    def task_commit_renames_them_away():
+        shutil.rmtree(os.path.join(src, "embs", "b_" + f"{7:020d}"))
+        shutil.rmtree(tmp2)
+
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(
+        spark, src, dst, _after_cut=task_commit_renames_them_away
+    )
+    assert got["files"] > 0
+    assert not os.path.exists(os.path.join(dst, ".spark-staging-abc123"))
+    walked = [
+        p for p, _, files in os.walk(dst) for _ in files
+    ]
+    assert not any("_temporary" in p for p in walked)
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+
+
+def test_vanished_uncommitted_batch_dir_is_dropped_not_fatal(
+    spark, tmp_path
+):
+    """A fold replaying a CRASHED batch rewrites its own dir with
+    mode("overwrite"), deleting the prior attempt's files — legally,
+    without the lock. The cut shows the dir uncommitted (no serving
+    version covers it), so the clone drops it whole instead of
+    raising; readers never saw it at the source either (advisor
+    finding, round 11)."""
+    src = _semantic_store(spark, tmp_path, folds=2)
+    # simulate the crashed batch-2 attempt: embs written, no v_2 marker
+    crashed = os.path.join(src, "embs", "b_" + f"{2:020d}")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "w") as f:
+        f.write("half-written bytes from the crashed attempt")
+
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(
+        spark, src, dst, _after_cut=lambda: shutil.rmtree(crashed)
+    )
+    assert got["skipped"] == ["embs/b_" + f"{2:020d}"]
+    assert not os.path.exists(os.path.join(dst, "embs", "b_" + f"{2:020d}"))
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+
+
+def test_vanished_committed_embs_dir_still_raises(spark, tmp_path):
+    """The uncommitted-drop rule must not weaken the committed case: an
+    embs batch covered by a committed serving version (v_1 covers b_0
+    and b_1) vanishing is real trouble and aborts the clone."""
+    src = _semantic_store(spark, tmp_path, folds=2)
+
+    def rogue_delete():
+        shutil.rmtree(os.path.join(src, "embs", "b_" + f"{1:020d}"))
+
+    with pytest.raises(IOError, match="vanished mid-copy"):
+        clone_snapshot(
+            spark, src, str(tmp_path / "dst"), _after_cut=rogue_delete
+        )
+
+
+def test_clone_to_an_explicit_scheme_destination(spark, tmp_path):
+    """The destination resolves its OWN FileSystem (advisor finding,
+    round 11: a DR target on another scheme hit Hadoop's 'Wrong FS').
+    Locally both schemes resolve to the local fs, but the explicit
+    ``file:`` URI exercises the separate dst-side resolution path."""
+    src = _semantic_store(spark, tmp_path, folds=1)
+    dst = "file:" + str(tmp_path / "dst")
+    got = clone_snapshot(spark, src, dst)
+    assert got["files"] > 0 and got["markers"] > 0
+    assert sorted(
+        map(
+            tuple,
+            read_semantic_snapshot(spark, str(tmp_path / "dst")).collect(),
+        )
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))

@@ -343,3 +343,41 @@ def test_cli_json_output_is_parseable(spark, tmp_path, capsys):
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     assert rows[-1] == {"check": "ok", "errors": 0}
     assert all("severity" in r for r in rows[:-1])
+
+
+def test_deep_check_reads_exactly_what_readers_read_for_cuts(
+    spark, tmp_path
+):
+    """cuts/ and packs/ gate reads on IN-DIR markers
+    (read_passage_cuts / read_packed_corpus) — the deep scan must use
+    the same gate, or an uncommitted crashed-fold dir joins the union:
+    half-written parquet produces a spurious deep_scan_failed, and a
+    complete-but-uncommitted dir skews the duplicate count with rows
+    no reader sees (advisor finding, round 11)."""
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        fold_passage_batch,
+    )
+
+    snap = str(tmp_path / "psnap")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 30), (2, "unique text " * 40)],
+        "doc_id long, text string",
+    )
+    fold_passage_batch(docs, 0, snap)
+    got = _findings(maintenance_check(spark, snap, deep=True))
+    assert ("ok", "cuts", "deep_no_duplicates") in got
+    n_committed = int(
+        got[("ok", "cuts", "deep_no_duplicates")].split("=")[1]
+    )
+
+    # crashed fold: a half-written cuts dir with NO in-dir marker —
+    # invisible to read_passage_cuts, so invisible to the deep scan
+    crashed = os.path.join(snap, "cuts", "c_" + f"{1:020d}")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "w") as f:
+        f.write("not parquet - a torn write")
+    got = _findings(maintenance_check(spark, snap, deep=True))
+    assert ("warning", "cuts", "deep_scan_failed") not in got
+    assert int(
+        got[("ok", "cuts", "deep_no_duplicates")].split("=")[1]
+    ) == n_committed

@@ -3548,7 +3548,19 @@ def maintenance_check(
                 prefix = {"cuts": "c_", "windows": "w_", "packs": "p_"}.get(
                     sub, "b_"
                 )
-                live_dirs = _list_batch_dirs(spark, parent, prefix)
+                # mirror the read path EXACTLY: cuts/ and packs/ gate
+                # on in-dir markers (read_passage_cuts /
+                # read_packed_corpus), so the deep scan must too — an
+                # uncommitted crashed-fold dir joining the union here
+                # would fail the scan (half-written parquet) or skew
+                # the duplicate count with rows no reader ever sees
+                # (advisor finding, round 11)
+                live_dirs = _list_batch_dirs(
+                    spark,
+                    parent,
+                    prefix,
+                    marker_required=sub in ("cuts", "packs"),
+                )
                 if sub == "packs":
                     live_dirs = [f"{d}/rows" for d in live_dirs]
                 if live_dirs:
@@ -3744,16 +3756,25 @@ def clone_snapshot(
        version markers alike). This frozen set IS the clone: whatever
        commits afterwards is past the cut.
     2. **Data**: copy everything EXCEPT markers, the maintenance
-       lock/parks, and ``_stage_*`` staging. Copy order doesn't matter
-       because nothing at the destination is visible yet — a crash
-       anywhere in this pass leaves a destination readers see as
-       empty (the same invisibility contract every fold relies on).
-       Exactly ONE class of source path may legally vanish mid-copy:
-       a top-level ``v_*`` version dir (the owning stream's fold — the
-       one writer the lock does not stop — prunes versions past its
-       keep-window). A vanished ``v_*`` is recorded and its marker
-       dropped from the cut, exactly as if the cut had been taken a
-       moment later. ANY other copy failure raises: generation dirs,
+       lock/parks, ``_stage_*`` staging, and Spark's own in-flight
+       task staging (``_temporary`` / ``.spark-staging*`` — an
+       un-paused fold's task commits rename files out of those by
+       design, so they vanish legally; excluded at the cut, DistCp
+       behavior). Copy order doesn't matter because nothing at the
+       destination is visible yet — a crash anywhere in this pass
+       leaves a destination readers see as empty (the same
+       invisibility contract every fold relies on). Exactly TWO
+       classes of source path may legally vanish mid-copy, both owned
+       by the stream's fold — the one writer the lock does not stop:
+       (a) a top-level ``v_*`` / ``r_*`` state dir (the fold prunes
+       fold versions and re-band rewrites, uniformly ordered, past
+       its keep-window) — recorded, and its marker dropped from the
+       cut, exactly as if the cut had been taken a moment later; and
+       (b) a file under a batch dir the cut shows UNCOMMITTED (a
+       fold replaying a crashed batch re-writes its own dir with
+       ``mode("overwrite")``) — the dir is dropped whole; it was
+       invisible to readers at the source and stays invisible at the
+       destination. ANY other copy failure raises: generation dirs,
        ledgers, and pins are deleted only by maintenance (locked out
        here), so their disappearance is real trouble, and silently
        dropping their markers would silently drop folded rows.
@@ -3808,7 +3829,13 @@ def clone_snapshot(
     if not fs.exists(src_root):
         raise FileNotFoundError(f"clone_snapshot: no snapshot at {src_path}")
     dst_root = HPath(dst_path)
-    if fs.exists(dst_root) and fs.listStatus(dst_root):
+    # the destination resolves its OWN FileSystem: a backup/DR target
+    # naturally lives on a different scheme (s3a:// from hdfs://, a
+    # second cluster), and using the source fs for destination ops
+    # fails with Hadoop's "Wrong FS" (advisor finding, round 11);
+    # FileUtil.copy takes distinct src/dst filesystems natively
+    dfs = dst_root.getFileSystem(conf)
+    if dfs.exists(dst_root) and dfs.listStatus(dst_root):
         if not sync:
             raise ValueError(
                 f"clone_snapshot: destination {dst_path} is not empty —"
@@ -3819,7 +3846,7 @@ def clone_snapshot(
         # destination that doesn't LOOK like a clone of a store, so a
         # mistyped --dest can't file-mirror an unrelated tree
         dst_names = {
-            st_.getPath().getName() for st_ in fs.listStatus(dst_root)
+            st_.getPath().getName() for st_ in dfs.listStatus(dst_root)
         }
         looks_cloned = "markers" in dst_names or any(
             n.startswith(("v_", "r_"))
@@ -3853,15 +3880,104 @@ def clone_snapshot(
 
     def _excluded(rel: str) -> bool:
         parts = rel.split("/")
-        return any(p.startswith("_stage_") for p in parts) or parts[
-            -1
-        ].startswith(_MAINTENANCE_LOCK_NAME)
+        return any(
+            p.startswith("_stage_")
+            # an in-flight fold's Spark write commits by renaming task
+            # files OUT of _temporary/.spark-staging* — those files
+            # vanish by design mid-copy, and folds run lock-free;
+            # exclude them at the cut like DistCp does (advisor
+            # finding, round 11)
+            or p == "_temporary"
+            or p.startswith(".spark-staging")
+            for p in parts
+        ) or parts[-1].startswith(_MAINTENANCE_LOCK_NAME)
 
     def _prunable(rel: str) -> bool:
-        # top-level v_<id>: the rollup fold's keep-window prune is the
-        # one deletion the maintenance lock does not serialize against
+        # top-level v_<id> AND r_<base>_<seq>: the semantic fold's
+        # keep-window prune orders fold versions and re-band rewrites
+        # UNIFORMLY (fold_semantic_batch prunes state_dirs past
+        # keep_versions), so either class may legally vanish mid-copy
+        # under the held lock — folds don't take it (advisor finding,
+        # round 11: v_-only here made clones of a live re-banded
+        # store fail spuriously)
         head = rel.split("/", 1)[0]
-        return head.startswith("v_") and head[2:].isdigit()
+        if head.startswith("v_") and head[2:].isdigit():
+            return True
+        if head.startswith("r_"):
+            bits = head[2:].split("_")
+            return len(bits) == 2 and all(
+                b.isdigit() and b for b in bits
+            )
+        return False
+
+    def _vanish_droppable(rel: str, cut: list[str]) -> str | None:
+        """Second legal mid-copy vanish class: a file under a batch
+        dir the cut shows UNCOMMITTED. Folds run without the
+        maintenance lock, and a replay of a crashed batch re-writes
+        its own dir with ``mode("overwrite")`` — deleting the prior
+        attempt's part files out from under the copy. The read path
+        never serves an uncommitted dir, so dropping it lands exactly
+        the clone a later cut would have. Returns the batch-dir rel
+        to drop, or None when the vanish is real trouble (a committed
+        dir only locked-out maintenance may delete). Coverage mirrors
+        each store's OWN commit protocol — in-dir markers for
+        bands/cuts/windows/packs, central ``markers/b_*`` for the ANN
+        partitions and their scale_stats, committed serving versions
+        (``v_*``/``r_*`` with id ≥ batch) for the semantic ``embs``
+        corpus, which carries no per-batch marker of its own."""
+        parts = rel.split("/")
+        if len(parts) < 2:
+            return None
+        head, batch = parts[0], parts[1]
+        if head == "embs" and batch.startswith("b_") and batch[2:].isdigit():
+            n = int(batch[2:])
+            for m in cut:
+                top, _, rest = m.partition("/")
+                if not rest:
+                    continue  # root-level marker file, not a state dir
+                if top.startswith("v_") and top[2:].isdigit():
+                    if int(top[2:]) >= n:
+                        return None
+                elif top.startswith("r_"):
+                    bits = top[2:].split("_")
+                    if (
+                        len(bits) == 2
+                        and all(b.isdigit() and b for b in bits)
+                        and int(bits[0]) >= n
+                    ):
+                        return None
+            return f"{head}/{batch}"
+        in_dir_prefix = {
+            "bands": "b_",
+            "cuts": "c_",
+            "windows": "w_",
+            "packs": "p_",
+        }.get(head)
+        if in_dir_prefix is not None:
+            # BATCH dirs only — generation dirs (g_*) commit via the
+            # store's central markers/ and their ledgers/dirs are
+            # deleted by locked-out maintenance alone, so a vanished
+            # g_* must keep raising
+            if not (
+                batch.startswith(in_dir_prefix)
+                and batch[len(in_dir_prefix):].isdigit()
+            ):
+                return None
+            d = f"{head}/{batch}"
+            return (
+                None
+                if any(m.startswith(d + "/") for m in cut)
+                else d
+            )
+        if (head == "vectors" and batch.startswith("batch=")) or (
+            head == "scale_stats" and batch.startswith("b_")
+        ):
+            raw = batch.split("=", 1)[-1] if "=" in batch else batch[2:]
+            if not raw.isdigit():
+                return None
+            marker = f"markers/b_{int(raw):020d}{ROLLUP_APPLIED_MARKER}"
+            return None if marker in cut else f"{head}/{batch}"
+        return None
 
     token = _acquire_maintenance_lock(spark, src_path)
     try:
@@ -3891,10 +4007,12 @@ def clone_snapshot(
         n_files = 0
         n_bytes = 0
         pruned: list[str] = []
+        dropped: list[str] = []
 
         def _is_pruned(rel: str) -> bool:
             return any(
-                rel == d or rel.startswith(d + "/") for d in pruned
+                rel == d or rel.startswith(d + "/")
+                for d in pruned + dropped
             )
 
         for rel, is_dir, spath, slen in inventory:
@@ -3902,18 +4020,18 @@ def clone_snapshot(
                 continue
             dst = HPath(f"{dst_path}/{rel}")
             if is_dir:
-                fs.mkdirs(dst)
+                dfs.mkdirs(dst)
                 continue
             if sync:
                 try:
-                    if fs.getFileStatus(dst).getLen() == slen:
+                    if dfs.getFileStatus(dst).getLen() == slen:
                         continue  # committed files are immutable:
                         # rel-path + length identifies them
                 except Exception:
                     pass  # absent at dst — copy below
             try:
                 if not jvm.org.apache.hadoop.fs.FileUtil.copy(
-                    fs, spath, fs, dst, False, True, conf
+                    fs, spath, dfs, dst, False, True, conf
                 ):
                     raise IOError(f"copy returned false for {rel}")
                 n_files += 1
@@ -3923,12 +4041,20 @@ def clone_snapshot(
                     pruned.append(rel.split("/", 1)[0])
                     continue
                 if not fs.exists(spath):
+                    d = _vanish_droppable(rel, cut)
+                    if d is not None:
+                        # an UNCOMMITTED batch dir a lock-free fold
+                        # replay overwrote: invisible to readers at the
+                        # source, dropped from the clone the same way
+                        dropped.append(d)
+                        continue
                     raise IOError(
                         f"clone_snapshot: {rel} vanished mid-copy — only"
-                        " the rollup fold's v_* prune may delete under"
-                        " the held maintenance lock; the source is being"
-                        " mutated outside the contract (a compactor"
-                        " without the lock?)"
+                        " the fold's v_*/r_* keep-window prune and its"
+                        " replay of an UNCOMMITTED batch dir may delete"
+                        " under the held maintenance lock; the source is"
+                        " being mutated outside the contract (a"
+                        " compactor without the lock?)"
                     ) from exc
                 raise
 
@@ -3951,7 +4077,7 @@ def clone_snapshot(
                     continue
                 droot = HPath(f"{dst_path}/{d}" if d else dst_path)
                 try:
-                    children = fs.listStatus(droot)
+                    children = dfs.listStatus(droot)
                 except Exception:
                     continue
                 for st_ in children:
@@ -3964,7 +4090,7 @@ def clone_snapshot(
                     ):
                         continue
                     try:
-                        fs.delete(st_.getPath(), False)
+                        dfs.delete(st_.getPath(), False)
                     except Exception:
                         pass
 
@@ -3976,9 +4102,9 @@ def clone_snapshot(
             for m in cut
             if not any(m == d or m.startswith(d + "/") for d in set(pruned))
         ]
-        for d in set(pruned):
+        for d in set(pruned) | set(dropped):
             try:
-                fs.delete(HPath(f"{dst_path}/{d}"), True)
+                dfs.delete(HPath(f"{dst_path}/{d}"), True)
             except Exception:
                 pass  # unmarked, invisible either way
 
@@ -3986,10 +4112,10 @@ def clone_snapshot(
         n_markers = 0
         for m in survivors:
             p = HPath(f"{dst_path}/{m}")
-            if sync and fs.exists(p):
+            if sync and dfs.exists(p):
                 continue
-            fs.mkdirs(p.getParent())
-            fs.create(p, False).close()
+            dfs.mkdirs(p.getParent())
+            dfs.create(p, False).close()
             n_markers += 1
     finally:
         _release_maintenance_lock(spark, src_path, token)
@@ -4010,7 +4136,7 @@ def clone_snapshot(
         "files": n_files,
         "bytes": n_bytes,
         "markers": n_markers,
-        "skipped": sorted(set(pruned)),
+        "skipped": sorted(set(pruned) | set(dropped)),
     }
 
 
