@@ -337,3 +337,79 @@ def test_crashed_holder_stage_dir_is_swept_by_next_run(spark, tmp_path):
         fh.write("crashed holder's multi-GB merge, in spirit")
     assert _compact_batch_store(spark, parent, "b_", 2) == 0
     assert not os.path.exists(leftover)
+
+
+def test_heartbeat_keeps_a_slow_holder_past_the_lease(spark, tmp_path):
+    """The round-11 heartbeat: a LEGITIMATE holder running longer than
+    the lease (a 100 TB rebuild/clone will) refreshes the lock's mtime
+    from a driver thread, so the lease measures age-since-last-beat —
+    a rival arriving well past the nominal lease still loses."""
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    token = _acquire_maintenance_lock(spark, parent, lease_seconds=2.0)
+    try:
+        time.sleep(4.0)  # 2x the lease; beats land every ~0.33s
+        with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+            _acquire_maintenance_lock(spark, parent, lease_seconds=2.0)
+        _assert_holds_maintenance_lock(spark, parent, token)
+    finally:
+        _release_maintenance_lock(spark, parent, token)
+    assert not os.path.exists(_lock_file(parent))
+
+
+def test_holder_without_heartbeat_is_still_reclaimed(spark, tmp_path):
+    """The crashed-holder clock is untouched: no heartbeat (a dead
+    process has none) means the mtime ages and a rival reclaims after
+    the lease, exactly as before round 11."""
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    stalled = _acquire_maintenance_lock(
+        spark, parent, lease_seconds=1.0, heartbeat=False
+    )
+    time.sleep(2.2)
+    rival = _acquire_maintenance_lock(spark, parent, lease_seconds=1.0)
+    try:
+        # the stalled holder lost: its fence check aborts loudly
+        with pytest.raises(ConcurrentMaintenanceError, match="reclaimed"):
+            _assert_holds_maintenance_lock(spark, parent, stalled)
+        _assert_holds_maintenance_lock(spark, parent, rival)
+    finally:
+        _release_maintenance_lock(spark, parent, rival)
+
+
+def test_release_stops_the_heartbeat(spark, tmp_path):
+    """After release, no beat may resurrect the lock or refresh a
+    rival's: the file stays deleted, and a rival's fresh lock keeps
+    its own token."""
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _live_heartbeats,
+    )
+
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    token = _acquire_maintenance_lock(spark, parent, lease_seconds=1.0)
+    assert token in _live_heartbeats
+    _release_maintenance_lock(spark, parent, token)
+    assert token not in _live_heartbeats
+    time.sleep(0.6)  # two beat intervals at lease/6
+    assert not os.path.exists(_lock_file(parent))
+
+
+def test_heartbeat_never_resurrects_a_reclaimed_lock(spark, tmp_path):
+    """A holder whose lock was reclaimed must not have its heartbeat
+    fight the new holder: the first beat that sees a foreign token
+    exits the loop, leaving the rival's mtime alone."""
+    from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+        _touch_maintenance_lock,
+    )
+
+    parent = str(tmp_path / "store")
+    os.makedirs(parent)
+    token = _acquire_maintenance_lock(spark, parent, lease_seconds=600.0)
+    try:
+        with open(_lock_file(parent), "w") as fh:
+            fh.write("new-holder-token")
+        assert _touch_maintenance_lock(spark, parent, token) is False
+        assert open(_lock_file(parent)).read() == "new-holder-token"
+    finally:
+        _release_maintenance_lock(spark, parent, token)
