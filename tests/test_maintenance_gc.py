@@ -117,3 +117,79 @@ def test_gc_on_a_clean_store_is_a_noop(spark, tmp_path, capsys):
     assert sorted(
         map(tuple, read_semantic_snapshot(spark, snap).collect())
     ) == served
+
+
+def test_gc_reclaims_crashed_fold_scale_stats_orphans(spark, tmp_path):
+    """A fold records scale_stats BEFORE flipping its batch marker, so
+    every crashed attempt strands one stats dir; the drift audit skips
+    them (round-10 advisor fix) but nothing deleted them — a
+    crash-looping stream accumulates one per loop forever (r10 verdict
+    item 6). status counts the lease-aged uncommitted ones, gc
+    reclaims exactly those, and a FRESH pre-marker dir (an in-flight
+    fold that may still commit) is left alone."""
+    import time
+
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        codebook_df,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ann_topk_snapshot,
+        fold_ann_index_batch,
+    )
+
+    snap = str(tmp_path / "ann")
+    cb = codebook_df(
+        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
+    )
+    for b in range(2):
+        fold_ann_index_batch(
+            _emb(
+                spark,
+                [(b * 2 + i, [1.0 * (d == b % 2) for d in range(4)])
+                 for i in range(2)],
+            ),
+            b,
+            snap,
+            centroids=cb,
+            quantize=True,
+            scale=1.0,
+        )
+
+    # crashed fold attempts: stats landed, marker never flipped
+    old = os.path.join(snap, "scale_stats", "b_" + f"{5:020d}")
+    os.makedirs(old)
+    with open(os.path.join(old, "part-00000.parquet"), "w") as f:
+        f.write("stats from a crashed attempt")
+    stale = time.time() - (7 * 3600)
+    os.utime(os.path.join(old, "part-00000.parquet"), (stale, stale))
+    os.utime(old, (stale, stale))
+    fresh = os.path.join(snap, "scale_stats", "b_" + f"{6:020d}")
+    os.makedirs(fresh)
+    with open(os.path.join(fresh, "part-00000.parquet"), "w") as f:
+        f.write("stats from a fold still in flight")
+
+    q = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                ann_topk_snapshot(spark, snap, q, k=4, nprobe=2).collect(),
+            )
+        )
+
+    served = serve()
+    st = _status(spark, snap)
+    assert st[("scale_stats", "orphaned_dirs")] == 1.0
+
+    got = maintenance_gc(spark, snap)
+    assert got["scale_stat_orphans"] == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)  # may still commit — not garbage yet
+    # committed batches' stats untouched; serving identical
+    for b in range(2):
+        assert os.path.exists(
+            os.path.join(snap, "scale_stats", "b_" + f"{b:020d}")
+        )
+    assert serve() == served
+    assert _status(spark, snap)[("scale_stats", "orphaned_dirs")] == 0.0

@@ -3489,6 +3489,20 @@ def maintenance_status(
             rows.append(("vectors", "pinned_scale", float(scale), None))
         except Exception:
             pass  # un-quantized index: no scale pin to report
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_stats")
+        ):
+            orphans = _orphaned_scale_stats(spark, snapshot_path)
+            rows.append(
+                (
+                    "scale_stats",
+                    "orphaned_dirs",
+                    float(len(orphans)),
+                    f"oldest={orphans[0].rsplit('/', 1)[-1]}"
+                    if orphans
+                    else None,
+                )
+            )
         if drift and fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_stats")
         ):
@@ -3511,6 +3525,57 @@ def maintenance_status(
     return spark.createDataFrame(
         rows, "component string, metric string, value double, detail string"
     )
+
+
+def _orphaned_scale_stats(
+    spark, snapshot_path: str, min_age_seconds: float | None = None
+) -> list[str]:
+    """``scale_stats/b_<id>`` dirs whose batch NEVER committed — no
+    ``markers/b_<id>_APPLIED`` — and whose newest write is older than
+    the lease (round 11, r10 verdict item 6). A fold records its
+    batch's max-abs stat BEFORE flipping the marker, so every crashed
+    attempt strands one stats dir; the drift audit skips them
+    (``ignoreCorruptFiles`` + committed-semi-join) but nothing ever
+    deleted them, and a crash-looping stream accumulates one per loop
+    forever. The age guard keeps an IN-FLIGHT fold's pre-marker stats
+    out of the orphan set: younger than one lease, the batch may still
+    commit. Age is the max of the dir's and its direct children's
+    mtimes — a replay overwrites the same dir, refreshing both."""
+    import time
+
+    if min_age_seconds is None:
+        min_age_seconds = MAINTENANCE_LEASE_SECONDS
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/scale_stats")
+    if not fs.exists(root):
+        return []
+    now = time.time()
+    out: list[str] = []
+    for st_ in fs.listStatus(root):
+        name = st_.getPath().getName()
+        if not (
+            st_.isDirectory()
+            and name.startswith("b_")
+            and name[2:].isdigit()
+        ):
+            continue
+        bid = int(name[2:])
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{snapshot_path}/markers/b_{bid:020d}"
+                f"{ROLLUP_APPLIED_MARKER}"
+            )
+        ):
+            continue
+        newest = st_.getModificationTime() / 1000.0
+        try:
+            for child in fs.listStatus(st_.getPath()):
+                newest = max(newest, child.getModificationTime() / 1000.0)
+        except Exception:
+            pass  # vanished mid-listing: the next run re-evaluates
+        if now - newest > min_age_seconds:
+            out.append(f"{snapshot_path}/scale_stats/{name}")
+    return sorted(out)
 
 
 def maintenance_check(
@@ -4247,7 +4312,10 @@ def maintenance_gc(spark, snapshot_path: str) -> dict:
     ``maintenance_status`` counts (round 10): folded batch dirs whose
     best-effort delete failed, stale generation markers/dirs/ledgers a
     crashed cleanup left behind, crashed holders' ``_stage_*`` staging,
-    and orphaned reclaim parks. All of it is invisible to readers —
+    orphaned reclaim parks, and (round 11) crashed-fold ``scale_stats``
+    dirs — stats recorded before a batch marker that never flipped,
+    older than one lease, which a crash-looping stream otherwise
+    accumulates forever. All of it is invisible to readers —
     markers + ledgers already exclude it — so gc changes NOTHING a
     reader sees; it reclaims space and shrinks the listings. Today the
     same reclamation happens as a side effect of the NEXT compaction
@@ -4262,7 +4330,8 @@ def maintenance_gc(spark, snapshot_path: str) -> dict:
     are reclaimed by the fold's own replay-overwrite instead.
 
     Returns ``{"folded_dirs": n, "stale_generations": n,
-    "ann_leftovers": n, "stages": n}`` — counts of reclaim ATTEMPTS
+    "ann_leftovers": n, "stages": n, "scale_stat_orphans": n}`` —
+    counts of reclaim ATTEMPTS
     (deletes stay best-effort; a failure just leaves the entry for
     the next run, same as the compactors)."""
     jvm, fs = _rollup_fs(spark, snapshot_path)
@@ -4272,6 +4341,7 @@ def maintenance_gc(spark, snapshot_path: str) -> dict:
         "stale_generations": 0,
         "ann_leftovers": 0,
         "stages": 0,
+        "scale_stat_orphans": 0,
     }
     try:
         # crashed holders' staging, everywhere stages can live
@@ -4338,6 +4408,20 @@ def maintenance_gc(spark, snapshot_path: str) -> dict:
                     leftovers,
                     live_stream_max=max(live_stream) if live_stream else None,
                 )
+
+        # crashed-fold scale_stats orphans (round 11, r10 verdict item
+        # 6): stats written before a marker that never flipped, older
+        # than one lease. Deleting under the lock is safe the same way
+        # the stage sweep is: a lease-expired zombie fold that would
+        # still commit this batch fails nothing here — its stats
+        # REWRITE the dir on replay, and a batch can only commit
+        # through a fold, which re-records its stat first.
+        for d in _orphaned_scale_stats(spark, snapshot_path):
+            try:
+                if fs.delete(jvm.org.apache.hadoop.fs.Path(d), True):
+                    out["scale_stat_orphans"] += 1
+            except Exception:
+                pass  # best-effort; recounted next run
     finally:
         _release_maintenance_lock(spark, snapshot_path, token)
     return out
