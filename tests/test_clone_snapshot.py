@@ -373,3 +373,107 @@ def test_clone_to_an_explicit_scheme_destination(spark, tmp_path):
             read_semantic_snapshot(spark, str(tmp_path / "dst")).collect(),
         )
     ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+
+
+def _tree_digest(root):
+    """Digest of every VISIBLE file. Dot-files are excluded: Hadoop's
+    local ChecksumFileSystem re-creates .crc sidecars under the serial
+    arm's FileUtil.copy, while the parallel arm's pyarrow streams do
+    not — they are client-side artifacts hidden from every Hadoop
+    listing (and absent on HDFS/S3), not part of the store."""
+    import hashlib
+
+    out = {}
+    for dp, _dns, fns in os.walk(root):
+        for fn in fns:
+            if fn.startswith("."):
+                continue
+            p = os.path.join(dp, fn)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.md5(
+                    f.read()
+                ).hexdigest()
+    return out
+
+
+def test_parallel_clone_is_byte_identical_to_serial(spark, tmp_path):
+    """parallel=True moves the bytes executor-side (pyarrow.fs per
+    task) but shares the cut/verify contract — the two arms must land
+    byte-identical trees, fsck-clean, serving identically (r10 verdict
+    item 3)."""
+    src = _semantic_store(spark, tmp_path)
+    compact_semantic_embs(spark, src)
+    serial = str(tmp_path / "serial")
+    par = str(tmp_path / "par")
+    a = clone_snapshot(spark, src, serial)
+    b = clone_snapshot(spark, src, par, parallel=True)
+    assert (a["files"], a["bytes"], a["markers"]) == (
+        b["files"],
+        b["bytes"],
+        b["markers"],
+    )
+    assert _tree_digest(serial) == _tree_digest(par)
+    sev = {r["severity"] for r in maintenance_check(spark, par).collect()}
+    assert sev == {"ok"}
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, par).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+
+
+def test_parallel_sync_is_incremental_and_idempotent(spark, tmp_path):
+    """The sync skip rule (same rel + same length == immutable store
+    file) runs inside the task against the destination's own listing;
+    an unchanged source syncs zero files."""
+    src = _semantic_store(spark, tmp_path, folds=2)
+    dst = str(tmp_path / "dst")
+    clone_snapshot(spark, src, dst, parallel=True)
+
+    fold_semantic_batch(
+        _emb(spark, [(50, [0.0] * 7 + [1.0])]), 2, src, dims=DIMS
+    )
+    got = clone_snapshot(spark, src, dst, sync=True, parallel=True)
+    assert got["files"] > 0  # the new batch moved
+    assert sorted(
+        map(tuple, read_semantic_snapshot(spark, dst).collect())
+    ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
+    again = clone_snapshot(spark, src, dst, sync=True, parallel=True)
+    assert again["files"] == 0 and again["markers"] == 0
+
+
+def test_parallel_clone_classifies_vanishes_like_serial(spark, tmp_path):
+    """The vanished-source classification is shared: a pruned v_* is
+    dropped from the cut, and a committed dir vanishing still aborts —
+    reported by the tasks, judged by the driver."""
+    src = _semantic_store(spark, tmp_path)
+    pruned = os.path.join(src, "v_" + f"{1:020d}")
+    dst = str(tmp_path / "dst")
+    got = clone_snapshot(
+        spark,
+        src,
+        dst,
+        parallel=True,
+        _after_cut=lambda: shutil.rmtree(pruned),
+    )
+    assert got["skipped"] == ["v_" + f"{1:020d}"]
+    sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
+    assert sev == {"ok"}
+
+    src2 = _semantic_store(spark, tmp_path / "again", folds=2)
+    with pytest.raises(IOError, match="vanished mid-copy"):
+        clone_snapshot(
+            spark,
+            src2,
+            str(tmp_path / "dst2"),
+            parallel=True,
+            _after_cut=lambda: shutil.rmtree(
+                os.path.join(src2, "embs", "b_" + f"{1:020d}")
+            ),
+        )
+
+
+def test_cli_parallel_clone_prints_summary(spark, tmp_path, capsys):
+    src = _semantic_store(spark, tmp_path, folds=1)
+    dst = str(tmp_path / "dst")
+    run_maintain(spark, src, "clone", dest=dst, parallel=True)
+    out = capsys.readouterr().out
+    assert out.startswith("CLONED:\t")

@@ -289,6 +289,7 @@ def run_maintain(
     deep: bool = False,
     dest: str | None = None,
     sync: bool = False,
+    parallel: bool = False,
     as_json: bool = False,
 ) -> None:
     """``maintain`` subcommand: run one streaming-store maintenance
@@ -352,7 +353,9 @@ def run_maintain(
                 "maintain clone requires --dest: the (empty) directory"
                 " to clone the snapshot into"
             )
-        got = S.clone_snapshot(spark, snapshot_dir, dest, sync=sync)
+        got = S.clone_snapshot(
+            spark, snapshot_dir, dest, sync=sync, parallel=parallel
+        )
         print(
             f"CLONED:\t{got['files']} files\t{got['bytes']} bytes"
             f"\t{got['markers']} markers"
@@ -554,6 +557,13 @@ def main(argv: list[str] | None = None) -> None:
         "add new markers) instead of requiring an empty --dest",
     )
     p.add_argument(
+        "--parallel",
+        action="store_true",
+        help="maintain clone only: fan the data pass out over the "
+        "cluster (pyarrow.fs streams per task) instead of the "
+        "driver-side serial copy — the 100 TB arm",
+    )
+    p.add_argument(
         "--deep",
         action="store_true",
         help="maintain check only: also scan each store's live union "
@@ -596,6 +606,7 @@ def main(argv: list[str] | None = None) -> None:
             deep=args.deep,
             dest=args.dest,
             sync=args.sync,
+            parallel=args.parallel,
             as_json=args.as_json,
         )
         return
