@@ -52,8 +52,15 @@ B0 = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
 B1 = [(2, [10.0, 2.0, 0.0, 0.0]), (3, [5.0, 5.0, 0.0, 0.0])]
 
 
-def _drifted_store(spark, tmp_path):
-    snap = str(tmp_path / "snap")
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="session")
+def _drifted_template(spark, tmp_path_factory):
+    """Session-built drifted quantized store — every test takes a
+    DISPOSABLE copytree copy via _drifted_store (the layout is
+    path-relocatable; rebuilding it per test cost ~10 s of folds)."""
+    snap = str(tmp_path_factory.mktemp("drifted_tpl") / "snap")
     cb = _cb(spark)
     fold_ann_index_batch(
         _emb(spark, B0), 0, snap, centroids=cb, quantize=True, scale=1.0
@@ -61,7 +68,15 @@ def _drifted_store(spark, tmp_path):
     fold_ann_index_batch(
         _emb(spark, B1), 1, snap, centroids=cb, quantize=True
     )
-    return snap, cb
+    return snap
+
+
+def _drifted_store(spark, tmp_path, template):
+    import shutil
+
+    snap = str(tmp_path / "snap")
+    shutil.copytree(template, snap)
+    return snap, _cb(spark)
 
 
 def _serve(spark, snap, q_rows, k=4):
@@ -73,13 +88,13 @@ def _serve(spark, snap, q_rows, k=4):
     }
 
 
-def test_rebuild_restores_headroom_and_ranking(spark, tmp_path):
+def test_rebuild_restores_headroom_and_ranking(spark, tmp_path, _drifted_template):
     """The full drift story: clamping destroys the ranking (two
     distinct vectors quantize identically), the audit flags it, the
     rebuild cures it — headroom back to 1.0, the true cosine order
     restored, folds continue on the NEW grid, the replay fence holds,
     and a later compaction carries the rebuilt scale forward."""
-    snap, cb = _drifted_store(spark, tmp_path)
+    snap, cb = _drifted_store(spark, tmp_path, _drifted_template)
     q = [(0, [1.0, 0.2, 0.0, 0.0])]
     before = _serve(spark, snap, q)
     # clamping collapsed v2=[10,2] and v3=[5,5] onto the same int8
@@ -150,10 +165,10 @@ def test_rebuild_restores_headroom_and_ranking(spark, tmp_path):
     )  # fence retired: newer stream batches committed
 
 
-def test_rebuild_refuses_partial_source(spark, tmp_path):
+def test_rebuild_refuses_partial_source(spark, tmp_path, _drifted_template):
     """A source missing vectors the store serves would silently DELETE
     them from the index — refused up front."""
-    snap, _ = _drifted_store(spark, tmp_path)
+    snap, _ = _drifted_store(spark, tmp_path, _drifted_template)
     with pytest.raises(ValueError, match="partial corpus"):
         rebuild_ann_index(spark, snap, _emb(spark, B0))  # half the ids
 
@@ -167,10 +182,10 @@ def test_rebuild_requires_quantized_store(spark, tmp_path):
         rebuild_ann_index(spark, snap, _emb(spark, B0))
 
 
-def test_rebuild_rejects_concurrent_rival(spark, tmp_path):
+def test_rebuild_rejects_concurrent_rival(spark, tmp_path, _drifted_template):
     """The rebuild sits on the same per-snapshot maintenance lock as
     the compactors."""
-    snap, _ = _drifted_store(spark, tmp_path)
+    snap, _ = _drifted_store(spark, tmp_path, _drifted_template)
     os.makedirs(f"{snap}/markers", exist_ok=True)
     lock = f"{snap}/markers/_MAINTENANCE_LOCK"
     with open(lock, "w") as fh:
@@ -183,12 +198,12 @@ def test_rebuild_rejects_concurrent_rival(spark, tmp_path):
     assert rebuild_ann_index(spark, snap, _emb(spark, B0 + B1)) == 10.0
 
 
-def test_rebuild_with_explicit_scale_keeps_ledger_honest(spark, tmp_path):
+def test_rebuild_with_explicit_scale_keeps_ledger_honest(spark, tmp_path, _drifted_template):
     """An explicit --scale below the corpus max-abs still clamps; the
     restarted drift ledger must record the OBSERVED max-abs (measured
     inside the write job), so the audit immediately reports the
     remaining drift instead of trusting the caller's claim."""
-    snap, _ = _drifted_store(spark, tmp_path)
+    snap, _ = _drifted_store(spark, tmp_path, _drifted_template)
     got = rebuild_ann_index(
         spark, snap, _emb(spark, B0 + B1), scale=5.0
     )
@@ -200,7 +215,8 @@ def test_rebuild_with_explicit_scale_keeps_ledger_honest(spark, tmp_path):
     assert row["n_clamped_batches"] == 1
 
 
-def test_empty_batch_marker_without_dir_breaks_nothing(spark, tmp_path):
+@pytest.mark.slow  # crash-tolerance simulation over 5 folds (closing battery)
+def test_empty_batch_marker_without_dir_breaks_nothing(spark, tmp_path, _drifted_template):
     """An empty micro-batch's dynamic-partition write emits NO
     ``vectors/batch=<id>`` dir yet still commits its marker (round-10
     review finding): the rebuild's byte-sizing loop and the
@@ -208,7 +224,7 @@ def test_empty_batch_marker_without_dir_breaks_nothing(spark, tmp_path):
     committed batch instead of dying on getContentSummary — which
     would make the drift cure permanently unrunnable on any store
     that ever saw an empty fold."""
-    snap, cb = _drifted_store(spark, tmp_path)
+    snap, cb = _drifted_store(spark, tmp_path, _drifted_template)
     # empty fold: marker commits, no vectors/batch=2 dir appears
     fold_ann_index_batch(_emb(spark, []), 2, snap, centroids=cb, quantize=True)
     assert os.path.exists(f"{snap}/markers/b_{2:020d}_APPLIED")
@@ -239,7 +255,7 @@ def test_empty_batch_marker_without_dir_breaks_nothing(spark, tmp_path):
 
 def test_rebuild_flip_fence_aborts_on_mid_rebuild_stream_commit(
     spark, tmp_path, monkeypatch
-):
+, _drifted_template):
     """A fold that commits WHILE the rebuild runs carries old-grid
     vectors the rebuild cannot cure (it is absent from the sources, so
     post-flip serving would dequantize it on the new grid). The
@@ -247,7 +263,7 @@ def test_rebuild_flip_fence_aborts_on_mid_rebuild_stream_commit(
     store untouched (round-10 review finding)."""
     import twitter_social_triangle_mapreduce_spark.streaming.streams as S
 
-    snap, cb = _drifted_store(spark, tmp_path)
+    snap, cb = _drifted_store(spark, tmp_path, _drifted_template)
     before = _serve(spark, snap, [(0, [1.0, 0.2, 0.0, 0.0])])
 
     real = S._ann_marker_state

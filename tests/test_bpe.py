@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from twitter_social_triangle_mapreduce_spark.operators import bpe
 from twitter_social_triangle_mapreduce_spark.sources.io import load_table
 
@@ -225,6 +227,7 @@ def test_pandas_encoding_arm_equals_sql_arm(spark):
     assert {k: (n, list(t)) for k, (n, t) in sql_arm.items()} == pd_arm
 
 
+@pytest.mark.slow  # perf-routing probe: trains at two merge counts to exercise the gate
 def test_encode_auto_gate_routes_by_merge_count(spark):
     """Round-8 (r7 verdict item 2): ``bpe_encode`` is two-armed like
     the trainer — above ``sqlMaxMerges`` it must route to the

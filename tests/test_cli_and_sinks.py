@@ -314,7 +314,9 @@ def test_shard_manifest_offsets_are_contiguous(spark, tmp_path):
     assert man_sorted[-1]["end_off"] == total_tokens
 
 
-def test_cli_maintain_actions(spark, tmp_path, capsys):
+def test_cli_maintain_actions(
+    spark, tmp_path, capsys, fresh_semantic_store
+):
     """maintain subcommand (round 9): the between-folds maintenance
     jobs run as a program — a compaction prints its generation id and
     a re-run NOOPs, the re-band prints the new width and the served
@@ -330,22 +332,13 @@ def test_cli_maintain_actions(spark, tmp_path, capsys):
         read_semantic_snapshot,
     )
 
-    a = [1.0, 0.2, 0.0, 0.0, 0.1, 0.0, 0.0, 0.0]
-
     def emb(rows):
         return spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         )
 
-    # semantic snapshot: 3 folds -> compact -> reband
-    snap = str(tmp_path / "sem")
-    for i in range(3):
-        fold_semantic_batch(
-            emb([(i * 2, a), (i * 2 + 1, [0.0] * i + [1.0] + [0.0] * (7 - i))]),
-            i,
-            snap,
-            dims=8,
-        )
+    # semantic snapshot (shared template copy): compact -> reband
+    snap = fresh_semantic_store
     run_maintain(spark, snap, "compact_semantic_embs")
     out = capsys.readouterr().out
     assert "GENERATION:\t0" in out

@@ -20,15 +20,10 @@ import shutil
 import pytest
 
 from twitter_social_triangle_mapreduce_spark.cli import run_maintain
-from twitter_social_triangle_mapreduce_spark.operators.similarity import (
-    codebook_df,
-)
 from twitter_social_triangle_mapreduce_spark.streaming import (
     ConcurrentMaintenanceError,
     ann_topk_snapshot,
     clone_snapshot,
-    compact_semantic_embs,
-    fold_ann_index_batch,
     fold_semantic_batch,
     maintenance_check,
     read_semantic_snapshot,
@@ -44,23 +39,13 @@ def _emb(spark, rows):
     )
 
 
-def _semantic_store(spark, tmp_path, folds=3):
-    snap = str(tmp_path / "src")
-    for b in range(folds):
-        rows = [
-            (b * 4 + i, [1.0 * ((b * 4 + i) % DIMS == d) for d in range(DIMS)])
-            for i in range(2)
-        ]
-        fold_semantic_batch(_emb(spark, rows), b, snap, dims=DIMS)
-    return snap
-
-
-def test_clone_semantic_store_with_generations(spark, tmp_path):
+def test_clone_semantic_store_with_generations(
+    spark, tmp_path, shared_semantic_store_compacted
+):
     """The richest flat-store layout: batch dirs + a committed
     generation + ledgers + version states + the bits pin all survive
     the clone, byte-compatible with the read path."""
-    src = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, src)
+    src = shared_semantic_store_compacted
     dst = str(tmp_path / "dst")
     got = clone_snapshot(spark, src, dst)
     assert got["files"] > 0 and got["markers"] > 0 and not got["skipped"]
@@ -69,28 +54,16 @@ def test_clone_semantic_store_with_generations(spark, tmp_path):
     ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
     sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
     assert sev == {"ok"}
-    # the clone releases the source lock: maintenance runs again
-    assert compact_semantic_embs(spark, src) is not None or True
-
-
-def test_clone_quantized_ann_store_serves_identically(spark, tmp_path):
-    src = str(tmp_path / "src")
-    cb = codebook_df(
-        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
+    # the clone released the source lock on its way out
+    assert not os.path.exists(
+        os.path.join(src, "markers", "_MAINTENANCE_LOCK")
     )
-    for b in range(2):
-        fold_ann_index_batch(
-            _emb(
-                spark,
-                [(b * 2 + i, [1.0 * (d == b % 2) for d in range(4)])
-                 for i in range(2)],
-            ),
-            b,
-            src,
-            centroids=cb,
-            quantize=True,
-            scale=1.0,
-        )
+
+
+def test_clone_quantized_ann_store_serves_identically(
+    spark, tmp_path, shared_quantized_ann_store
+):
+    src = shared_quantized_ann_store
     dst = str(tmp_path / "dst")
     clone_snapshot(spark, src, dst)
     q = _emb(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
@@ -106,16 +79,19 @@ def test_clone_quantized_ann_store_serves_identically(spark, tmp_path):
     assert serve(dst) == serve(src)
 
 
-def test_clone_refuses_non_empty_destination(spark, tmp_path):
-    src = _semantic_store(spark, tmp_path, folds=1)
+def test_clone_refuses_non_empty_destination(
+    spark, tmp_path, shared_semantic_store
+):
     dst = str(tmp_path / "dst")
     os.makedirs(os.path.join(dst, "something"))
     with pytest.raises(ValueError, match="not empty"):
-        clone_snapshot(spark, src, dst)
+        clone_snapshot(spark, shared_semantic_store, dst)
 
 
-def test_clone_respects_the_source_maintenance_lock(spark, tmp_path):
-    src = _semantic_store(spark, tmp_path, folds=1)
+def test_clone_respects_the_source_maintenance_lock(
+    spark, tmp_path, shared_semantic_store
+):
+    src = shared_semantic_store
     lock = os.path.join(src, "markers", "_MAINTENANCE_LOCK")
     os.makedirs(os.path.dirname(lock), exist_ok=True)
     with open(lock, "w") as f:
@@ -130,13 +106,13 @@ def test_clone_respects_the_source_maintenance_lock(spark, tmp_path):
 
 
 def test_concurrent_fold_prune_drops_the_version_from_the_cut(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store
 ):
     """Simulate the one legal racing mutation: between the cut and the
     copy, the feeding stream's fold prunes an old v_* past its
     keep-window. The clone must neither fail nor commit the vanished
     version — it lands exactly the clone a later cut would have."""
-    src = _semantic_store(spark, tmp_path)  # keeps v_1, v_2
+    src = fresh_semantic_store  # keeps v_1, v_2
     pruned = os.path.join(src, "v_" + f"{1:020d}")
     assert os.path.isdir(pruned)
 
@@ -157,12 +133,12 @@ def test_concurrent_fold_prune_drops_the_version_from_the_cut(
 
 
 def test_unexpected_vanish_raises_instead_of_silently_dropping(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store_2fold
 ):
     """A non-prunable path (here: an embs batch dir — only locked-out
     maintenance may delete those) vanishing mid-copy is real trouble
     and must abort the clone, never shrink it."""
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
 
     def rogue_delete():
         shutil.rmtree(os.path.join(src, "embs", "b_" + "0" * 20))
@@ -173,8 +149,10 @@ def test_unexpected_vanish_raises_instead_of_silently_dropping(
         )
 
 
-def test_cli_clone_prints_summary(spark, tmp_path, capsys):
-    src = _semantic_store(spark, tmp_path, folds=1)
+def test_cli_clone_prints_summary(
+    spark, tmp_path, capsys, shared_semantic_store
+):
+    src = shared_semantic_store
     dst = str(tmp_path / "dst")
     run_maintain(spark, src, "clone", dest=dst)
     out = capsys.readouterr().out
@@ -185,7 +163,7 @@ def test_cli_clone_prints_summary(spark, tmp_path, capsys):
 
 
 def test_sync_refreshes_a_previous_clone_through_compaction_and_reband(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store_2fold
 ):
     """The incremental-backup loop: clone, then the source lives on
     (fold + compaction + re-band), then sync. The sync must carry the
@@ -199,7 +177,7 @@ def test_sync_refreshes_a_previous_clone_through_compaction_and_reband(
         reband_semantic_store,
     )
 
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
     dst = str(tmp_path / "dst")
     clone_snapshot(spark, src, dst)
 
@@ -228,11 +206,11 @@ def test_sync_refreshes_a_previous_clone_through_compaction_and_reband(
 
 
 def test_sync_refuses_a_destination_that_was_never_a_clone(
-    spark, tmp_path
+    spark, tmp_path, shared_semantic_store
 ):
     """sync DELETES files while mirroring — a mistyped --dest pointing
     at an unrelated non-empty tree must be refused, not mirrored."""
-    src = _semantic_store(spark, tmp_path, folds=1)
+    src = shared_semantic_store
     dst = str(tmp_path / "unrelated")
     os.makedirs(dst)
     with open(os.path.join(dst, "precious.txt"), "w") as f:
@@ -243,7 +221,7 @@ def test_sync_refuses_a_destination_that_was_never_a_clone(
 
 
 def test_concurrent_fold_prune_of_a_reband_state_drops_it_from_the_cut(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store
 ):
     """The fold's keep-window prune orders fold versions AND re-band
     rewrites (``r_<base>_<seq>``) uniformly — an r_* vanishing between
@@ -255,7 +233,7 @@ def test_concurrent_fold_prune_of_a_reband_state_drops_it_from_the_cut(
         reband_semantic_store,
     )
 
-    src = _semantic_store(spark, tmp_path)
+    src = fresh_semantic_store
     assert reband_semantic_store(spark, src, bits=10, dims=DIMS) == 10
     assert reband_semantic_store(spark, src, bits=12, dims=DIMS) == 12
     rstates = sorted(n for n in os.listdir(src) if n.startswith("r_"))
@@ -279,14 +257,14 @@ def test_concurrent_fold_prune_of_a_reband_state_drops_it_from_the_cut(
 
 
 def test_inflight_spark_task_staging_is_excluded_from_the_cut(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store_2fold
 ):
     """An un-paused fold's write is mid-flight during the clone: its
     ``_temporary`` / ``.spark-staging*`` task files vanish on task
     commit (renamed into place). They are excluded at the cut — the
     clone neither copies them nor aborts when they disappear
     (advisor finding, round 11: DistCp behavior)."""
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
     tmp1 = os.path.join(src, "embs", "b_" + f"{7:020d}", "_temporary", "0")
     os.makedirs(tmp1)
     with open(os.path.join(tmp1, "part-00000"), "w") as f:
@@ -315,7 +293,7 @@ def test_inflight_spark_task_staging_is_excluded_from_the_cut(
 
 
 def test_vanished_uncommitted_batch_dir_is_dropped_not_fatal(
-    spark, tmp_path
+    spark, tmp_path, fresh_semantic_store_2fold
 ):
     """A fold replaying a CRASHED batch rewrites its own dir with
     mode("overwrite"), deleting the prior attempt's files — legally,
@@ -323,7 +301,7 @@ def test_vanished_uncommitted_batch_dir_is_dropped_not_fatal(
     version covers it), so the clone drops it whole instead of
     raising; readers never saw it at the source either (advisor
     finding, round 11)."""
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
     # simulate the crashed batch-2 attempt: embs written, no v_2 marker
     crashed = os.path.join(src, "embs", "b_" + f"{2:020d}")
     os.makedirs(crashed)
@@ -343,11 +321,13 @@ def test_vanished_uncommitted_batch_dir_is_dropped_not_fatal(
     assert sev == {"ok"}
 
 
-def test_vanished_committed_embs_dir_still_raises(spark, tmp_path):
+def test_vanished_committed_embs_dir_still_raises(
+    spark, tmp_path, fresh_semantic_store_2fold
+):
     """The uncommitted-drop rule must not weaken the committed case: an
     embs batch covered by a committed serving version (v_1 covers b_0
     and b_1) vanishing is real trouble and aborts the clone."""
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
 
     def rogue_delete():
         shutil.rmtree(os.path.join(src, "embs", "b_" + f"{1:020d}"))
@@ -358,12 +338,14 @@ def test_vanished_committed_embs_dir_still_raises(spark, tmp_path):
         )
 
 
-def test_clone_to_an_explicit_scheme_destination(spark, tmp_path):
+def test_clone_to_an_explicit_scheme_destination(
+    spark, tmp_path, shared_semantic_store
+):
     """The destination resolves its OWN FileSystem (advisor finding,
     round 11: a DR target on another scheme hit Hadoop's 'Wrong FS').
     Locally both schemes resolve to the local fs, but the explicit
     ``file:`` URI exercises the separate dst-side resolution path."""
-    src = _semantic_store(spark, tmp_path, folds=1)
+    src = shared_semantic_store
     dst = "file:" + str(tmp_path / "dst")
     got = clone_snapshot(spark, src, dst)
     assert got["files"] > 0 and got["markers"] > 0
@@ -396,13 +378,14 @@ def _tree_digest(root):
     return out
 
 
-def test_parallel_clone_is_byte_identical_to_serial(spark, tmp_path):
+def test_parallel_clone_is_byte_identical_to_serial(
+    spark, tmp_path, shared_semantic_store_compacted
+):
     """parallel=True moves the bytes executor-side (pyarrow.fs per
     task) but shares the cut/verify contract — the two arms must land
     byte-identical trees, fsck-clean, serving identically (r10 verdict
     item 3)."""
-    src = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, src)
+    src = shared_semantic_store_compacted
     serial = str(tmp_path / "serial")
     par = str(tmp_path / "par")
     a = clone_snapshot(spark, src, serial)
@@ -420,11 +403,13 @@ def test_parallel_clone_is_byte_identical_to_serial(spark, tmp_path):
     ) == sorted(map(tuple, read_semantic_snapshot(spark, src).collect()))
 
 
-def test_parallel_sync_is_incremental_and_idempotent(spark, tmp_path):
+def test_parallel_sync_is_incremental_and_idempotent(
+    spark, tmp_path, fresh_semantic_store_2fold
+):
     """The sync skip rule (same rel + same length == immutable store
     file) runs inside the task against the destination's own listing;
     an unchanged source syncs zero files."""
-    src = _semantic_store(spark, tmp_path, folds=2)
+    src = fresh_semantic_store_2fold
     dst = str(tmp_path / "dst")
     clone_snapshot(spark, src, dst, parallel=True)
 
@@ -440,11 +425,13 @@ def test_parallel_sync_is_incremental_and_idempotent(spark, tmp_path):
     assert again["files"] == 0 and again["markers"] == 0
 
 
-def test_parallel_clone_classifies_vanishes_like_serial(spark, tmp_path):
+def test_parallel_clone_classifies_vanishes_like_serial(
+    spark, tmp_path, fresh_semantic_store, fresh_semantic_store_2fold
+):
     """The vanished-source classification is shared: a pruned v_* is
     dropped from the cut, and a committed dir vanishing still aborts —
     reported by the tasks, judged by the driver."""
-    src = _semantic_store(spark, tmp_path)
+    src = fresh_semantic_store
     pruned = os.path.join(src, "v_" + f"{1:020d}")
     dst = str(tmp_path / "dst")
     got = clone_snapshot(
@@ -458,7 +445,7 @@ def test_parallel_clone_classifies_vanishes_like_serial(spark, tmp_path):
     sev = {r["severity"] for r in maintenance_check(spark, dst).collect()}
     assert sev == {"ok"}
 
-    src2 = _semantic_store(spark, tmp_path / "again", folds=2)
+    src2 = fresh_semantic_store_2fold
     with pytest.raises(IOError, match="vanished mid-copy"):
         clone_snapshot(
             spark,
@@ -471,8 +458,10 @@ def test_parallel_clone_classifies_vanishes_like_serial(spark, tmp_path):
         )
 
 
-def test_cli_parallel_clone_prints_summary(spark, tmp_path, capsys):
-    src = _semantic_store(spark, tmp_path, folds=1)
+def test_cli_parallel_clone_prints_summary(
+    spark, tmp_path, capsys, shared_semantic_store
+):
+    src = shared_semantic_store
     dst = str(tmp_path / "dst")
     run_maintain(spark, src, "clone", dest=dst, parallel=True)
     out = capsys.readouterr().out

@@ -485,6 +485,7 @@ def test_semantic_fold_pins_band_width(spark, tmp_path):
     assert by_vec[8] == by_vec[0]
 
 
+@pytest.mark.slow  # multi-fold compaction scenario (closing battery)
 def test_semantic_embs_compaction_preserves_folds_and_bounds_dirs(
     spark, tmp_path
 ):
@@ -854,6 +855,7 @@ def test_compact_batch_store_crash_after_flip_is_duplicate_free(
     assert _committed_gens(spark, parent) == [2]
 
 
+@pytest.mark.slow  # crash-replay simulation (closing battery)
 def test_semantic_embs_crash_after_flip_fold_stays_batch_equal(
     spark, tmp_path
 ):
@@ -1043,6 +1045,7 @@ def test_fold_semantic_legacy_snapshot_pins_historical_default(
     assert stored == [similarity.LSH_BITS]
 
 
+@pytest.mark.slow  # multi-fold migration scenario (closing battery)
 def test_reband_semantic_store_mid_stream_migration(spark, tmp_path):
     """Round-9 (r8 verdict item 3): a stream pinned at its first-fold
     width can migrate mid-stream — reband_semantic_store recomputes
@@ -1135,6 +1138,7 @@ def test_reband_semantic_store_mid_stream_migration(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # multi-fold migration scenario (closing battery)
 def test_reband_reads_through_compacted_embs(spark, tmp_path):
     """reband_semantic_store's corpus read goes through the same
     generation-aware listing as the folds: after compact_semantic_embs

@@ -47,13 +47,14 @@ def _status(spark, snap):
     }
 
 
-def test_gc_reclaims_fabricated_crash_leftovers(spark, tmp_path):
+def test_gc_reclaims_fabricated_crash_leftovers(
+    spark, fresh_semantic_store_compacted
+):
     """Simulate the exact leftovers a crashed cleanup leaves: a folded
     batch dir resurrected after its delete failed, plus a foreign
     staging dir — status counts them, gc removes them, serving is
     bit-identical before and after."""
-    snap = _store(spark, tmp_path)
-    compact_semantic_embs(spark, snap)
+    snap = fresh_semantic_store_compacted
     served = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
 
     # resurrect a folded dir (= the compactor's best-effort delete
@@ -76,12 +77,14 @@ def test_gc_reclaims_fabricated_crash_leftovers(spark, tmp_path):
     ) == served
 
 
-def test_gc_reclaims_a_stale_generation_marker(spark, tmp_path):
+def test_gc_reclaims_a_stale_generation_marker(
+    spark, fresh_semantic_store
+):
     """Two compactions: the second folds the first generation forward
     and cleans its marker. Resurrect that marker (= the crash window
     round 9 closed on the read side) — gc retires it again, and the
     read path is unchanged throughout."""
-    snap = _store(spark, tmp_path)
+    snap = fresh_semantic_store
     g0 = compact_semantic_embs(spark, snap)
     fold_semantic_batch(
         _emb(spark, [(100, [0.0] * 7 + [1.0])]), 3, snap, dims=DIMS
@@ -107,8 +110,10 @@ def test_gc_reclaims_a_stale_generation_marker(spark, tmp_path):
     ) == served
 
 
-def test_gc_on_a_clean_store_is_a_noop(spark, tmp_path, capsys):
-    snap = _store(spark, tmp_path, folds=1)
+def test_gc_on_a_clean_store_is_a_noop(
+    spark, capsys, shared_semantic_store
+):
+    snap = shared_semantic_store
     served = sorted(map(tuple, read_semantic_snapshot(spark, snap).collect()))
     run_maintain(spark, snap, "gc")
     out = capsys.readouterr().out
@@ -119,7 +124,9 @@ def test_gc_on_a_clean_store_is_a_noop(spark, tmp_path, capsys):
     ) == served
 
 
-def test_gc_reclaims_crashed_fold_scale_stats_orphans(spark, tmp_path):
+def test_gc_reclaims_crashed_fold_scale_stats_orphans(
+    spark, fresh_quantized_ann_store
+):
     """A fold records scale_stats BEFORE flipping its batch marker, so
     every crashed attempt strands one stats dir; the drift audit skips
     them (round-10 advisor fix) but nothing deleted them — a
@@ -129,31 +136,11 @@ def test_gc_reclaims_crashed_fold_scale_stats_orphans(spark, tmp_path):
     fold that may still commit) is left alone."""
     import time
 
-    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
-        codebook_df,
-    )
     from twitter_social_triangle_mapreduce_spark.streaming import (
         ann_topk_snapshot,
-        fold_ann_index_batch,
     )
 
-    snap = str(tmp_path / "ann")
-    cb = codebook_df(
-        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
-    )
-    for b in range(2):
-        fold_ann_index_batch(
-            _emb(
-                spark,
-                [(b * 2 + i, [1.0 * (d == b % 2) for d in range(4)])
-                 for i in range(2)],
-            ),
-            b,
-            snap,
-            centroids=cb,
-            quantize=True,
-            scale=1.0,
-        )
+    snap = fresh_quantized_ann_store
 
     # crashed fold attempts: stats landed, marker never flipped
     old = os.path.join(snap, "scale_stats", "b_" + f"{5:020d}")

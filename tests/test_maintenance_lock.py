@@ -100,27 +100,14 @@ def test_flat_store_compaction_rejects_concurrent_rival(spark, tmp_path):
 
 
 def test_semantic_store_maintenance_shares_one_snapshot_lock(
-    spark, tmp_path
+    spark, fresh_semantic_store
 ):
     """compact_semantic_embs and reband_semantic_store lock at the
     SNAPSHOT scope — either one running blocks the other (a re-band
-    reads the very batch dirs an embs compaction deletes)."""
-
-    def emb(rows):
-        return spark.createDataFrame(
-            [(v, [float(x) for x in e]) for v, e in rows],
-            "vec_id long, embedding array<float>",
-        )
-
-    snap = str(tmp_path / "snap")
-    rows0 = [(i, [1.0 * (i % 4 == d) for d in range(8)]) for i in range(4)]
-    rows1 = [(4 + i, [1.0 * (i == d) for d in range(8)]) for i in range(2)]
-    rows2 = [(6, [0.0] * 7 + [1.0])]
-    fold_semantic_batch(emb(rows0), 0, snap, dims=8)
-    fold_semantic_batch(emb(rows1), 1, snap, dims=8)
-    # third fold so TWO embs dirs sit below the newest-version safety
-    # bound and the compactor has something to do
-    fold_semantic_batch(emb(rows2), 2, snap, dims=8)
+    reads the very batch dirs an embs compaction deletes). The shared
+    3-fold template leaves two embs dirs below the newest-version
+    safety bound, so the compactor has real work."""
+    snap = fresh_semantic_store
     served = sorted(
         map(tuple, read_semantic_snapshot(spark, snap).collect())
     )

@@ -64,8 +64,10 @@ def test_empty_snapshot_reports_only_the_lock(spark, tmp_path):
     assert {c for c, _ in got} == {"lock"}
 
 
-def test_semantic_store_versions_batches_and_bits(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path)
+def test_semantic_store_versions_batches_and_bits(
+    spark, fresh_semantic_store
+):
+    snap = fresh_semantic_store
     got = _rows(maintenance_status(spark, snap))
     # the rollup keep-window prunes to 2 retained versions of the 3
     assert got[("versions", "committed")] == (2.0, "newest=v_2")
@@ -85,8 +87,10 @@ def test_semantic_store_versions_batches_and_bits(spark, tmp_path):
     assert got[("embs", "live_batch_dirs")][0] == 1.0
 
 
-def test_reband_reports_serving_state_and_new_width(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path)
+def test_reband_reports_serving_state_and_new_width(
+    spark, fresh_semantic_store
+):
+    snap = fresh_semantic_store
     before = _rows(maintenance_status(spark, snap))
     assert ("states", "rebands") not in before
     got_bits = reband_semantic_store(spark, snap, bits=10, dims=DIMS)
@@ -98,8 +102,10 @@ def test_reband_reports_serving_state_and_new_width(spark, tmp_path):
     assert after[("bits", "pinned")][1].startswith("state=r_")
 
 
-def test_status_is_lockless_and_sees_the_holder(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path, folds=1)
+def test_status_is_lockless_and_sees_the_holder(
+    spark, fresh_semantic_store
+):
+    snap = fresh_semantic_store
     lock = os.path.join(snap, "markers", "_MAINTENANCE_LOCK")
     os.makedirs(os.path.dirname(lock), exist_ok=True)
     with open(lock, "w") as f:
@@ -154,15 +160,16 @@ def test_quantized_ann_store_reports_scale_and_drift(spark, tmp_path):
     assert lazy[("vectors", "live_batches")][0] == 2.0
 
 
-def test_cli_status_prints_the_report(spark, tmp_path, capsys):
-    snap = _semantic_store(spark, tmp_path, folds=1)
-    run_maintain(spark, snap, "status")
+def test_cli_status_prints_the_report(
+    spark, capsys, shared_semantic_store
+):
+    run_maintain(spark, shared_semantic_store, "status")
     out = capsys.readouterr().out
     lines = [ln.split("\t") for ln in out.strip().splitlines()]
     by_key = {(c, m): (v, d) for c, m, v, d in lines}
     assert by_key[("lock", "held")][0] == "0"  # integral → un-decimaled
-    assert by_key[("versions", "committed")] == ("1", "newest=v_0")
-    assert by_key[("embs", "live_batch_dirs")][0] == "1"
+    assert by_key[("versions", "committed")] == ("2", "newest=v_2")
+    assert by_key[("embs", "live_batch_dirs")][0] == "3"
 
 
 # --- maintenance_check (the fsck half) ---
@@ -191,9 +198,10 @@ def _gen_name(snap, sub):
     return gens[0]
 
 
-def test_check_healthy_semantic_store_is_all_ok(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, snap)
+def test_check_healthy_semantic_store_is_all_ok(
+    spark, shared_semantic_store_compacted
+):
+    snap = shared_semantic_store_compacted
     got = _findings(maintenance_check(spark, snap))
     assert all(sev == "ok" for sev, _, _ in got)
     assert ("ok", "embs", "verified") in got
@@ -201,9 +209,10 @@ def test_check_healthy_semantic_store_is_all_ok(spark, tmp_path):
     assert got[("ok", "states", "verified")].startswith("serving=v_")
 
 
-def test_check_flags_lost_live_generation_dir(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, snap)
+def test_check_flags_lost_live_generation_dir(
+    spark, fresh_semantic_store_compacted
+):
+    snap = fresh_semantic_store_compacted
     shutil.rmtree(os.path.join(snap, "embs", _gen_name(snap, "embs")))
     got = _findings(maintenance_check(spark, snap))
     assert ("error", "embs", "live_generation_dir_missing") in got
@@ -212,33 +221,29 @@ def test_check_flags_lost_live_generation_dir(spark, tmp_path):
     assert ("ok", "states", "verified") in got
 
 
-def test_check_flags_live_generation_without_ledger(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, snap)
+def test_check_flags_live_generation_without_ledger(
+    spark, fresh_semantic_store_compacted
+):
+    snap = fresh_semantic_store_compacted
     shutil.rmtree(os.path.join(snap, "embs", "compact_sources"))
     got = _findings(maintenance_check(spark, snap))
     assert ("error", "embs", "live_generation_without_ledger") in got
 
 
-def test_check_flags_lost_serving_state(spark, tmp_path):
-    snap = _semantic_store(spark, tmp_path, folds=1)
-    shutil.rmtree(os.path.join(snap, "v_" + "0" * 20, "state"))
+def test_check_flags_lost_serving_state(spark, fresh_semantic_store):
+    snap = fresh_semantic_store
+    shutil.rmtree(os.path.join(snap, "v_" + f"{2:020d}", "state"))
     got = _findings(maintenance_check(spark, snap))
     assert ("error", "states", "serving_state_missing") in got
 
 
-def test_check_warns_on_stale_lock_and_dirless_ann_batch(spark, tmp_path):
-    snap = str(tmp_path / "ann")
-    cb = codebook_df(
-        spark, [(c, [10.0 * (c == d) for d in range(4)]) for c in range(2)]
-    )
-    emb = spark.createDataFrame(
-        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
-    )
-    fold_ann_index_batch(emb, 0, snap, centroids=cb, quantize=True, scale=1.0)
+def test_check_warns_on_stale_lock_and_dirless_ann_batch(
+    spark, fresh_quantized_ann_store
+):
+    snap = fresh_quantized_ann_store
     # simulate an empty micro-batch: marker committed, no partition dir
     with open(
-        os.path.join(snap, "markers", "b_" + f"{1:020d}" + "_APPLIED"), "w"
+        os.path.join(snap, "markers", "b_" + f"{7:020d}" + "_APPLIED"), "w"
     ):
         pass
     lock = os.path.join(snap, "markers", "_MAINTENANCE_LOCK")
@@ -270,9 +275,10 @@ def test_check_plain_rollup_versions_do_not_false_error(spark, tmp_path):
     assert ("error", "states", "serving_state_missing") not in got
 
 
-def test_cli_check_exits_nonzero_on_error(spark, tmp_path, capsys):
-    snap = _semantic_store(spark, tmp_path)
-    compact_semantic_embs(spark, snap)
+def test_cli_check_exits_nonzero_on_error(
+    spark, capsys, fresh_semantic_store_compacted
+):
+    snap = fresh_semantic_store_compacted
     run_maintain(spark, snap, "check")
     assert "CHECK:\tOK" in capsys.readouterr().out
     shutil.rmtree(os.path.join(snap, "embs", "compact_sources"))
@@ -281,13 +287,15 @@ def test_cli_check_exits_nonzero_on_error(spark, tmp_path, capsys):
     assert "ERRORS=1" in capsys.readouterr().out
 
 
-def test_deep_check_counts_interleaved_write_duplicates(spark, tmp_path):
+def test_deep_check_counts_interleaved_write_duplicates(
+    spark, fresh_semantic_store_2fold
+):
     """deep=True reads the live union and counts duplicated FULL rows —
     the signature of two writers' interleaved overwrite part files both
     surviving (the corruption class the CAS lock prevents). Injected
     here by literally duplicating a part file inside a live batch
     dir, exactly what a lost overwrite race leaves behind."""
-    snap = _semantic_store(spark, tmp_path, folds=2)
+    snap = fresh_semantic_store_2fold
     got = _findings(maintenance_check(spark, snap, deep=True))
     assert ("ok", "embs", "deep_no_duplicates") in got
     assert ("warning", "embs", "duplicate_rows") not in got
@@ -319,25 +327,29 @@ def test_deep_check_counts_interleaved_write_duplicates(spark, tmp_path):
     assert ("ok", "embs", "verified") in got
 
 
-def test_cli_deep_check_stays_ok_on_duplicates(spark, tmp_path, capsys):
+def test_cli_deep_check_stays_ok_on_duplicates(
+    spark, capsys, shared_semantic_store
+):
     """duplicate_rows is a WARNING (an upstream feeder that repeated
     rows is indistinguishable) — the CLI must not exit nonzero."""
-    snap = _semantic_store(spark, tmp_path, folds=1)
+    snap = shared_semantic_store
     run_maintain(spark, snap, "check", deep=True)
     out = capsys.readouterr().out
     assert "deep_no_duplicates" in out
     assert "CHECK:\tOK" in out
 
 
-def test_cli_json_output_is_parseable(spark, tmp_path, capsys):
+def test_cli_json_output_is_parseable(
+    spark, capsys, shared_semantic_store
+):
     import json
 
-    snap = _semantic_store(spark, tmp_path, folds=1)
+    snap = shared_semantic_store
     run_maintain(spark, snap, "status", as_json=True)
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     by_key = {(r["component"], r["metric"]): r for r in rows}
     assert by_key[("lock", "held")]["value"] == 0  # int, not 0.0
-    assert by_key[("versions", "committed")]["detail"] == "newest=v_0"
+    assert by_key[("versions", "committed")]["detail"] == "newest=v_2"
 
     run_maintain(spark, snap, "check", as_json=True)
     rows = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]

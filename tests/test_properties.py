@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -260,6 +262,7 @@ def test_passage_cuts_cover_exactly_noncanonical_occurrences(spark, texts):
 
 @given(texts=_pass_corpora, split=st.integers(1, 7))
 @SET
+@pytest.mark.slow  # random-corpora parity fold (closing battery)
 def test_incremental_passage_parity_on_random_corpora(spark, texts, split):
     """The incremental-screen parity theorem, property-tested: for ANY
     corpus and ANY id-threshold split (append-only invariant holds by
@@ -308,6 +311,7 @@ _near_dup_texts = st.lists(
 
 @given(texts=_near_dup_texts, split=st.integers(1, 6))
 @SET
+@pytest.mark.slow  # random-corpora parity fold (closing battery)
 def test_incremental_cluster_parity_on_random_corpora(spark, texts, split):
     """The cluster-graph-collapse parity theorem, property-tested: for
     ANY corpus drawn from a near-dup-heavy pool and ANY split, folding

@@ -746,6 +746,7 @@ def test_semantic_banded_signature_recovers_split_pairs(spark):
     assert len(one) <= len(three) - 2, (len(one), len(three))
 
 
+@pytest.mark.slow  # non-default-knob parity fold (closing battery)
 def test_update_semantic_clusters_parity_at_nondefault_knobs(spark):
     """Round-6 contract symmetry: a cluster state maintained with
     bands/nprobe must FOLD with the same knobs — the incremental
