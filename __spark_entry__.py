@@ -50,6 +50,15 @@ mid-stream WIDTH MIGRATION (folds pinned at the 8-bit floor →
 ``reband_semantic_store`` to 9 bits → a post-migration fold) is now
 driver-hash-gated against the DuckDB clustering oracle regenerated
 entirely at the new width.
+
+Round 11 rotation: ``embedding_norms`` → pytest tier (the norm fold is
+the shared intermediate of EVERY driver-gated cosine query —
+bruteforce, LSH, IVF, the semantic pipelines — so its marginal driver
+signal was the lowest) in favor of ``ann_topk_projected`` — the
+Johnson–Lindenstrauss dimensionality-reduction tier (±1 md5-parity
+projection folded into the scan, then exact scoring in the projected
+space) is now driver-hash-gated against a DuckDB twin that recomputes
+the projection term-for-term.
 """
 
 from __future__ import annotations

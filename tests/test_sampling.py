@@ -182,3 +182,94 @@ def test_hash_topk_tiebreak_total_order(spark):
         .collect()
     )
     assert a == want
+
+
+# --- weighted_sample (round 11): Efraimidis–Spirakis exponential race ---
+
+
+def test_weighted_sample_deterministic_and_partitioning_invariant(spark):
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    pick = lambda df: {  # noqa: E731
+        r["doc_id"]
+        for r in weighted_sample(
+            df, key="doc_id", weight="n_chars", n=5, by="source"
+        ).collect()
+    }
+    a = pick(docs.repartition(1))
+    b = pick(docs.repartition(13, "lang"))
+    assert a == b and len(a) == 5 * 20  # 20 sources, 5 each
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, None), (5, 2.0)],
+        "k long, w double",
+    )
+    got = {r["k"] for r in weighted_sample(df, "k", "w", n=5).collect()}
+    assert got == {1, 5}  # zero/negative/NULL can never be drawn
+
+
+def test_weighted_sample_takes_whole_group_when_n_exceeds_it(spark):
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 1.0, "a"), (3, 1.0, "b")],
+        "k long, w double, g string",
+    )
+    got = weighted_sample(df, "k", "w", n=10, by="g").collect()
+    assert {r["k"] for r in got} == {1, 2, 3}
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """The Efraimidis–Spirakis guarantee, measured: with two weight
+    classes 9:1, draws of 10-of-100 across 40 independent salts must
+    include heavy rows far more often. Exact inclusion probabilities
+    for sequential WSWOR here are ~0.66 (heavy) / ~0.042 (light); the
+    asserted band is wide — the test catches an inverted or ignored
+    weight, not the third decimal."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    heavy = light = 0
+    for s in range(40):
+        got = {
+            r["k"]
+            for r in weighted_sample(df, "k", "w", n=10, salt=f"s{s}").collect()
+        }
+        heavy += sum(1 for k in got if k < 10)
+        light += sum(1 for k in got if k >= 10)
+    h_rate = heavy / (40 * 10)  # inclusion per heavy row per draw
+    l_rate = light / (40 * 90)
+    assert h_rate > 0.45, (h_rate, l_rate)
+    assert l_rate < 0.10, (h_rate, l_rate)
+    assert h_rate > 5 * l_rate, (h_rate, l_rate)
+
+
+def test_weighted_sample_plan_shapes(spark):
+    """Global arm plans as TakeOrderedAndProject (local top-n + driver
+    merge, no corpus sort); grouped arm's rank filter is pushed into
+    WindowGroupLimit (map-side per-group top-n before the exchange)."""
+    from twitter_social_triangle_mapreduce_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    g = weighted_sample(docs, "doc_id", "n_chars", n=5)
+    plan_g = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan_g, plan_g[:800]
+    p = weighted_sample(docs, "doc_id", "n_chars", n=5, by="source")
+    plan_p = p._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan_p, plan_p[:800]

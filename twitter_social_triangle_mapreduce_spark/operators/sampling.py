@@ -319,3 +319,97 @@ def split_oracle_sql(
                     THEN 'test' ELSE 'train' END AS split
         FROM d
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    n: int,
+    salt: str = "wsample",
+    by: str | None = None,
+) -> DataFrame:
+    """Fixed-size WEIGHTED sample without replacement — the
+    quality-weighted corpus subsample (keep ``n`` documents per source,
+    a document's chance proportional to its quality/length score), the
+    op ``hash_topk_sample`` covers only for uniform weights.
+
+    Mechanics: the Efraimidis–Spirakis exponential race. Each row draws
+    the deterministic uniform u = (bucket(key, salt) + 0.5) / 1e6 from
+    the shared md5 bucket arithmetic and races with priority
+    -ln(u) / weight; the ``n`` smallest priorities (per ``by`` group
+    when given, global otherwise) are the sample. This is provably
+    equivalent to sequential weighted sampling without replacement
+    (Efraimidis & Spirakis 2006), but embarrassingly parallel: the
+    priority is a per-row expression; selection is a windowed top-n per
+    group (map-side pre-reduced by Spark's WindowGroupLimit) or, for
+    the global arm, sort-limit → TakeOrderedAndProject — never a
+    single-partition window or a materialized global sort of the
+    corpus.
+
+    Same reproducibility contract as the rest of this module: the draw
+    depends only on (key, salt), never on partitioning or cluster size,
+    so sample membership is auditable months later. Rows with
+    weight <= 0 or NULL are excluded (a zero-weight row must never be
+    drawn; -ln(u)/0 would be ±inf and engine-dependent).
+
+    Numeric portability note: the priority crosses ln(), so the last
+    double ulp may differ between engines; two rows would have to race
+    within ~1e-15 RELATIVE priority for the selected SET to differ,
+    which md5-derived uniforms make astronomically unlikely (the same
+    argument the cosine floors rely on). ``key`` must be unique per row
+    (the window orders by (priority, key) for a total order)."""
+    u = (F.col("__tstm_bucket").cast("double") + F.lit(0.5)) / F.lit(
+        float(SPLIT_BUCKETS)
+    )
+    pri = -F.log(u) / F.col(weight).cast("double")
+    raced = (
+        _with_bucket(df, key, salt)
+        .where(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        .withColumn("__tstm_pri", pri)
+    )
+    if by is None:
+        # global: sort-limit -> TakeOrderedAndProject (each partition
+        # contributes its local top-n, the driver merges — never a
+        # single-partition window over the corpus)
+        out = raced.orderBy(F.col("__tstm_pri"), F.col(key)).limit(n)
+        return out.drop(_DIGEST, "__tstm_bucket", "__tstm_pri")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col("__tstm_pri"), F.col(key))
+    return (
+        raced.withColumn("__tstm_rk", F.row_number().over(w))
+        .where(F.col("__tstm_rk") <= n)
+        .drop(_DIGEST, "__tstm_bucket", "__tstm_pri", "__tstm_rk")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    key: str,
+    weight: str,
+    n: int,
+    salt: str = "wsample",
+    by: str | None = None,
+    select: str = "*",
+) -> str:
+    """DuckDB twin of ``weighted_sample`` — same md5 bucket, same
+    u = (bucket + 0.5)/1e6, same -ln(u)/weight race, same
+    (priority, key) total order."""
+    bucket = hex_prefix_to_long_sql("dg", 7)
+    part = f"PARTITION BY {by} " if by is not None else ""
+    return f"""
+        WITH d AS (SELECT *,
+                          md5(concat(CAST({key} AS VARCHAR), '#{salt}')) AS dg
+                   FROM {table}
+                   WHERE {weight} IS NOT NULL AND {weight} > 0),
+        p AS (SELECT *,
+                     -ln((CAST(({bucket} % {SPLIT_BUCKETS}) AS DOUBLE) + 0.5)
+                         / {float(SPLIT_BUCKETS)})
+                     / CAST({weight} AS DOUBLE) AS pri
+              FROM d),
+        r AS (SELECT *,
+                     row_number() OVER ({part}ORDER BY pri, {key}) AS rk
+              FROM p)
+        SELECT {select} FROM r WHERE rk <= {n}
+    """

@@ -67,6 +67,126 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: default reduced width for the Johnson–Lindenstrauss projection:
+#: 4× fewer multiplies per scored pair on the 64-dim testdata corpus;
+#: production corpora (768–4096 dims) pick their own target.
+PROJECT_DIMS = 16
+
+
+@lru_cache(maxsize=None)
+def _proj_coeffs(out_dims: int, dims: int) -> tuple[tuple[float, ...], ...]:
+    """±1 projection-matrix entries, coeff(j,d) from the parity of the
+    1-based position of md5('p' || j || '#' || d)'s first hex nibble —
+    the same deterministic scheme as ``_lsh_coeffs`` under a distinct
+    ``p``-prefixed key namespace, so the projection is independent of
+    the LSH hyperplanes (sharing planes would make the projected space
+    correlated with the bucketing it is meant to feed)."""
+    out = []
+    for j in range(out_dims):
+        row = []
+        for d in range(dims):
+            nib = hashlib.md5(f"p{j}#{d}".encode()).hexdigest()[0]
+            pos = "0123456789abcdef".index(nib) + 1
+            row.append(1.0 if pos % 2 == 0 else -1.0)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def _proj_col(out_dims: int, dims: int, col: str = "embedding"):
+    """The projected vector as one ``array<double>`` Column: element j
+    is the strict left-to-right double fold Σ_d coeff(j,d)·v[d] — the
+    same ``aggregate(zip_with(...))`` shape as ``_sig_col``, term order
+    identical to the DuckDB oracle so the doubles agree bit-for-bit.
+
+    No 1/√out_dims JL scaling factor: cosine similarity — the only
+    consumer geometry — is invariant under uniform scaling, and
+    omitting the factor keeps every emitted double the exact sum both
+    engines compute (a multiply by an irrational constant would be the
+    one term whose literal spelling could drift between them).
+
+    Width guard as in ``_sig_col``: a NULL embedding projects to NULL;
+    a row whose width differs from ``dims`` raises (zip_with's silent
+    null-padding would otherwise zero the tail terms and quietly
+    corrupt every downstream similarity)."""
+    elems = []
+    for row in _proj_coeffs(out_dims, dims):
+        coeffs = F.array(*[F.lit(c) for c in row])
+        elems.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(col),
+                    coeffs,
+                    lambda x, c: c * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    ok = F.col(col).isNull() | (F.size(F.col(col)) == F.lit(dims))
+    return F.when(
+        ok,
+        F.when(F.col(col).isNull(), F.lit(None)).otherwise(F.array(*elems)),
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"project_embeddings: embedding width must equal dims={dims}")
+        ).cast("array<double>")
+    )
+
+
+def project_embeddings(
+    embeddings: DataFrame,
+    out_dims: int = PROJECT_DIMS,
+    dims: int = EMBED_DIMS,
+    col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Johnson–Lindenstrauss dimensionality reduction:
+    ``col`` (array<float>[dims]) is REPLACED by its ±1 random
+    projection (array<double>[out_dims]); every other column passes
+    through unchanged, so the result composes directly with every
+    embedding consumer (``ann_topk_bruteforce``, ``lsh_signature``,
+    the banded candidate generators).
+
+    Why this exists at 100 TB: exact scoring is O(dims) per pair and
+    production embeddings are 768–4096 wide — projecting once at scan
+    time (a per-row expression, zero shuffle, inside whole-stage
+    codegen) makes every downstream pair score ``dims/out_dims``×
+    cheaper while the JL lemma bounds the cosine distortion. ±1
+    entries (Achlioptas-style database-friendly projections) keep the
+    arithmetic exact-integer-weighted double sums — deterministic,
+    engine-portable, and reproducible from the (j, d) index alone, so
+    the "matrix" ships as plan literals and never needs storing."""
+    return embeddings.withColumn(col, _proj_col(out_dims, dims, col))
+
+
+def ann_topk_projected(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    out_dims: int = PROJECT_DIMS,
+    dims: int = EMBED_DIMS,
+) -> DataFrame:
+    """(qid, nid, rank, sim_e4) — brute-force cosine top-k in the
+    PROJECTED space: ``project_embeddings`` then the exact-scoring
+    baseline, a pure composition (the projection folds into the same
+    scan/broadcast stage — one plan, no extra pass). The approximation
+    is entirely in the geometry (JL distortion of the cosines); given
+    the deterministic projection the RESULT is exact and oracle-able,
+    which is what lets the differential gate hash-check an
+    "approximate" ANN operator at all.
+
+    When the trade is worth it: the projected cosine estimates the
+    true cosine unbiased with error ~1/√out_dims (the property test
+    measures 0.19 mean error at 64→16), so projection preserves
+    HIGH-similarity structure — near-dup screens, clustered corpora —
+    while corpora whose top-k margins are SMALLER than that noise
+    (near-isotropic vectors, like the synthetic testdata) keep their
+    ranking only at modest compression. Pick ``out_dims`` against the
+    margin you need, not just the speedup."""
+    return ann_topk_bruteforce(
+        project_embeddings(embeddings, out_dims, dims), n_queries, k
+    )
+
+
 def ann_topk_bruteforce(
     embeddings: DataFrame, n_queries: int = 5, k: int = 3
 ) -> DataFrame:

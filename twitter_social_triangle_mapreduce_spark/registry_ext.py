@@ -186,6 +186,65 @@ def _balanced_sum(exprs: list[str]) -> str:
     return exprs[0]
 
 
+def _proj_elem_sql(j: int, dims: int, col: str = "embedding") -> str:
+    """One Johnson–Lindenstrauss projected coordinate — the same ±1
+    scheme as the LSH planes under the distinct ``p``-prefixed key
+    namespace (similarity._proj_coeffs), term order identical to the
+    Spark fold so the double sums agree bit-for-bit."""
+    return " + ".join(
+        (
+            f"(CASE WHEN strpos('0123456789abcdef',"
+            f" substr(md5('p{j}#{d}'), 1, 1)) % 2 = 0"
+            f" THEN 1.0 ELSE -1.0 END)"
+            f" * CAST({col}[{d + 1}] AS DOUBLE)"
+        )
+        for d in range(dims)
+    )
+
+
+def _projection_oracle_sql(dims: int, out_dims: int) -> str:
+    """Exploded (vec_id, dim, proj_e6) — one SELECT per output
+    coordinate, unioned; mirrors the Spark posexplode shape."""
+    selects = [
+        f"SELECT vec_id, CAST({j} AS BIGINT) AS dim,"
+        f" CAST(FLOOR(1000000 * ({_proj_elem_sql(j, dims)})) AS BIGINT)"
+        f" AS proj_e6 FROM embeddings"
+        for j in range(out_dims)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def _projected_topk_oracle_sql(dims: int, out_dims: int) -> str:
+    """Brute-force cosine top-k over the PROJECTED vectors — the
+    bruteforce oracle body with each side's embedding replaced by its
+    JL projection, built once in a CTE."""
+    elems = ", ".join(
+        f"({_proj_elem_sql(j, dims)})" for j in range(out_dims)
+    )
+    return f"""
+        WITH pe AS (SELECT vec_id, list_value({elems}) AS e
+                    FROM embeddings),
+        q AS (SELECT vec_id AS qid, e AS qe FROM pe WHERE vec_id < 5),
+        c AS (SELECT vec_id AS nid, e AS ce FROM pe),
+        scored AS (
+            SELECT qid, nid,
+                   {_DOT}
+                   / (sqrt({_SQ_SUM.format(col='qe')})
+                      * sqrt({_SQ_SUM.format(col='ce')})) AS sim
+            FROM q JOIN c ON qid <> nid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rank
+            FROM scored
+        )
+        SELECT qid, nid, rank,
+               CAST(FLOOR(10000 * sim) AS BIGINT) AS sim_e4
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def _lsh_sig_sql(dims: int, bits: int = LSH_BITS, col: str = "embedding") -> str:
     """Same ±1 hyperplane expression the Spark side generates
     (similarity.lsh_signature) with DuckDB's 1-based array indexing; term
@@ -257,6 +316,25 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_embedding_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = similarity.project_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(1000000 * F.col("val")).cast("long").alias("proj_e6"),
+    )
+
+
+def q_ann_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk_projected(
         load_table(spark, sf_dir, "embeddings")
     )
 
@@ -544,7 +622,11 @@ EXT_QUERIES = {
     # intermediate of the driver-gated passage pipelines) in favor of
     # semantic_decontam — appended below its definition, like
     # ivf_cells_trained
-    "embedding_norms": q_embedding_norms,
+    # round 11: embedding_norms rotated to the pytest tier (the norm
+    # fold is the shared intermediate of every driver-gated cosine
+    # query) in favor of ann_topk_projected — the JL
+    # dimensionality-reduction tier, driver-hash-gated end to end
+    "ann_topk_projected": q_ann_topk_projected,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     # round 9: lsh_signature rotated to the pytest tier (it is the
     # shared intermediate of the driver-gated ann_topk_lsh,
@@ -669,6 +751,23 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fractions=STRAT_FRACTIONS,
         default_frac=STRAT_DEFAULT,
     ).select("doc_id", "lang")
+
+
+#: weighted-sample query params: keep 5 docs per source, a document's
+#: chance proportional to its length — the quality-weighted subsample
+WSAMPLE_N = 5
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    return weighted_sample(
+        load_table(spark, sf_dir, "documents"),
+        key="doc_id",
+        weight="n_chars",
+        n=WSAMPLE_N,
+        by="source",
+    ).select("doc_id", "source", "n_chars")
 
 
 def q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,6 +1380,19 @@ EXT_QUERIES["semantic_snapshot_rebanded"] = q_semantic_snapshot_rebanded
 
 EXT_EXTRA_QUERIES = {
     "sessionize_native": q_sessionize_native,
+    # round 11: deterministic JL dimensionality reduction (±1
+    # md5-parity matrix, scan-side expression, zero shuffle) — the
+    # exploded per-coordinate relation; its top-k consumer
+    # ann_topk_projected is driver-registered
+    "embedding_projection": q_embedding_projection,
+    # round 11: rotated out of the driver 50 for ann_topk_projected —
+    # the norm fold is the shared intermediate of every driver-gated
+    # cosine query; still hash-oracled here
+    "embedding_norms": q_embedding_norms,
+    # round 11: Efraimidis–Spirakis weighted sampling without
+    # replacement (deterministic md5 uniforms, exponential race) —
+    # the quality-weighted per-source corpus subsample
+    "doc_weighted_sample": q_doc_weighted_sample,
     # the two rotated out of the driver 50 in round 4 (oracled here)
     "ivf_cells": q_ivf_cells,
     "ann_topk_ivf2": q_ann_topk_ivf2,  # multi-probe (nprobe=2)
@@ -2168,6 +2280,12 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     """All extension oracles, including the dimension-parameterized LSH
     SQL (testdata embeddings are FLOAT[64])."""
     out = dict(EXT_ORACLES)
+    out["embedding_projection"] = _projection_oracle_sql(
+        dims, similarity.PROJECT_DIMS
+    )
+    out["ann_topk_projected"] = _projected_topk_oracle_sql(
+        dims, similarity.PROJECT_DIMS
+    )
     out["connected_components"] = components.connected_components_oracle_sql(
         EDGES_FROM_EVENTS_SQL
     )
@@ -2220,6 +2338,16 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
         fractions=STRAT_FRACTIONS,
         default_frac=STRAT_DEFAULT,
         select="doc_id, lang",
+    )
+    from .operators.sampling import weighted_sample_oracle_sql
+
+    out["doc_weighted_sample"] = weighted_sample_oracle_sql(
+        "documents",
+        key="doc_id",
+        weight="n_chars",
+        n=WSAMPLE_N,
+        by="source",
+        select="doc_id, source, n_chars",
     )
     from .operators.profile import key_skew_oracle_sql
 
