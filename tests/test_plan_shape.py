@@ -25,6 +25,9 @@ from twitter_social_triangle_mapreduce_spark.plans.explain import plan_of  # noq
 # centroids — deliberate small-side broadcasts, not blowups
 BNLJ_BY_DESIGN = {
     "ann_topk_bruteforce",
+    # round 11: projected-space scoring is the same deliberate shape —
+    # the tiny query set broadcasts against the (projected) corpus
+    "ann_topk_projected",
     "pagerank",
     "ivf_cells",
     "ann_topk_ivf",

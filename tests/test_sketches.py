@@ -75,3 +75,69 @@ def test_heavy_hitters_empty_and_uniform_inputs(spark):
     assert sketches.heavy_hitter_tokens(uniform, k=50).count() == 0
     empty = _mk_docs(spark, []).where(F.lit(False))
     assert sketches.heavy_hitter_tokens(empty, k=50).count() == 0
+
+
+# --- Count–Min sketch (round 11) ---
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """The two CMS guarantees on a skewed corpus: est >= true for EVERY
+    token (counters only over-count, via collisions), and the
+    over-count is bounded — the theoretical tail is 2N/width per
+    estimate w.h.p.; with N ~ 2.6k tokens over width 256 the expected
+    collision mass is tiny, so the asserted ceiling is the loose
+    theoretical one, not a tuned constant."""
+    texts = ["alpha " * 200, "beta " * 50, " ".join(f"t{i}" for i in range(400))]
+    docs = _mk_docs(spark, [t.strip() for t in texts])
+    true = {
+        r["tok"]: r["cnt"]
+        for r in tokens(docs).groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(true.values())
+    sketch = sketches.token_count_sketch(docs)
+    est = {
+        r["tok"]: r["est"]
+        for r in sketches.cms_estimate(sketch, tokens(docs)).collect()
+    }
+    assert set(est) == set(true)
+    for tok, t in true.items():
+        assert est[tok] >= t, (tok, t, est[tok])
+        assert est[tok] <= t + 2 * n / sketches.CMS_WIDTH + 1, (tok, t, est[tok])
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """The 100 TB property: the sketch of a union is the elementwise
+    counter sum, so per-partition/per-day sketches roll up losslessly."""
+    a = _mk_docs(spark, ["x y z " * 10, "p q r"])
+    b = spark.createDataFrame(
+        [(100, "x x q w"), (101, "z w w")], "doc_id long, text string"
+    )
+    both = a.unionAll(b)
+    def counters(df):
+        return {
+            (r["row"], r["col"]): r["cnt"]
+            for r in sketches.token_count_sketch(df).collect()
+        }
+    ca, cb, cu = counters(a), counters(b), counters(both)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    docs = _mk_docs(spark, [" ".join(f"w{i}" for i in range(5000))])
+    rows = sketches.token_count_sketch(docs).count()
+    assert rows <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_cms_absent_token_estimate_is_collision_mass_only(spark):
+    docs = _mk_docs(spark, ["a b c d e f g h"])
+    probes = spark.createDataFrame([("zzz_absent",)], "tok string")
+    est = sketches.cms_estimate(
+        sketches.token_count_sketch(docs), probes
+    ).collect()
+    # 8 tokens over 4x256 counters: an absent token's 4 cells are
+    # almost surely all empty -> est 0 (and never negative)
+    assert est[0]["est"] >= 0
+    assert est[0]["est"] <= 8

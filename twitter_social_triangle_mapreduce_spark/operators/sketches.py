@@ -98,3 +98,170 @@ def heavy_hitter_oracle_sql(toks_sql: str, k: int = MG_CAPACITY) -> str:
         GROUP BY tok, total
         HAVING COUNT(*) * {k} > total
     """
+
+
+#: Count–Min geometry: depth independent hash rows × width counters.
+#: Error bound: est(x) ≤ true(x) + 2N/width with prob ≥ 1 − 2^−depth
+#: (Cormode & Muthukrishnan 2005); 4×256 bounds testdata-scale error
+#: to ~0.8% of N per miss while the sketch stays ≤ 1024 rows.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_col_expr(row: int, width: int, tok_col: str = "tok"):
+    """Counter column of ``tok`` in hash row ``row`` — md5-derived like
+    every other portable hash in the engine, under a ``cms``-distinct
+    key namespace, so the DuckDB oracle reproduces placement exactly."""
+    from ..functions.hashing import hex_prefix_to_long_sql
+
+    digest = F.md5(F.concat(F.lit(f"cms{row}#"), F.col(tok_col)))
+    return (
+        F.expr(hex_prefix_to_long_sql("__tstm_cms_digest", 7)) % width
+    ), digest
+
+
+def token_count_sketch(
+    documents: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, col, cnt) — the Count–Min sketch of the corpus token
+    frequencies as a RELATION of at most ``depth × width`` counter
+    rows. The fourth sketch family (HLL distincts, KLL quantiles,
+    Misra-Gries heavy hitters), and the only one whose driver gate can
+    HASH-CHECK: the hash placements are deterministic md5 arithmetic,
+    so a DuckDB twin reproduces every counter exactly — sketches are
+    normally gated rows-only.
+
+    Scale shape: one corpus scan; each token emits ``depth`` (row, col)
+    pairs via posexplode of a literal-array expression, and the groupBy
+    partial-aggregates map-side down to ≤ depth×width rows per
+    partition before the exchange — the shuffle is sketch-sized, never
+    corpus-sized. MERGEABLE by construction: the sketch of a union is
+    the elementwise counter sum (tested), so per-partition / per-day /
+    per-source sketches roll up losslessly — the property that lets a
+    100 TB corpus be sketched incrementally.
+    """
+    from ..functions.hashing import hex_prefix_to_long_sql
+
+    from .dedup import tokens
+
+    # ONE corpus scan: all depth digests are projected side by side,
+    # then one explode fans each token into its depth (row, col)
+    # placements (a union of per-depth selects would re-scan the
+    # corpus depth times — 4× the read at 100 TB)
+    t = tokens(documents)
+    for d in range(depth):
+        t = t.withColumn(
+            f"__tstm_cms_dg{d}",
+            F.md5(F.concat(F.lit(f"cms{d}#"), F.col("tok"))),
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("row"),
+                (
+                    F.expr(hex_prefix_to_long_sql(f"__tstm_cms_dg{d}", 7))
+                    % width
+                ).alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        t.select(F.explode(entries).alias("e"))
+        .select("e.row", "e.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """(tok, est) — the Count–Min point estimate for every probe token:
+    min over the ``depth`` rows of the counter at (row, col(row, tok)),
+    0 when a counter is absent (an all-zero row proves the token never
+    occurred). Guarantees: est ≥ true count always (counters only ever
+    over-count via collisions), est ≤ true + 2N/width w.h.p.
+
+    The probe side is expected to be small (a vocabulary of interest);
+    the sketch side is ≤ depth×width rows and is broadcast — the
+    estimate never shuffles the probes."""
+    probe_rows = []
+    for d in range(depth):
+        col_expr, digest = _cms_col_expr(d, width, tok_col)
+        probe_rows.append(
+            probes.select(F.col(tok_col).alias("tok"))
+            .distinct()
+            .withColumn("__tstm_cms_digest", digest)
+            .select("tok", F.lit(d).alias("row"), col_expr.alias("col"))
+        )
+    placed = probe_rows[0]
+    for p in probe_rows[1:]:
+        placed = placed.unionAll(p)
+    return (
+        placed.join(F.broadcast(sketch), ["row", "col"], "left")
+        .select("tok", F.coalesce(F.col("cnt"), F.lit(0)).alias("c"))
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+    )
+
+
+def cms_sketch_oracle_sql(
+    toks_sql: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of ``token_count_sketch`` — same md5 placement."""
+    from ..functions.hashing import hex_prefix_to_long_sql
+
+    selects = []
+    for d in range(depth):
+        bucket = hex_prefix_to_long_sql("dg", 7)
+        selects.append(
+            f"SELECT CAST({d} AS BIGINT) AS row,"
+            f" ({bucket} % {width}) AS col, COUNT(*) AS cnt"
+            f" FROM (SELECT md5(concat('cms{d}#', tok)) AS dg"
+            f"       FROM toks) GROUP BY col"
+        )
+        # DuckDB GROUP BY col groups on the alias (its documented
+        # behavior); the Spark side groups on the same expression
+    u = " UNION ALL ".join(selects)
+    return f"WITH toks AS ({toks_sql}) {u}"
+
+
+def cms_estimate_oracle_sql(
+    toks_sql: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of ``cms_estimate`` probed with the corpus's own
+    distinct tokens: rebuild the counters, place each probe, take the
+    per-token min."""
+    from ..functions.hashing import hex_prefix_to_long_sql
+
+    counters = []
+    placements = []
+    for d in range(depth):
+        bucket = hex_prefix_to_long_sql("dg", 7)
+        counters.append(
+            f"SELECT CAST({d} AS BIGINT) AS row,"
+            f" ({bucket} % {width}) AS col, COUNT(*) AS cnt"
+            f" FROM (SELECT md5(concat('cms{d}#', tok)) AS dg"
+            f"       FROM toks) GROUP BY col"
+        )
+        placements.append(
+            f"SELECT tok, CAST({d} AS BIGINT) AS row,"
+            f" ({bucket} % {width}) AS col"
+            f" FROM (SELECT tok, md5(concat('cms{d}#', tok)) AS dg"
+            f"       FROM probes)"
+        )
+    return f"""
+        WITH toks AS ({toks_sql}),
+        probes AS (SELECT DISTINCT tok FROM toks),
+        sketch AS ({' UNION ALL '.join(counters)}),
+        placed AS ({' UNION ALL '.join(placements)})
+        SELECT p.tok, MIN(COALESCE(s.cnt, 0)) AS est
+        FROM placed p LEFT JOIN sketch s
+          ON p.row = s.row AND p.col = s.col
+        GROUP BY p.tok
+    """

@@ -1038,6 +1038,25 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitter_tokens(load_table(spark, sf_dir, "documents"))
 
 
+def q_token_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    return sketches.token_count_sketch(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import tokens
+
+    return sketches.cms_estimate(
+        sketches.token_count_sketch(docs), tokens(docs)
+    )
+
+
 def q_event_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
@@ -1389,6 +1408,12 @@ EXT_EXTRA_QUERIES = {
     # the norm fold is the shared intermediate of every driver-gated
     # cosine query; still hash-oracled here
     "embedding_norms": q_embedding_norms,
+    # round 11: the Count–Min sketch relation + its point estimates —
+    # the fourth sketch family, and the only one hash-oracle-able (the
+    # md5 counter placement is deterministic, so DuckDB reproduces
+    # every counter and every min-estimate exactly)
+    "token_count_sketch": q_token_count_sketch,
+    "token_count_estimates": q_token_count_estimates,
     # round 11: Efraimidis–Spirakis weighted sampling without
     # replacement (deterministic md5 uniforms, exponential race) —
     # the quality-weighted per-source corpus subsample
@@ -2387,6 +2412,8 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import sketches
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
+    out["token_count_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
+    out["token_count_estimates"] = sketches.cms_estimate_oracle_sql(_TOKS)
     out["temporal_path2"] = _intervals.temporal_path2_oracle_sql()
     from .operators import privacy as _privacy
 
