@@ -1,9 +1,13 @@
 """Johnson–Lindenstrauss projection (round 11): width guard, null
-semantics, composition shape, and the measured-quality property — the
-projected-space top-k must retain most of the exact top-k (the JL lemma
-bounds cosine distortion; the bound here is the measured testdata figure
-with slack, pinned so a silent regression in the projection arithmetic
-cannot hide behind "it's approximate")."""
+semantics, composition with the LSH/IVF consumers, and the
+measured-quality property — the projected cosine must be an unbiased
+estimator of the true cosine whose error shrinks as 1/sqrt(out_dims),
+pinned with slack under the measured testdata figures so a silent
+regression in the projection arithmetic cannot hide behind "it's
+approximate". (Top-k recall is deliberately NOT pinned here: the
+testdata corpus is near-isotropic, so ranking under compression is a
+property of the data, not the code — see the probe at the 1M clustered
+corpus in BASELINE.md for where ranking provably holds.)"""
 
 from __future__ import annotations
 
@@ -119,3 +123,31 @@ def test_projected_cosine_is_an_unbiased_converging_estimator(spark):
     assert stats[48][0] >= 0.55, stats
     assert stats[48][0] > stats[16][0] + 0.10, stats  # 1/sqrt(k) gain
     assert stats[48][2] < stats[16][2] * 0.75, stats  # error shrinks
+
+
+def test_projection_composes_with_lsh_and_ivf(spark, tmp_path):
+    """The composition claim, executed: the projected relation (the
+    embedding column REPLACED, width PROJECT_DIMS, array<double>)
+    feeds the banded-LSH candidate generator AND the at-rest IVF index
+    unmodified — project once, then every downstream consumer runs in
+    the cheap space."""
+    from twitter_social_triangle_mapreduce_spark.operators.similarity import (
+        ann_topk_indexed,
+        banded_lsh_candidates,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    proj = similarity.project_embeddings(emb)
+
+    cand = banded_lsh_candidates(
+        proj, bits=8, bands=2, dims=similarity.PROJECT_DIMS
+    )
+    assert cand.columns == ["vec_a", "vec_b"]
+    assert cand.count() > 0  # planted structure still collides
+
+    path = str(tmp_path / "proj_ivf")
+    write_ivf_index(proj, path, k_cells=4)
+    queries = proj.where(F.col("vec_id") < 3)
+    got = ann_topk_indexed(spark, path, queries, k=2)
+    assert got.count() == 6  # 3 queries x top-2, served from the index
