@@ -265,3 +265,32 @@ def cms_estimate_oracle_sql(
           ON p.row = s.row AND p.col = s.col
         GROUP BY p.tok
     """
+
+
+def merge_cms_states(snapshot: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta CMS into a snapshot CMS: full-outer join on
+    (row, col), counter sum — the ``merge_agg_states`` pattern
+    instantiated for the sketch (``incremental.py``'s contract:
+    merge(state(A), state(B)) == state(A ∪ B) for disjoint splits,
+    here exactly true because counters are plain sums). Shuffles two
+    ≤ depth×width relations, never a corpus."""
+    s = snapshot.select("row", "col", F.col("cnt").alias("__s"))
+    d = delta.select("row", "col", F.col("cnt").alias("__d"))
+    return s.join(d, ["row", "col"], "full_outer").select(
+        "row",
+        "col",
+        (F.coalesce("__s", F.lit(0)) + F.coalesce("__d", F.lit(0))).alias(
+            "cnt"
+        ),
+    )
+
+
+def merged_token_sketch(documents: DataFrame) -> DataFrame:
+    """Registry composition proving the merge algebra through the hash
+    gate (the ``merged_user_state`` pattern): split the corpus
+    deterministically (even/odd doc_id), sketch both halves, MERGE —
+    the oracle sketches the whole corpus directly, so any merge bug
+    hash-mismatches."""
+    even = token_count_sketch(documents.where(F.col("doc_id") % 2 == 0))
+    odd = token_count_sketch(documents.where(F.col("doc_id") % 2 != 0))
+    return merge_cms_states(even, odd)

@@ -1046,6 +1046,14 @@ def q_token_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merged_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    return sketches.merged_token_sketch(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def q_token_count_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
@@ -1414,6 +1422,9 @@ EXT_EXTRA_QUERIES = {
     # every counter and every min-estimate exactly)
     "token_count_sketch": q_token_count_sketch,
     "token_count_estimates": q_token_count_estimates,
+    # round 11: the CMS merge algebra gated through the hash compare —
+    # split-sketch-merge vs the oracle's direct whole-corpus sketch
+    "merged_token_sketch": q_merged_token_sketch,
     # round 11: Efraimidis–Spirakis weighted sampling without
     # replacement (deterministic md5 uniforms, exponential race) —
     # the quality-weighted per-source corpus subsample
@@ -2414,6 +2425,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
     out["token_count_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
     out["token_count_estimates"] = sketches.cms_estimate_oracle_sql(_TOKS)
+    out["merged_token_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
     out["temporal_path2"] = _intervals.temporal_path2_oracle_sql()
     from .operators import privacy as _privacy
 
