@@ -141,3 +141,61 @@ def test_cms_absent_token_estimate_is_collision_mass_only(spark):
     # almost surely all empty -> est 0 (and never negative)
     assert est[0]["est"] >= 0
     assert est[0]["est"] <= 8
+
+
+def test_streaming_sketch_maintenance_equals_batch_sketch(spark, tmp_path):
+    """The foreachBatch-maintained CMS snapshot must equal the direct
+    whole-corpus sketch after the stream drains, with multiple
+    micro-batches forcing real merges — O(sketch) work per batch while
+    the committed state tracks an unbounded stream exactly."""
+    from twitter_social_triangle_mapreduce_spark.sources.io import load_table
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    json_dir = str(tmp_path / "docs_json")
+    docs.repartition(4).write.mode("overwrite").json(json_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(json_dir)
+    )
+    snap = str(tmp_path / "sketch_snap")
+    q = st.streaming_sketch_maintenance(stream, snap, str(tmp_path / "ckpt"))
+    q.awaitTermination(timeout=180)
+
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.token_count_sketch(docs).collect()
+    }
+    assert got == want
+
+
+def test_fold_sketch_batch_replay_is_idempotent(spark, tmp_path):
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    snap = str(tmp_path / "snap")
+    b0 = _mk_docs(spark, ["a a b", "c"])
+    b1 = _mk_docs(spark, ["a d"])
+    st.fold_sketch_batch(b0, 0, snap)
+    st.fold_sketch_batch(b1, 1, snap)
+    once = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    st.fold_sketch_batch(b0, 0, snap)  # replayed batch: must not re-fold
+    again = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    assert once == again
+    both = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.token_count_sketch(b0.unionAll(b1)).collect()
+    }
+    assert once == both

@@ -461,16 +461,45 @@ def fold_rollup_batch(
     AFTER the new commit succeeds."""
     from ..operators.incremental import additive_agg_state, merge_agg_states
 
+    _fold_versioned_state(
+        batch_df,
+        batch_id,
+        snapshot_path,
+        additive_agg_state,
+        merge_agg_states,
+        keep_versions,
+    )
+
+
+def _fold_versioned_state(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    state_fn,
+    merge_fn,
+    keep_versions: int = 2,
+) -> None:
+    """The versioned additive-state fold, generic over the state
+    algebra (round 11, extracted from ``fold_rollup_batch`` whose
+    docstring carries the crash-safety contract): ``state_fn`` maps a
+    micro-batch to its compact state relation, ``merge_fn`` folds a
+    delta state into a snapshot state. Any algebra satisfying
+    ``merge(state(A), state(B)) == state(A ∪ B)`` for disjoint splits
+    inherits the whole contract — idempotent replay, atomic
+    marker-commit, monotonic history, prune-after-commit — without
+    touching the commit protocol. Instances: the per-user rollup
+    (``fold_rollup_batch``) and the Count–Min sketch
+    (``fold_sketch_batch``)."""
     spark = batch_df.sparkSession
     versions = rollup_committed_versions(spark, snapshot_path)
     if versions and versions[-1] >= batch_id:
         return  # replayed batch: already folded and committed
-    delta = additive_agg_state(batch_df)
+    delta = state_fn(batch_df)
     if versions:
         prev = spark.read.parquet(
             _rollup_version_dir(snapshot_path, versions[-1])
         )
-        merged = merge_agg_states(prev, delta)
+        merged = merge_fn(prev, delta)
     else:
         merged = delta
     vdir = _rollup_version_dir(snapshot_path, batch_id)
@@ -486,6 +515,62 @@ def fold_rollup_batch(
             ),
             True,
         )
+
+
+def fold_sketch_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_path: str,
+    keep_versions: int = 2,
+) -> None:
+    """Fold one micro-batch of documents into the versioned Count–Min
+    sketch snapshot — the streaming twin of
+    ``sketches.token_count_sketch``, carried by the same
+    ``_fold_versioned_state`` contract as the rollup (idempotent
+    replay, atomic marker-commit, monotonic history). The state is
+    ≤ depth×width counter rows regardless of corpus size, so every
+    fold reads a tiny previous version, shuffles a sketch-sized
+    relation, and writes a tiny new one: sketch maintenance over an
+    unbounded stream costs O(sketch) per batch, never O(history) —
+    and the committed snapshot always equals the batch sketch of
+    everything folded so far (the merge algebra the hash-gated
+    ``merged_token_sketch`` proves)."""
+    from ..operators.sketches import merge_cms_states, token_count_sketch
+
+    _fold_versioned_state(
+        batch_df,
+        batch_id,
+        snapshot_path,
+        token_count_sketch,
+        merge_cms_states,
+        keep_versions,
+    )
+
+
+def read_sketch_snapshot(spark, snapshot_path: str) -> DataFrame:
+    """The latest COMMITTED sketch state (same contract as
+    ``read_rollup_snapshot`` — both read the shared v_* layout)."""
+    return read_rollup_snapshot(spark, snapshot_path)
+
+
+def streaming_sketch_maintenance(
+    docs_stream: DataFrame, snapshot_path: str, checkpoint_path: str
+):
+    """Incrementally-maintained corpus token-frequency CMS: each
+    micro-batch of documents folds into the persistent sketch via
+    ``fold_sketch_batch`` — the ``streaming_incremental_rollup`` shape
+    with the sketch algebra plugged in. Returns the started
+    StreamingQuery (caller awaits/stops)."""
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fold_sketch_batch(batch_df, batch_id, snapshot_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def streaming_incremental_rollup(
