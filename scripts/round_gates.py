@@ -182,40 +182,51 @@ def main() -> int:
 
     if "bench" not in skip:
         out = os.path.join(REPO, f"BENCH_sf1_r{rnd}.json")
-        stdout = _run(
-            [sys.executable, "bench.py"],
-            env={"SPARK_GRAFT_SF_DIR": sf1_dir},
-            log="/tmp/round_gates_bench_sf1.log",
-        )
-        record = None
-        for line in stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                record = json.loads(line)
-        if record is None:
-            failures.append("bench.py produced no JSON record")
-        else:
-            # the sf1 record keeps the full detail inline (there is no
-            # per-scale BENCH_DETAIL file; the committed one is sf0.1's)
-            detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
-            record["plans_ext"] = detail.get("plans_ext", {})
-            record["shuffle_headline"] = detail.get("shuffle_headline", {})
-            record["shuffle_ext"] = detail.get("shuffle_ext", {})
-            with open(out, "w") as f:
-                json.dump(record, f, indent=1)
-                f.write("\n")
-            notes.append(
-                f"BENCH_sf1_r{rnd}: headline {record['value']} s, "
-                f"ext {record.get('ext_total')} s, "
-                f"sentinel {record['calibration']['start']}/"
-                f"{record['calibration']['end']}"
+        # bench.py overwrites BENCH_DETAIL.json on EVERY run, so the
+        # committed sf0.1 record must be git-restored no matter how the
+        # bench block exits — a bench failure that skipped the restore
+        # would leave sf1 detail to be silently committed as sf0.1's
+        try:
+            stdout = _run(
+                [sys.executable, "bench.py"],
+                env={"SPARK_GRAFT_SF_DIR": sf1_dir},
+                log="/tmp/round_gates_bench_sf1.log",
             )
-            notes.extend(
-                _digest_diff(out, _prior_record(r"BENCH_sf1_r(\d+)\.json", rnd))
-            )
-        # restore the committed sf0.1 detail record the off-scale run
-        # just overwrote (memory: always, immediately)
-        _run(["git", "checkout", "--", "BENCH_DETAIL.json"])
+            record = None
+            for line in stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    record = json.loads(line)
+            if record is None:
+                failures.append("bench.py produced no JSON record")
+            else:
+                # the sf1 record keeps the full detail inline (there is
+                # no per-scale BENCH_DETAIL file; the committed one is
+                # sf0.1's)
+                detail = json.load(
+                    open(os.path.join(REPO, "BENCH_DETAIL.json"))
+                )
+                record["plans_ext"] = detail.get("plans_ext", {})
+                record["shuffle_headline"] = detail.get(
+                    "shuffle_headline", {}
+                )
+                record["shuffle_ext"] = detail.get("shuffle_ext", {})
+                with open(out, "w") as f:
+                    json.dump(record, f, indent=1)
+                    f.write("\n")
+                notes.append(
+                    f"BENCH_sf1_r{rnd}: headline {record.get('value')} s, "
+                    f"ext {record.get('ext_total')} s, "
+                    f"sentinel {record.get('calibration', {}).get('start')}/"
+                    f"{record.get('calibration', {}).get('end')}"
+                )
+                notes.extend(
+                    _digest_diff(
+                        out, _prior_record(r"BENCH_sf1_r(\d+)\.json", rnd)
+                    )
+                )
+        finally:
+            _run(["git", "checkout", "--", "BENCH_DETAIL.json"])
 
     print("\n=== round_gates summary ===")
     for n_ in notes:

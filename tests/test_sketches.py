@@ -163,7 +163,10 @@ def test_streaming_sketch_maintenance_equals_batch_sketch(spark, tmp_path):
     )
     snap = str(tmp_path / "sketch_snap")
     q = st.streaming_sketch_maintenance(stream, snap, str(tmp_path / "ckpt"))
-    q.awaitTermination(timeout=180)
+    drained = q.awaitTermination(timeout=180)
+    if not drained:
+        q.stop()  # never leave a query running in the shared session
+    assert drained, "availableNow stream did not drain within 180s"
 
     got = {
         (r["row"], r["col"]): r["cnt"]
@@ -199,3 +202,23 @@ def test_fold_sketch_batch_replay_is_idempotent(spark, tmp_path):
         for r in sketches.token_count_sketch(b0.unionAll(b1)).collect()
     }
     assert once == both
+
+
+def test_merged_sketch_split_is_exhaustive_with_null_ids(spark):
+    """The split under the merge-algebra gate must PARTITION the corpus
+    — a NULL doc_id row lands in the even half instead of vanishing
+    from both (a plain %2==0 / %2!=0 pair silently drops it, and the
+    gate would report a merge bug that is really a split bug)."""
+    docs = spark.createDataFrame(
+        [(0, "a a"), (1, "b"), (None, "c c c")],
+        "doc_id long, text string",
+    )
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.merged_token_sketch(docs).collect()
+    }
+    direct = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.token_count_sketch(docs).collect()
+    }
+    assert merged == direct  # the NULL row's 3 'c' tokens are counted

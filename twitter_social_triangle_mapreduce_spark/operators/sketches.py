@@ -108,16 +108,45 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
-def _cms_col_expr(row: int, width: int, tok_col: str = "tok"):
-    """Counter column of ``tok`` in hash row ``row`` — md5-derived like
-    every other portable hash in the engine, under a ``cms``-distinct
-    key namespace, so the DuckDB oracle reproduces placement exactly."""
+def _cms_placed(
+    df: DataFrame,
+    depth: int,
+    width: int,
+    tok_col: str = "tok",
+    keep: tuple = (),
+) -> DataFrame:
+    """Fan each row out into its ``depth`` (row, col) counter
+    placements in ONE pass: all depth digests projected side by side
+    (md5 under the ``cms``-distinct key namespace — the exact
+    arithmetic the DuckDB oracles spell out), then one explode. The
+    SINGLE owner of the placement arithmetic: the sketch builder and
+    the estimator both route through here, so sketch placement and
+    probe placement can never desynchronize. A union of per-depth
+    selects would re-scan the input depth times — 4× the read at
+    100 TB."""
     from ..functions.hashing import hex_prefix_to_long_sql
 
-    digest = F.md5(F.concat(F.lit(f"cms{row}#"), F.col(tok_col)))
-    return (
-        F.expr(hex_prefix_to_long_sql("__tstm_cms_digest", 7)) % width
-    ), digest
+    t = df
+    for d in range(depth):
+        t = t.withColumn(
+            f"__tstm_cms_dg{d}",
+            F.md5(F.concat(F.lit(f"cms{d}#"), F.col(tok_col))),
+        )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("row"),
+                (
+                    F.expr(hex_prefix_to_long_sql(f"__tstm_cms_dg{d}", 7))
+                    % width
+                ).alias("col"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return t.select(*keep, F.explode(entries).alias("__tstm_e")).select(
+        *keep, "__tstm_e.row", "__tstm_e.col"
+    )
 
 
 def token_count_sketch(
@@ -140,35 +169,10 @@ def token_count_sketch(
     per-source sketches roll up losslessly — the property that lets a
     100 TB corpus be sketched incrementally.
     """
-    from ..functions.hashing import hex_prefix_to_long_sql
-
     from .dedup import tokens
 
-    # ONE corpus scan: all depth digests are projected side by side,
-    # then one explode fans each token into its depth (row, col)
-    # placements (a union of per-depth selects would re-scan the
-    # corpus depth times — 4× the read at 100 TB)
-    t = tokens(documents)
-    for d in range(depth):
-        t = t.withColumn(
-            f"__tstm_cms_dg{d}",
-            F.md5(F.concat(F.lit(f"cms{d}#"), F.col("tok"))),
-        )
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("long").alias("row"),
-                (
-                    F.expr(hex_prefix_to_long_sql(f"__tstm_cms_dg{d}", 7))
-                    % width
-                ).alias("col"),
-            )
-            for d in range(depth)
-        ]
-    )
     return (
-        t.select(F.explode(entries).alias("e"))
-        .select("e.row", "e.col")
+        _cms_placed(tokens(documents), depth, width)
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -187,21 +191,16 @@ def cms_estimate(
     occurred). Guarantees: est ≥ true count always (counters only ever
     over-count via collisions), est ≤ true + 2N/width w.h.p.
 
-    The probe side is expected to be small (a vocabulary of interest);
-    the sketch side is ≤ depth×width rows and is broadcast — the
-    estimate never shuffles the probes."""
-    probe_rows = []
-    for d in range(depth):
-        col_expr, digest = _cms_col_expr(d, width, tok_col)
-        probe_rows.append(
-            probes.select(F.col(tok_col).alias("tok"))
-            .distinct()
-            .withColumn("__tstm_cms_digest", digest)
-            .select("tok", F.lit(d).alias("row"), col_expr.alias("col"))
-        )
-    placed = probe_rows[0]
-    for p in probe_rows[1:]:
-        placed = placed.unionAll(p)
+    The probe relation is scanned ONCE (one distinct, then the shared
+    ``_cms_placed`` explode — the same single-pass shape as the sketch
+    builder); the sketch side is ≤ depth×width rows and is broadcast,
+    so the probes never shuffle for the lookup."""
+    placed = _cms_placed(
+        probes.select(F.col(tok_col).alias("tok")).distinct(),
+        depth,
+        width,
+        keep=("tok",),
+    )
     return (
         placed.join(F.broadcast(sketch), ["row", "col"], "left")
         .select("tok", F.coalesce(F.col("cnt"), F.lit(0)).alias("c"))
@@ -290,7 +289,14 @@ def merged_token_sketch(documents: DataFrame) -> DataFrame:
     gate (the ``merged_user_state`` pattern): split the corpus
     deterministically (even/odd doc_id), sketch both halves, MERGE —
     the oracle sketches the whole corpus directly, so any merge bug
-    hash-mismatches."""
-    even = token_count_sketch(documents.where(F.col("doc_id") % 2 == 0))
-    odd = token_count_sketch(documents.where(F.col("doc_id") % 2 != 0))
+    hash-mismatches. The split is an EXHAUSTIVE partition (a NULL
+    doc_id lands in the even half instead of silently vanishing from
+    both — a plain ``% 2 == 0`` / ``% 2 != 0`` pair drops NULL rows
+    and the 'merge bug' the gate reported would really be a split
+    bug)."""
+    # NULL & FALSE = FALSE in SQL's three-valued logic, so is_odd is
+    # never NULL and (is_odd, ~is_odd) is a true partition
+    is_odd = (F.col("doc_id") % 2 != 0) & F.col("doc_id").isNotNull()
+    even = token_count_sketch(documents.where(~is_odd))
+    odd = token_count_sketch(documents.where(is_odd))
     return merge_cms_states(even, odd)

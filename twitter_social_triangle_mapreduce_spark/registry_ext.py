@@ -204,11 +204,16 @@ def _proj_elem_sql(j: int, dims: int, col: str = "embedding") -> str:
 
 def _projection_oracle_sql(dims: int, out_dims: int) -> str:
     """Exploded (vec_id, dim, proj_e6) — one SELECT per output
-    coordinate, unioned; mirrors the Spark posexplode shape."""
+    coordinate, unioned; mirrors the Spark posexplode shape, including
+    its NULL semantics: posexplode emits NOTHING for a NULL projected
+    array (project_embeddings maps NULL→NULL), so NULL embeddings are
+    filtered here too — without the filter the oracle would emit
+    out_dims NULL-valued rows per NULL vector and rows_match would
+    fail on any corpus with missing embeddings."""
     selects = [
         f"SELECT vec_id, CAST({j} AS BIGINT) AS dim,"
         f" CAST(FLOOR(1000000 * ({_proj_elem_sql(j, dims)})) AS BIGINT)"
-        f" AS proj_e6 FROM embeddings"
+        f" AS proj_e6 FROM embeddings WHERE embedding IS NOT NULL"
         for j in range(out_dims)
     ]
     return " UNION ALL ".join(selects)
