@@ -72,6 +72,17 @@ def _run(cmd: list[str], env: dict | None = None, log: str | None = None) -> str
 
 def _correctness_tally(path: str) -> tuple[int, int, list[str]]:
     d = json.load(open(path))
+    # the artifact must reflect THIS tree's registry — a run from a
+    # stale checkout (or an artifact kept across a rotation) would
+    # otherwise pass 50/50 while the new driver surface goes ungated
+    sys.path.insert(0, REPO)
+    from twitter_social_triangle_mapreduce_spark import registry
+
+    want = set(registry.all_queries())
+    if set(d) != want:
+        missing = sorted(want - set(d))
+        extra = sorted(set(d) - want)
+        return 0, len(d), [f"stale artifact: missing={missing} extra={extra}"]
     green = sum(
         1
         for v in d.values()
