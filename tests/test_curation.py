@@ -214,3 +214,24 @@ def test_elect_canonicals_total_under_partial_and_duplicate_scores(spark):
         (5, 5, 0), (9, 5, 1),      # scored member beats unscored
         (20, 20, 1), (21, 20, 0),  # all-unscored cluster: min id wins
     ]
+
+
+def test_unigram_logprob_separates_noise_from_bulk(spark):
+    """The quality signal the operator exists for: documents made of
+    corpus-common tokens must score (avg log-probability) strictly
+    above a document of corpus-unique noise, and every score is
+    negative (probabilities < 1)."""
+    from twitter_social_triangle_mapreduce_spark.operators.text import (
+        doc_unigram_logprob,
+    )
+
+    texts = ["the cat sat"] * 20 + ["zqx9 j77k v00m wpp3"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["avg_lp_e6"] for r in doc_unigram_logprob(docs).collect()}
+    bulk = [got[i] for i in range(20)]
+    noise = got[20]
+    assert all(v < 0 for v in got.values())
+    assert min(bulk) > noise  # common-token docs score strictly higher
+    assert len(set(bulk)) == 1  # identical docs score identically

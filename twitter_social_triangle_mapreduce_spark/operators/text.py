@@ -395,6 +395,87 @@ def source_token_divergence(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_unigram_logprob(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, sum_lp_e6, avg_lp_e6) — per-document mean
+    unigram log-probability under the corpus's OWN token distribution:
+    avg over the document's tokens of ln(count(tok)/N). The classic
+    corpus-LM quality signal (CCNet/C4 lineage): documents dominated
+    by tokens the corpus rarely emits — mojibake, boilerplate IDs,
+    non-language noise — score far below the bulk, so a percentile
+    gate on ``avg_lp_e6`` (see ``quality_threshold_gate``) is an
+    outlier filter that needs no trained model, only the corpus.
+
+    Engine-exact formulation (the ``source_token_divergence``
+    recipe): each token's log-probability is floored to an integer at
+    1e6 from all-integer inputs pushed through the same IEEE double
+    ops in both engines — per-document aggregation then SUMS INTEGERS,
+    so no float-accumulation order can diverge; the mean is one final
+    floored division of two integers. (ln() itself may differ by an
+    ulp between libms; the 1e-6 floor grid makes a flip astronomically
+    unlikely and the value is stable within each engine regardless.)
+
+    Shape: one exploded-token pass feeds the vocabulary count and the
+    corpus total (both partial-agg reduced); the per-token scores join
+    back onto the token stream keyed on tok — vocabulary-sized build
+    side (Zipf-bounded), corpus-sized probe, the standard shape AQE
+    broadcasts when the vocabulary is small and hash-joins when it is
+    not."""
+    toks = tokens(documents.select("doc_id", "text"))
+    tok_tot = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    corpus = toks.agg(F.count(F.lit(1)).alias("ct"))
+    per_tok = tok_tot.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        F.expr(
+            "CAST(FLOOR(1000000.0"
+            " * ln(CAST(tc AS DOUBLE) / ct)) AS BIGINT)"
+        ).alias("lp_e6"),
+    )
+    return (
+        toks.join(per_tok, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lp_e6").cast("long").alias("sum_lp_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_lp_e6",
+            F.expr(
+                "CAST(FLOOR(CAST(sum_lp_e6 AS DOUBLE) / n_tokens)"
+                " AS BIGINT)"
+            ).alias("avg_lp_e6"),
+        )
+    )
+
+
+def unigram_logprob_oracle_sql(toks_sql: str) -> str:
+    """DuckDB twin of ``doc_unigram_logprob`` — same floored integer
+    per-token scores, same integer sums, same final floored division."""
+    return f"""
+        WITH toks AS ({toks_sql}),
+        tok_tot AS (SELECT tok, COUNT(*) AS tc FROM toks GROUP BY tok),
+        corpus AS (SELECT COUNT(*) AS ct FROM toks),
+        per_tok AS (
+            SELECT tok,
+                   CAST(FLOOR(1000000.0
+                        * ln(CAST(tc AS DOUBLE) / ct)) AS BIGINT) AS lp_e6
+            FROM tok_tot CROSS JOIN corpus
+        ),
+        doc AS (
+            SELECT toks.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lp_e6) AS BIGINT) AS sum_lp_e6
+            FROM toks JOIN per_tok USING (tok)
+            GROUP BY toks.doc_id
+        )
+        SELECT doc_id, n_tokens, sum_lp_e6,
+               CAST(FLOOR(CAST(sum_lp_e6 AS DOUBLE) / n_tokens)
+                    AS BIGINT) AS avg_lp_e6
+        FROM doc
+    """
+
+
 def divergence_oracle_sql(toks_sql: str) -> str:
     """DuckDB twin of ``source_token_divergence``."""
     return f"""

@@ -1043,6 +1043,10 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitter_tokens(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
@@ -1425,6 +1429,9 @@ EXT_EXTRA_QUERIES = {
     # the fourth sketch family, and the only one hash-oracle-able (the
     # md5 counter placement is deterministic, so DuckDB reproduces
     # every counter and every min-estimate exactly)
+    # round 11: corpus-LM unigram quality scoring (CCNet/C4-style
+    # outlier signal) — integer-exact portable numerics
+    "doc_unigram_logprob": q_doc_unigram_logprob,
     "token_count_sketch": q_token_count_sketch,
     "token_count_estimates": q_token_count_estimates,
     # round 11: the CMS merge algebra gated through the hash compare —
@@ -2428,6 +2435,7 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
     from .operators import sketches
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
+    out["doc_unigram_logprob"] = text.unigram_logprob_oracle_sql(_TOKS)
     out["token_count_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
     out["token_count_estimates"] = sketches.cms_estimate_oracle_sql(_TOKS)
     out["merged_token_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
