@@ -401,9 +401,13 @@ def doc_unigram_logprob(documents: DataFrame) -> DataFrame:
     avg over the document's tokens of ln(count(tok)/N). The classic
     corpus-LM quality signal (CCNet/C4 lineage): documents dominated
     by tokens the corpus rarely emits — mojibake, boilerplate IDs,
-    non-language noise — score far below the bulk, so a percentile
-    gate on ``avg_lp_e6`` (see ``quality_threshold_gate``) is an
-    outlier filter that needs no trained model, only the corpus.
+    non-language noise — score far below the bulk, so a per-source
+    percentile cut on ``avg_lp_e6`` is an outlier filter needing no
+    trained model, only the corpus. (To build that cut at scale,
+    re-bucket the score first and reuse the ``quality_threshold_gate``
+    histogram-quota pattern — its score-domain bound assumes the
+    [0, 1e6] stopword score; wider domains need coarse buckets to
+    keep the quota walk off the corpus.)
 
     Engine-exact formulation (the ``source_token_divergence``
     recipe): each token's log-probability is floored to an integer at
