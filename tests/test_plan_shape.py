@@ -324,3 +324,24 @@ def test_top_spenders_rank_is_bucket_split(spark):
     # exactly one window keys on the bucket (the roster-sized one) and
     # one on r_name alone (the candidate-sized one)
     assert sum("__b" in line.split("windowspecdefinition", 1)[1] for line in rn) == 1
+
+
+def test_cms_sketch_partial_aggregates_before_exchange(spark):
+    """The Count–Min sketch's constant-shuffle property (measured at
+    10M tokens in BASELINE.md) rests on the groupBy(row, col) partial-
+    aggregating map-side — each task forwards ≤ depth×width counter
+    rows. Pin the mechanism: a partial HashAggregate below the
+    exchange, and exactly ONE exchange in the whole plan (the explode
+    and digest projection are scan-side expressions, shuffle-free)."""
+    plan = plan_of(
+        registry.all_queries(include_extra=True)["token_count_sketch"](
+            spark, SF_SMOKE
+        )
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan
+    import re
+
+    # formatted explain prints every node twice (tree + detail
+    # section); count the detail headers for the true node count
+    exchanges = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
+    assert len(exchanges) == 1, plan
