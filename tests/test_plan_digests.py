@@ -32,12 +32,25 @@ from conftest import SF_SMOKE
 MANIFEST = os.path.join(os.path.dirname(__file__), "plan_digests_sf0001.json")
 
 
+#: non-bench queries whose plans are ALSO pinned — operators whose
+#: scale story depends on a specific plan shape (round-11 flagships);
+#: extend as new shape-critical operators land
+FLAGSHIPS = [
+    "ann_topk_projected",
+    "doc_weighted_sample",
+    "token_count_sketch",
+    "doc_unigram_logprob",
+]
+
+
 def _bench_surface():
     from bench import EXTENSION, HEADLINE
 
     # the capstones are excluded: they eagerly write training shards at
     # call time (bench times that on purpose; a plan-only guard must not)
-    return [n for n in HEADLINE + EXTENSION if not n.startswith("prepare_")]
+    return [
+        n for n in HEADLINE + EXTENSION if not n.startswith("prepare_")
+    ] + FLAGSHIPS
 
 
 def _current_digests(spark) -> dict[str, str]:
