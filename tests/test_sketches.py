@@ -222,3 +222,36 @@ def test_merged_sketch_split_is_exhaustive_with_null_ids(spark):
         for r in sketches.token_count_sketch(docs).collect()
     }
     assert merged == direct  # the NULL row's 3 'c' tokens are counted
+
+
+def test_maintenance_check_recognizes_versioned_sketch_store(spark, tmp_path):
+    """The fsck must classify the plain versioned-state layout (the
+    rollup/CMS sketch store: top-level v_* dirs, newest committed
+    version IS the state) instead of misreporting it as an empty
+    snapshot — and must flag an unreadable newest version as the error
+    readers will hit."""
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    snap = str(tmp_path / "snap")
+    st.fold_sketch_batch(_mk_docs(spark, ["a b", "c"]), 0, snap)
+    st.fold_sketch_batch(_mk_docs(spark, ["a d"]), 1, snap)
+    rows = {
+        (r["severity"], r["component"], r["finding"])
+        for r in st.maintenance_check(spark, snap, deep=True).collect()
+    }
+    assert ("ok", "versions", "newest_version_readable") in rows, rows
+    assert not any(sev == "error" for sev, _, _ in rows), rows
+
+    # corrupt the newest committed version's data: error, not "empty"
+    import glob
+    import os
+
+    newest = sorted(glob.glob(f"{snap}/v_*"))[-1]
+    for f in glob.glob(f"{newest}/*.parquet"):
+        with open(f, "wb") as fh:
+            fh.write(b"not parquet")
+    bad = {
+        (r["severity"], r["component"], r["finding"])
+        for r in st.maintenance_check(spark, snap).collect()
+    }
+    assert ("error", "versions", "newest_version_unreadable") in bad, bad

@@ -3984,6 +3984,42 @@ def maintenance_check(
                     )
                 )
 
+    # --- plain versioned-state stores (round 11): the rollup / CMS
+    # sketch layout is top-level v_<id> dirs whose newest committed
+    # version IS the whole state — no sub-stores, so none of the
+    # passes above fire and the store used to be misreported as
+    # "empty". Applied only when no sub-store was recognized (the
+    # semantic/cluster layouts carry v_* state dirs too, but their
+    # own passes already verify those and their version dirs are not
+    # plain parquet).
+    if not any(r[1] not in ("lock",) for r in rows):
+        versions = rollup_committed_versions(spark, snapshot_path)
+        if versions:
+            vdir = _rollup_version_dir(snapshot_path, versions[-1])
+            try:
+                state = spark.read.parquet(vdir)
+                state.limit(1).collect()
+                if deep:
+                    _deep_dup_scan("versions", state)
+                rows.append(
+                    (
+                        "ok",
+                        "versions",
+                        "newest_version_readable",
+                        f"v_{versions[-1]} of {len(versions)} committed",
+                    )
+                )
+            except Exception as exc:
+                rows.append(
+                    (
+                        "error",
+                        "versions",
+                        "newest_version_unreadable",
+                        f"v_{versions[-1]}: {exc!r}"[:160]
+                        + " — readers cannot load the state",
+                    )
+                )
+
     if not rows:
         rows.append(
             ("ok", "snapshot", "empty", "no sub-stores under this path")
