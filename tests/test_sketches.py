@@ -255,3 +255,26 @@ def test_maintenance_check_recognizes_versioned_sketch_store(spark, tmp_path):
         for r in st.maintenance_check(spark, snap).collect()
     }
     assert ("error", "versions", "newest_version_unreadable") in bad, bad
+
+
+def test_clone_snapshot_clones_a_versioned_sketch_store(spark, tmp_path):
+    """The backup verb must carry the plain versioned-state layout: the
+    in-dir v_*/_APPLIED markers are part of the cut (created last), and
+    the clone serves the same state as the source."""
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    src = str(tmp_path / "src")
+    st.fold_sketch_batch(_mk_docs(spark, ["a a b", "c"]), 0, src)
+    st.fold_sketch_batch(_mk_docs(spark, ["a d"]), 1, src)
+    dst = str(tmp_path / "dst")
+    out = st.clone_snapshot(spark, src, dst)
+    assert out["markers"] >= 2  # one _APPLIED per committed version
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, dst).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, src).collect()
+    }
+    assert got == want
