@@ -53,13 +53,34 @@ def _bench_surface():
     ] + FLAGSHIPS
 
 
-def _current_digests(spark) -> dict[str, str]:
-    from bench import plan_digest
+def _plan_digest(df) -> str:
+    """bench.plan_digest's normalization PLUS the lambda-variable
+    counter (``lambda x_651#`` — Spark numbers higher-order-function
+    variables from a session-GLOBAL counter, so a query's optimized
+    plan text depends on how many lambda-bearing plans the session
+    built before it; bench.py is immune because it constructs its
+    queries in a fixed order in a fresh session, but this guard runs
+    inside the shared pytest session after an arbitrary prefix of the
+    suite). bench.plan_digest itself stays untouched so the committed
+    BENCH_DETAIL digest history keeps its round-over-round continuity."""
+    import hashlib
+    import re
 
+    s = df._jdf.queryExecution().optimizedPlan().toString()
+    s = re.sub(r"\blambda ([A-Za-z]+)_\d+#", r"lambda \1_#", s)
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"QueryStage \d+", "QueryStage", s)
+    s = re.sub(r"\brdd_\d+\b", "rdd_", s)
+    s = re.sub(r"\*\(\d+\)", "*(", s)
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def _current_digests(spark) -> dict[str, str]:
     from twitter_social_triangle_mapreduce_spark import registry
 
     qs = registry.all_queries(include_extra=True)
-    return {n: plan_digest(qs[n](spark, SF_SMOKE)) for n in _bench_surface()}
+    return {n: _plan_digest(qs[n](spark, SF_SMOKE)) for n in _bench_surface()}
 
 
 def test_bench_surface_plan_digests_pinned(spark):
