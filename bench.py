@@ -86,6 +86,72 @@ def cpu_calibration() -> dict:
     return {"cpu_loop_sec": round(sec, 4), "load_avg_1m": load1}
 
 
+#: idle reference for the sentinel (seconds): the r8–r11 idle samples on
+#: this machine span 0.40–0.52 s (BASELINE.md calibration rows); 0.46 is
+#: their center. A start sentinel more than SENTINEL_TOLERANCE above it
+#: means the machine is NOT idle and any wall number recorded would need
+#: litigating (the r11 lesson: a checked-in 7.42 s headline with
+#: bit-identical digests cost a verdict section to explain).
+IDLE_SENTINEL_SEC = 0.46
+SENTINEL_TOLERANCE = 0.10
+#: bounded retries before giving up and stamping the record tainted
+SENTINEL_RETRIES = 3
+SENTINEL_RETRY_WAIT_SEC = 60.0
+
+
+def _sentinel_loaded(sample: dict) -> bool:
+    return sample["cpu_loop_sec"] > IDLE_SENTINEL_SEC * (
+        1.0 + SENTINEL_TOLERANCE
+    )
+
+
+def await_idle_machine() -> tuple[dict, list[dict], bool]:
+    """Self-defending start gate (round 12, r11 verdict item 3): sample
+    the sentinel; if it reads loaded, wait and re-sample up to
+    ``SENTINEL_RETRIES`` times — the common contention source is a
+    just-finished pytest/driver battery whose load drains within a
+    minute or two. Returns (accepted start sample, rejected samples,
+    still_loaded): when every retry reads loaded the bench RUNS anyway
+    (an operator watching a round deadline needs a record, not an
+    abort) but the caller stamps ``load_compromised`` so downstream
+    consumers read the wall numbers as tainted. Retries/wait are
+    env-overridable for tests (``SPARK_GRAFT_SENTINEL_RETRIES`` /
+    ``SPARK_GRAFT_SENTINEL_WAIT_SEC``)."""
+    retries = int(
+        os.environ.get("SPARK_GRAFT_SENTINEL_RETRIES", SENTINEL_RETRIES)
+    )
+    wait = float(
+        os.environ.get(
+            "SPARK_GRAFT_SENTINEL_WAIT_SEC", SENTINEL_RETRY_WAIT_SEC
+        )
+    )
+    rejected: list[dict] = []
+    sample = cpu_calibration()
+    attempts = 0
+    while _sentinel_loaded(sample) and attempts < retries:
+        print(
+            f"bench: sentinel {sample['cpu_loop_sec']} s >"
+            f" {IDLE_SENTINEL_SEC} × {1 + SENTINEL_TOLERANCE:.2f}"
+            f" (load {sample['load_avg_1m']}) — machine not idle,"
+            f" waiting {wait:.0f} s (retry {attempts + 1}/{retries})",
+            file=sys.stderr,
+            flush=True,
+        )
+        rejected.append(sample)
+        time.sleep(wait)
+        sample = cpu_calibration()
+        attempts += 1
+    return sample, rejected, _sentinel_loaded(sample)
+
+
+def sentinel_drift(start: dict, end: dict) -> float:
+    """|end − start| / start on the sentinel — intra-run contention
+    (the r8 protocol's distrust signal, now computed by the bench
+    itself instead of by whoever reads the record)."""
+    s = start["cpu_loop_sec"]
+    return abs(end["cpu_loop_sec"] - s) / s if s else 0.0
+
+
 def run_once(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -176,6 +242,9 @@ def plan_digest(df) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # start gate BEFORE the JVM comes up: the sentinel must measure the
+    # machine, not this process's own session bring-up
+    start_cal, rejected_starts, start_loaded = await_idle_machine()
     spark = get_spark(
         app_name="tstm-bench",
         extra_conf={
@@ -192,7 +261,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     acct = ShuffleAccounting(spark)
-    calibration = {"start": cpu_calibration()}
+    calibration: dict = {"start": start_cal}
+    if rejected_starts:
+        calibration["rejected_starts"] = rejected_starts
 
     queries = registry.all_queries()
     per_query: dict[str, float] = {}
@@ -301,10 +372,19 @@ def main() -> None:
     # this script (committed per round; the budgets guard test and the
     # judge read it whole).
     calibration["end"] = cpu_calibration()
+    # taint verdict (round 12): a loaded start that never drained, OR
+    # start→end sentinel drift beyond the tolerance, marks every wall
+    # number in this record as machine state — digests and shuffle
+    # bytes stay trustworthy (they are load-invariant by construction)
+    drift = round(sentinel_drift(start_cal, calibration["end"]), 4)
+    load_compromised = bool(start_loaded or drift > SENTINEL_TOLERANCE)
+    calibration["drift"] = drift
+    calibration["idle_ref_sec"] = IDLE_SENTINEL_SEC
     detail = {
         "metric": "median_wall_sec_total",
         "value": total,
         "unit": "sec",
+        "load_compromised": load_compromised,
         "queries": per_query,
         "sf": float(sf),
         "plans": plans,
@@ -327,6 +407,7 @@ def main() -> None:
                 "metric": "median_wall_sec_total",
                 "value": total,
                 "unit": "sec",
+                "load_compromised": load_compromised,
                 "queries": per_query,
                 "sf": float(sf),
                 "plans": plans,
