@@ -59,6 +59,17 @@ Johnson–Lindenstrauss dimensionality-reduction tier (±1 md5-parity
 projection folded into the scan, then exact scoring in the projected
 space) is now driver-hash-gated against a DuckDB twin that recomputes
 the projection term-for-term.
+
+Round 12 rotation: ``token_topk`` → pytest tier (its tokens → count →
+order/limit chain is wholly contained in the new gate's vocabulary
+pass plus the other driver-gated ordered queries, so its marginal
+driver signal was the lowest) in favor of ``unigram_logprob_gate`` —
+the per-source bottom-p% cut on the corpus-LM unigram score (the
+CCNet-style curation stage: coarse-bucket re-scaling of the negative
+score domain + the histogram quota walk, so the cut never sorts the
+corpus) is now driver-hash-gated end to end. The round's other new
+gated query, ``semantic_dedup_projected`` (the SemDeDup pipeline run
+in the JL-projected space), is hash-oracled in the pytest tier.
 """
 
 from __future__ import annotations

@@ -359,3 +359,152 @@ def test_mg_weighted_fold_parity_with_unit_fold():
         assert len(got) <= k
         assert true_heavy <= got
     assert true_heavy <= unit_fold(stream, k)
+
+
+# --- re-width migration (round 12, r11 verdict item 5) ---
+
+
+def test_rewidth_sketch_store_midstream_parity(spark, tmp_path):
+    """fold A (pins 4x256) -> rewidth to 4x512 from the corpus of
+    record -> fold B: the snapshot must equal the direct batch sketch
+    of A united B AT THE NEW GEOMETRY, exactly (deterministic md5
+    placement -> dict equality, no tolerance)."""
+    from twitter_social_triangle_mapreduce_spark.operators import sketches
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    a = _mk_docs(spark, ["a a b c", "d e", "a f"])
+    b = spark.createDataFrame(
+        [(100, "b b g"), (101, "a h i")], "doc_id long, text string"
+    )
+    snap = str(tmp_path / "snap")
+    st.fold_sketch_batch(a, 0, snap)
+    assert st._sketch_pinned_geom(
+        spark, st._semantic_state_dirs(spark, snap)
+    ) == (sketches.CMS_DEPTH, sketches.CMS_WIDTH)
+    out = st.rewidth_sketch_store(spark, snap, a, width=512)
+    assert out == (sketches.CMS_DEPTH, 512)
+    st.fold_sketch_batch(b, 1, snap)
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.token_count_sketch(
+            a.unionByName(b), width=512
+        ).collect()
+    }
+    assert got == want
+    # geometry travelled with the post-migration fold's state
+    assert st._sketch_pinned_geom(
+        spark, st._semantic_state_dirs(spark, snap)
+    ) == (sketches.CMS_DEPTH, 512)
+
+
+def test_fold_sketch_batch_rejects_geometry_drift(spark, tmp_path):
+    import pytest
+
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    snap = str(tmp_path / "snap")
+    st.fold_sketch_batch(_mk_docs(spark, ["a b"]), 0, snap)
+    with pytest.raises(ValueError, match="rewidth_sketch_store"):
+        st.fold_sketch_batch(_mk_docs(spark, ["c"]), 1, snap, width=512)
+    st.rewidth_sketch_store(
+        spark, snap, _mk_docs(spark, ["a b"]), width=512
+    )
+    with pytest.raises(ValueError, match="pinned at 4x512"):
+        st.fold_sketch_batch(_mk_docs(spark, ["c"]), 1, snap, width=256)
+    # the pinned geometry stated explicitly is accepted
+    st.fold_sketch_batch(_mk_docs(spark, ["c"]), 1, snap, width=512)
+
+
+def test_rewidth_noop_and_abs_err_sizing(spark, tmp_path):
+    from twitter_social_triangle_mapreduce_spark.operators import sketches
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    snap = str(tmp_path / "snap")
+    docs = _mk_docs(spark, ["a b c d e f g h"])  # 8 tokens
+    st.fold_sketch_batch(docs, 0, snap)
+    # current geometry -> no-op, store untouched
+    assert (
+        st.rewidth_sketch_store(
+            spark, snap, docs, width=sketches.CMS_WIDTH
+        )
+        is None
+    )
+    # abs_err derivation: width = ceil(2N/abs_err) = ceil(16/3) = 6
+    assert sketches.cms_width_for(8, 3) == 6
+    out = st.rewidth_sketch_store(spark, snap, docs, abs_err=3)
+    assert out == (sketches.CMS_DEPTH, 6)
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in sketches.token_count_sketch(docs, width=6).collect()
+    }
+    assert got == want
+
+
+def test_rewidth_rejects_concurrent_rival(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from twitter_social_triangle_mapreduce_spark.streaming import (
+        ConcurrentMaintenanceError,
+    )
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    snap = str(tmp_path / "snap")
+    docs = _mk_docs(spark, ["a b c"])
+    st.fold_sketch_batch(docs, 0, snap)
+    before = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    }
+    os.makedirs(f"{snap}/markers", exist_ok=True)
+    with open(f"{snap}/markers/_MAINTENANCE_LOCK", "w") as fh:
+        fh.write("rival-token-0000")
+    with pytest.raises(ConcurrentMaintenanceError, match="holds"):
+        st.rewidth_sketch_store(spark, snap, docs, width=512)
+    # store untouched: same serving state, no r_ dir appeared
+    assert {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, snap).collect()
+    } == before
+    assert not [d for d in os.listdir(snap) if d.startswith("r_")]
+    os.remove(f"{snap}/markers/_MAINTENANCE_LOCK")
+    assert st.rewidth_sketch_store(spark, snap, docs, width=512)
+
+
+def test_fsck_and_clone_carry_a_rewidthed_sketch_store(spark, tmp_path):
+    from twitter_social_triangle_mapreduce_spark.streaming import streams as st
+
+    src = str(tmp_path / "src")
+    docs = _mk_docs(spark, ["a a b", "c d"])
+    st.fold_sketch_batch(docs, 0, src)
+    st.rewidth_sketch_store(spark, src, docs, width=512)
+    rows = {
+        (r["severity"], r["component"], r["finding"])
+        for r in st.maintenance_check(spark, src, deep=True).collect()
+    }
+    assert ("ok", "versions", "newest_version_readable") in rows, rows
+    assert not any(sev == "error" for sev, _, _ in rows), rows
+    dst = str(tmp_path / "dst")
+    st.clone_snapshot(spark, src, dst)
+    got = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, dst).collect()
+    }
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in st.read_sketch_snapshot(spark, src).collect()
+    }
+    assert got == want
+    # the clone's pinned geometry matches the source's
+    assert st._sketch_pinned_geom(
+        spark, st._semantic_state_dirs(spark, dst)
+    ) == (4, 512)

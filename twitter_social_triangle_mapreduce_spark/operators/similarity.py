@@ -949,14 +949,16 @@ def _apply_projection(
 
     At-rest note: this applies the projection INLINE — each consumer
     scan of the relation re-evaluates the O(dims·project_dims) row
-    expression (the pairs pipeline scans the corpus ~3×). That is the
-    right trade for one-shot queries; a pipeline that scans the corpus
-    repeatedly (streaming folds, index serving) should project ONCE at
-    rest instead — write ``project_embeddings(...)`` to parquet (or
-    pass ``project_dims`` to ``write_ivf_index`` /
+    expression, and the signature/scoring expressions NEST over it (the
+    pairs pipeline scans the corpus ~3×). The measured price
+    (semantic_projected_scale_probe, 20k×256→32): inline LOSES to raw
+    (61.6 s vs 25.6 s) while projecting ONCE AT REST wins outright
+    (6.9 s + a one-time 7.7 s projection, identical dropped-count). So
+    treat this knob as correctness plumbing and the at-rest shape as
+    the production path: write ``project_embeddings(...)`` to parquet
+    (or pass ``project_dims`` to ``write_ivf_index`` /
     ``streaming_semantic_maintenance``, which store projected vectors)
-    and call the consumer with ``dims=project_dims`` — the
-    compression-stack probe prices the difference."""
+    and call the consumer with ``dims=project_dims``."""
     if project_dims is None:
         return dims, embeddings, centroids
     out = project_embeddings(embeddings, project_dims, dims)

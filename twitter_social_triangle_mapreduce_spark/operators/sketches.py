@@ -130,6 +130,21 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def cms_width_for(n_tokens: int, abs_err: int) -> int:
+    """The CMS error bound solved for width (round 12): est ≤ true +
+    2N/width w.h.p., so holding an ABSOLUTE error target ``abs_err``
+    as the corpus grows needs ``width = ceil(2N/abs_err)`` — the
+    sizing rule BASELINE.md's round-11 row documents, packaged so the
+    re-width migration (``streams.rewidth_sketch_store``) and batch
+    callers size identically."""
+    if n_tokens < 0 or abs_err <= 0:
+        raise ValueError(
+            f"cms_width_for: need n_tokens >= 0 and abs_err > 0,"
+            f" got {n_tokens}, {abs_err}"
+        )
+    return max(1, -(-2 * int(n_tokens) // int(abs_err)))
+
+
 def _cms_placed(
     df: DataFrame,
     depth: int,

@@ -615,6 +615,130 @@ def quality_gate_oracle_sql(
     """
 
 
+#: bottom-fraction DROPPED by the per-source log-prob gate (1e6-scaled):
+#: the CCNet-style outlier cut — drop the worst 10% of every source
+LOGPROB_CUT_BOTTOM_E6 = 100_000
+
+#: coarse re-bucketing of ``avg_lp_e6`` for the histogram quota walk
+#: (round 12, r11 verdict item 2): the stopword gate's histogram trick
+#: assumes a [0, 1e6] score domain; ``avg_lp_e6`` is negative and wide,
+#: so the walk runs over floor-div buckets instead. 0.1-nat buckets over
+#: the [LOGPROB_FLOOR_E6, 0] domain bound the histogram at
+#: |sources| × 400 rows regardless of corpus size.
+LOGPROB_BUCKET_E6 = 100_000
+
+#: hard floor of the score domain: avg_lp_e6 ≥ 1e6·ln(1/N) > −40e6 for
+#: any corpus below e^40 ≈ 2.4e17 tokens; the clamp makes the bucket
+#: arithmetic provably non-negative in both engines (same floor-div
+#: then truncation == floor)
+LOGPROB_FLOOR_E6 = -40_000_000
+
+
+def unigram_logprob_gate(
+    documents: DataFrame,
+    p_e6: int = LOGPROB_CUT_BOTTOM_E6,
+    bucket_e6: int = LOGPROB_BUCKET_E6,
+    strata_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, avg_lp_e6, bucket, keep) — per-source BOTTOM-p%
+    cut on the corpus-LM quality score (round 12, r11 verdict item 2:
+    ``doc_unigram_logprob`` shipped the score; this is the gate that
+    makes it an actionable curation stage). A document is DROPPED when
+    its whole score BUCKET fits inside the source's drop quota
+    ``floor(p·n_source)`` counting from the worst bucket up — the same
+    whole-bucket determinism as ``quality_threshold_gate`` (boundary
+    buckets are all-or-nothing, so the dropped count is AT MOST the
+    quota and never a nondeterministic tie split). Sources where even
+    the worst bucket overflows the quota drop nothing.
+
+    Scale shape — the quality_threshold_gate histogram recipe with one
+    extra move: (1) the per-document score comes from the shared
+    ``doc_unigram_logprob`` pipeline (token-keyed join, integer-exact);
+    (2) ``source`` attaches via a doc-sized post-aggregation equi-join
+    (joining AFTER the per-doc reduce keeps the token stream narrow —
+    the divergence query tags tokens instead because its aggregate is
+    per-source); (3) the wide negative score domain re-buckets by
+    clamped floor-div — non-negative by construction, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree — bounding
+    the histogram the quota walk windows over at |sources| × 400 rows;
+    (4) the per-source drop threshold collapses to ONE bucket id,
+    broadcast back, keep is a row expression. Corpus rows shuffle only
+    inside the score pipeline itself, never for the gate."""
+    from pyspark.sql.window import Window
+
+    scored = doc_unigram_logprob(documents).join(
+        documents.select("doc_id", F.col(strata_col).alias("source")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "source",
+        "avg_lp_e6",
+        F.expr(
+            f"(greatest(avg_lp_e6, {LOGPROB_FLOOR_E6})"
+            f" - {LOGPROB_FLOOR_E6}) div {bucket_e6}"
+        ).alias("bucket"),
+    )
+    hist = scored.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("source")
+    # highest bucket whose whole population still fits the DROP quota,
+    # walking from the worst score up; drop is then bucket <= threshold
+    thresholds = (
+        hist.withColumn("__ns", F.sum("__n").over(tot_w))
+        .withColumn("__cum", F.sum("__n").over(cum_w))
+        .where(F.col("__cum") <= F.expr(f"({p_e6} * __ns) div 1000000"))
+        .groupBy("source")
+        .agg(F.max("bucket").alias("__thresh"))
+    )
+    return scored.join(F.broadcast(thresholds), ["source"], "left").select(
+        "doc_id",
+        "source",
+        "avg_lp_e6",
+        "bucket",
+        F.coalesce(
+            (F.col("bucket") > F.col("__thresh")).cast("long"), F.lit(1)
+        ).alias("keep"),
+    )
+
+
+def unigram_logprob_gate_oracle_sql(
+    toks_sql: str,
+    p_e6: int = LOGPROB_CUT_BOTTOM_E6,
+    bucket_e6: int = LOGPROB_BUCKET_E6,
+    strata_col: str = "source",
+) -> str:
+    """DuckDB twin of ``unigram_logprob_gate`` — the logprob oracle's
+    doc relation, the same clamped floor-div bucket, the same
+    worst-bucket-up quota walk."""
+    return f"""
+        WITH lp AS ({unigram_logprob_oracle_sql(toks_sql)}),
+        s AS (SELECT lp.doc_id, d.{strata_col} AS source, lp.avg_lp_e6,
+                     (greatest(lp.avg_lp_e6, {LOGPROB_FLOOR_E6})
+                      - {LOGPROB_FLOOR_E6}) // {bucket_e6} AS bucket
+              FROM lp JOIN documents d USING (doc_id)),
+        h AS (SELECT source, bucket, COUNT(*) AS n
+              FROM s GROUP BY source, bucket),
+        w AS (SELECT source, bucket,
+                     SUM(n) OVER (PARTITION BY source
+                                  ORDER BY bucket ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n) OVER (PARTITION BY source) AS ns
+              FROM h),
+        thr AS (SELECT source, MAX(bucket) AS th
+                FROM w WHERE cum <= ({p_e6} * ns) // 1000000
+                GROUP BY source)
+        SELECT s.doc_id, s.source, s.avg_lp_e6, s.bucket,
+               CAST(COALESCE(s.bucket > t.th, TRUE) AS BIGINT) AS keep
+        FROM s LEFT JOIN thr t USING (source)
+    """
+
+
 #: curation gates: minimum token count and minimum (English) stopword
 #: density — the classic cheap heuristics a pretraining pipeline applies
 #: before any model-based scoring

@@ -621,7 +621,12 @@ EXT_QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
-    "token_topk": q_token_topk,
+    # round 12: token_topk rotated to the pytest tier (its tokens →
+    # count → order/limit chain is wholly contained in the driver-gated
+    # unigram gate's vocabulary pass plus the other ordered queries) in
+    # favor of unigram_logprob_gate — the CCNet-style per-source
+    # bottom-p% quality cut, driver-hash-gated end to end (appended
+    # below its definition, like semantic_decontam)
     "token_counts_multi": q_token_counts_multi,
     # round 7: doc_rolling_hash rotated to the pytest tier (it is an
     # intermediate of the driver-gated passage pipelines) in favor of
@@ -1047,6 +1052,13 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 12 (r11 verdict item 2): the per-source bottom-p% cut on
+    # the corpus-LM score — the CCNet-style curation stage, built on
+    # the coarse-bucket histogram quota walk
+    return text.unigram_logprob_gate(load_table(spark, sf_dir, "documents"))
+
+
 def q_token_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sketches
 
@@ -1413,6 +1425,10 @@ EXT_QUERIES["semantic_snapshot_compacted"] = q_semantic_snapshot_compacted
 # fold) is driver-hash-gated against the clustering oracle regenerated
 # at the NEW width; embedding_near_dup_pairs moved to the pytest tier
 EXT_QUERIES["semantic_snapshot_rebanded"] = q_semantic_snapshot_rebanded
+# round 12 rotation: the per-source bottom-p% log-prob cut (r11 verdict
+# item 2) — the score pipeline plus the coarse-bucket histogram quota
+# walk, driver-hash-gated; token_topk moved to the pytest tier below
+EXT_QUERIES["unigram_logprob_gate"] = q_unigram_logprob_gate
 
 def q_semantic_dedup_projected(
     spark: SparkSession, sf_dir: str
@@ -1436,6 +1452,10 @@ EXT_EXTRA_QUERIES = {
     # round 12: semantic dedup with the projection tier applied —
     # hash-oracled against the projected clustering twin
     "semantic_dedup_projected": q_semantic_dedup_projected,
+    # round 12: rotated out of the driver 50 for unigram_logprob_gate —
+    # the tokens → count → order/limit chain is contained in the gate's
+    # vocabulary pass; still hash-oracled here
+    "token_topk": q_token_topk,
     # round 11: deterministic JL dimensionality reduction (±1
     # md5-parity matrix, scan-side expression, zero shuffle) — the
     # exploded per-coordinate relation; its top-k consumer
@@ -2533,6 +2553,10 @@ def ext_oracles(dims: int = 64) -> dict[str, str]:
 
     out["heavy_hitter_tokens"] = sketches.heavy_hitter_oracle_sql(_TOKS)
     out["doc_unigram_logprob"] = text.unigram_logprob_oracle_sql(_TOKS)
+    # round 12: the gated variant (driver tier after the rotation)
+    out["unigram_logprob_gate"] = text.unigram_logprob_gate_oracle_sql(
+        _TOKS
+    )
     out["token_count_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)
     out["token_count_estimates"] = sketches.cms_estimate_oracle_sql(_TOKS)
     out["merged_token_sketch"] = sketches.cms_sketch_oracle_sql(_TOKS)

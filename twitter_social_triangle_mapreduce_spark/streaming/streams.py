@@ -478,6 +478,8 @@ def _fold_versioned_state(
     state_fn,
     merge_fn,
     keep_versions: int = 2,
+    state_dirs: list[tuple[int, int, str]] | None = None,
+    pre_commit=None,
 ) -> None:
     """The versioned additive-state fold, generic over the state
     algebra (round 11, extracted from ``fold_rollup_batch`` whose
@@ -489,32 +491,84 @@ def _fold_versioned_state(
     marker-commit, monotonic history, prune-after-commit — without
     touching the commit protocol. Instances: the per-user rollup
     (``fold_rollup_batch``) and the Count–Min sketch
-    (``fold_sketch_batch``)."""
+    (``fold_sketch_batch``).
+
+    Round 12 hooks (the re-width migration): ``state_dirs`` supplies
+    the FULL committed state chain ``(base, seq, path)`` — fold
+    versions at seq 0 interleaved with ``r_<base>_<seq>`` maintenance
+    rewrites — so the replay check runs on fold versions only while
+    the previous state reads from the chain's LAST entry (a rewrite
+    supersedes its base's STATE, never its version id); pruning walks
+    the chain. ``pre_commit(jvm, fs, vdir)`` runs after the state
+    write and BEFORE the marker create, so in-dir pins (the sketch's
+    geometry marker) flip atomically with the state. Defaults
+    reproduce the round-11 behavior exactly."""
     spark = batch_df.sparkSession
-    versions = rollup_committed_versions(spark, snapshot_path)
+    if state_dirs is None:
+        state_dirs = [
+            (b, 0, _rollup_version_dir(snapshot_path, b))
+            for b in rollup_committed_versions(spark, snapshot_path)
+        ]
+    versions = [b for b, s, _ in state_dirs if s == 0]
     if versions and versions[-1] >= batch_id:
         return  # replayed batch: already folded and committed
     delta = state_fn(batch_df)
-    if versions:
-        prev = spark.read.parquet(
-            _rollup_version_dir(snapshot_path, versions[-1])
-        )
+    if state_dirs:
+        prev = spark.read.parquet(state_dirs[-1][2])
         merged = merge_fn(prev, delta)
     else:
         merged = delta
     vdir = _rollup_version_dir(snapshot_path, batch_id)
     merged.write.mode("overwrite").parquet(vdir)
     jvm, fs = _rollup_fs(spark, snapshot_path)
+    if pre_commit is not None:
+        pre_commit(jvm, fs, vdir)
     fs.create(
         jvm.org.apache.hadoop.fs.Path(f"{vdir}/{ROLLUP_APPLIED_MARKER}"), True
     ).close()
-    for old in versions[: max(0, len(versions) + 1 - keep_versions)]:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(
-                _rollup_version_dir(snapshot_path, old)
-            ),
-            True,
-        )
+    for _, _, old in state_dirs[
+        : max(0, len(state_dirs) + 1 - keep_versions)
+    ]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+
+
+#: geometry pin for the versioned sketch store (round 12, r11 verdict
+#: item 5): an EMPTY marker file ``_GEOM_<depth>_<width>`` inside each
+#: committed state dir. Underscore-prefixed names are invisible to
+#: Spark's parquet reader (the same property ``_APPLIED`` relies on),
+#: so the pin travels INSIDE the flat state dir and flips atomically
+#: with the state under the one ``_APPLIED`` create — the semantic
+#: store's state-adjacent ``bits`` contract, without a subdir layout.
+_SKETCH_GEOM_PREFIX = "_GEOM_"
+
+
+def _write_sketch_geom(jvm, fs, state_dir: str, depth: int, width: int):
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{state_dir}/{_SKETCH_GEOM_PREFIX}{int(depth)}_{int(width)}"
+        ),
+        True,
+    ).close()
+
+
+def _sketch_pinned_geom(
+    spark, state_dirs: list[tuple[int, int, str]]
+) -> tuple[int, int] | None:
+    """(depth, width) the serving state was sketched at — read from
+    the newest committed state dir's geometry marker; None for a fresh
+    store or a pre-round-12 legacy store (whose history folded at the
+    ``CMS_DEPTH × CMS_WIDTH`` defaults)."""
+    if not state_dirs:
+        return None
+    jvm, fs = _rollup_fs(spark, state_dirs[-1][2])
+    for st_ in fs.listStatus(
+        jvm.org.apache.hadoop.fs.Path(state_dirs[-1][2])
+    ):
+        name = st_.getPath().getName()
+        if name.startswith(_SKETCH_GEOM_PREFIX):
+            d, w = name[len(_SKETCH_GEOM_PREFIX):].split("_")
+            return int(d), int(w)
+    return None
 
 
 def fold_sketch_batch(
@@ -522,6 +576,8 @@ def fold_sketch_batch(
     batch_id: int,
     snapshot_path: str,
     keep_versions: int = 2,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> None:
     """Fold one micro-batch of documents into the versioned Count–Min
     sketch snapshot — the streaming twin of
@@ -534,36 +590,231 @@ def fold_sketch_batch(
     unbounded stream costs O(sketch) per batch, never O(history) —
     and the committed snapshot always equals the batch sketch of
     everything folded so far (the merge algebra the hash-gated
-    ``merged_token_sketch`` proves)."""
-    from ..operators.sketches import merge_cms_states, token_count_sketch
+    ``merged_token_sketch`` proves).
 
+    Geometry contract (round 12, r11 verdict item 5 — the width
+    contract of the semantic store instantiated for the sketch): CMS
+    merge requires IDENTICAL depth×width on both sides, so the
+    geometry pins with the serving state at first fold (the caller's
+    ``depth``/``width``, else the module defaults; a legacy store with
+    committed pre-pin history pins the defaults its history folded
+    at) and every later fold uses the pinned value, raising if a
+    caller passes a DIFFERENT explicit geometry mid-stream — two
+    geometries never merge, they silently double-count nothing and
+    drop everything, so the contract forbids the drift outright. The
+    ONE sanctioned migration path is ``rewidth_sketch_store``."""
+    from ..operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        merge_cms_states,
+        token_count_sketch,
+    )
+
+    spark = batch_df.sparkSession
+    state_dirs = _semantic_state_dirs(spark, snapshot_path)
+    pinned = _sketch_pinned_geom(spark, state_dirs)
+    if pinned is None:
+        # fresh store: pin the caller's geometry (else defaults).
+        # Legacy committed history folded at the defaults, so an
+        # explicit non-default request against it is the forbidden
+        # mid-stream geometry change, not a first-fold choice.
+        d = CMS_DEPTH if depth is None else int(depth)
+        w = CMS_WIDTH if width is None else int(width)
+        if state_dirs and (d, w) != (CMS_DEPTH, CMS_WIDTH):
+            raise ValueError(
+                f"fold_sketch_batch: snapshot has committed history at"
+                f" the default {CMS_DEPTH}x{CMS_WIDTH} geometry but the"
+                f" caller requested {d}x{w} — geometry cannot change"
+                " across folds of one state (CMS counters at two"
+                " geometries never merge); migrate with"
+                " rewidth_sketch_store or start a new snapshot"
+            )
+        pinned = (d, w)
+    else:
+        if (depth is not None and int(depth) != pinned[0]) or (
+            width is not None and int(width) != pinned[1]
+        ):
+            raise ValueError(
+                f"fold_sketch_batch: caller requested"
+                f" {depth}x{width} but the snapshot's serving state is"
+                f" pinned at {pinned[0]}x{pinned[1]} — geometry cannot"
+                " change across folds of one state; migrate with"
+                " rewidth_sketch_store or start a new snapshot"
+            )
+    d, w = pinned
     _fold_versioned_state(
         batch_df,
         batch_id,
         snapshot_path,
-        token_count_sketch,
+        lambda df: token_count_sketch(df, depth=d, width=w),
         merge_cms_states,
         keep_versions,
+        state_dirs=state_dirs,
+        pre_commit=lambda jvm, fs, vdir: _write_sketch_geom(
+            jvm, fs, vdir, d, w
+        ),
     )
 
 
 def read_sketch_snapshot(spark, snapshot_path: str) -> DataFrame:
-    """The latest COMMITTED sketch state (same contract as
-    ``read_rollup_snapshot`` — both read the shared v_* layout)."""
-    return read_rollup_snapshot(spark, snapshot_path)
+    """The latest COMMITTED sketch state — the newest fold version OR
+    re-width rewrite, whichever committed last (flat parquet either
+    way; the geometry marker and ``_APPLIED`` are underscore-invisible
+    to the reader). Raises if nothing has been committed."""
+    dirs = _semantic_state_dirs(spark, snapshot_path)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed sketch snapshot under {snapshot_path}"
+        )
+    return spark.read.parquet(dirs[-1][2])
+
+
+def rewidth_sketch_store(
+    spark,
+    snapshot_path: str,
+    corpus_docs: DataFrame,
+    depth: int | None = None,
+    width: int | None = None,
+    abs_err: int | None = None,
+    keep_versions: int = 2,
+) -> tuple[int, int] | None:
+    """Re-width maintenance fold for the streaming CMS store (round
+    12, r11 verdict item 5): migrate a sketch snapshot to a geometry
+    sized for its CURRENT corpus. A store pinned at its first fold's
+    width keeps its ABSOLUTE error growing with N (est ≤ true +
+    2N/width), so a stream grown 100× past its first batch serves
+    estimates whose error bound grew 100× — the same serve-forever-at-
+    first-batch-width failure the semantic re-band closed for LSH.
+
+    WHY THE CORPUS IS A PARAMETER (the honest difference from
+    ``reband_semantic_store``): a CMS counter is the SUM of every
+    token md5-colliding into it — the token identities are
+    unrecoverable from the state, so counters cannot be re-hashed to
+    a new width. The semantic store recomputes from its at-rest
+    ``embs/`` corpus because the corpus IS its index; the sketch
+    store's whole point is to be corpus-free (O(sketch) state), so a
+    geometry migration is the one operation that must return to the
+    source of record. The caller supplies ``corpus_docs`` covering
+    exactly what has been folded so far; the migration is a
+    from-scratch ``token_count_sketch`` at the new geometry — after
+    it, fold==batch parity holds AT THE NEW GEOMETRY and subsequent
+    folds extend it (mid-stream parity pinned in
+    tests/test_sketches.py).
+
+    Sizing: pass ``width=`` explicitly, or ``abs_err=`` to derive
+    ``width = ceil(2·N/abs_err)`` from the corpus token count (the
+    CMS bound solved for width — ``sketches.cms_width_for``). Depth
+    defaults to the pinned depth.
+
+    Crash contract — the re-band playbook verbatim: the rewrite
+    commits under the atomic-marker flip in the parallel
+    ``r_<base>_<seq>`` namespace (never consumes a stream batch id),
+    with the geometry marker written INSIDE the staged dir before the
+    rename, so state and geometry flip together; an uncommitted dir
+    is invisible and overwritten by the retry. Runs under the shared
+    maintenance lock; the loser raises ``ConcurrentMaintenanceError``
+    with the store untouched. Returns the new (depth, width), or None
+    when the store already serves at the target geometry."""
+    from ..operators.dedup import tokens
+    from ..operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_width_for,
+        token_count_sketch,
+    )
+
+    state_dirs = _semantic_state_dirs(spark, snapshot_path)
+    versions = [b for b, s, _ in state_dirs if s == 0]
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed sketch snapshot under {snapshot_path}"
+        )
+    base = versions[-1]
+    cur = _sketch_pinned_geom(spark, state_dirs) or (CMS_DEPTH, CMS_WIDTH)
+    d = cur[0] if depth is None else int(depth)
+    if width is not None:
+        w = int(width)
+    elif abs_err is not None:
+        # corpus-derived sizing: one count over the token stream —
+        # the migration rescans the corpus anyway
+        w = cms_width_for(tokens(corpus_docs).count(), abs_err)
+    else:
+        raise ValueError(
+            "rewidth_sketch_store: pass width= or abs_err= (the"
+            " migration needs a target geometry)"
+        )
+    if (d, w) == cur:
+        return None  # already serving at the target geometry
+    jvm, fs = _rollup_fs(spark, snapshot_path)
+    token = _acquire_maintenance_lock(spark, snapshot_path)
+    stage = f"{snapshot_path}/_stage_{token}"
+    _sweep_foreign_stages(jvm, fs, snapshot_path, token)
+    try:
+        # re-list under the lock: seq must reflect any rewrite that
+        # committed between our first listing and the acquire
+        state_dirs = _semantic_state_dirs(spark, snapshot_path)
+        new_state = token_count_sketch(corpus_docs, depth=d, width=w)
+        seq = max([s for b, s, _ in state_dirs if b == base] or [0]) + 1
+        rdir = f"{snapshot_path}/r_{base:020d}_{seq:04d}"
+        new_state.write.mode("overwrite").parquet(stage)
+        _write_sketch_geom(jvm, fs, stage, d, w)
+        _assert_holds_maintenance_lock(spark, snapshot_path, token)
+        rpath = jvm.org.apache.hadoop.fs.Path(rdir)
+        if fs.exists(rpath):
+            fs.delete(rpath, True)  # crashed holder's uncommitted leftover
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(stage), rpath):
+            raise ConcurrentMaintenanceError(
+                f"could not install re-width dir {rdir} — lost a race"
+            )
+        _assert_holds_maintenance_lock(spark, snapshot_path, token)
+        try:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{rdir}/{ROLLUP_APPLIED_MARKER}"
+                ),
+                False,
+            ).close()
+        except Exception as exc:
+            raise ConcurrentMaintenanceError(
+                f"re-width marker for {rdir} already exists — a"
+                " concurrent maintenance run committed it first"
+            ) from exc
+        # prune superseded states beyond keep_versions — never
+        # v_<base> itself (it carries the version marker the fold's
+        # replay check and listing bounds key off)
+        for b, s, old in state_dirs[
+            : max(0, len(state_dirs) + 1 - keep_versions)
+        ]:
+            if b == base and s == 0:
+                continue
+            fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        return (d, w)
+    finally:
+        _finish_maintenance(spark, jvm, fs, stage, snapshot_path, token)
 
 
 def streaming_sketch_maintenance(
-    docs_stream: DataFrame, snapshot_path: str, checkpoint_path: str
+    docs_stream: DataFrame,
+    snapshot_path: str,
+    checkpoint_path: str,
+    depth: int | None = None,
+    width: int | None = None,
 ):
     """Incrementally-maintained corpus token-frequency CMS: each
     micro-batch of documents folds into the persistent sketch via
     ``fold_sketch_batch`` — the ``streaming_incremental_rollup`` shape
-    with the sketch algebra plugged in. Returns the started
-    StreamingQuery (caller awaits/stops)."""
+    with the sketch algebra plugged in. ``depth``/``width`` size the
+    geometry at FIRST fold (a stream expected to grow far past its
+    first batch should pass ``width=cms_width_for(expected_tokens,
+    abs_err)`` here, because the geometry pins with the state and
+    cannot change across folds — ``rewidth_sketch_store`` is the one
+    migration path). Returns the started StreamingQuery (caller
+    awaits/stops)."""
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fold_sketch_batch(batch_df, batch_id, snapshot_path)
+        fold_sketch_batch(
+            batch_df, batch_id, snapshot_path, depth=depth, width=width
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(fold_batch)
@@ -3994,7 +4245,14 @@ def maintenance_check(
     if states and (
         _exists(f"{snapshot_path}/embs")
         or _exists(f"{snapshot_path}/bands")
-        or any(s[1] > 0 for s in states)
+        # a re-band rewrite implies the state-parquet layout ONLY when
+        # the serving dir actually carries one — the sketch store's
+        # re-width rewrites (round 12) live in the same r_ namespace
+        # but stay flat, and belong to the plain-versions class below
+        or (
+            any(s[1] > 0 for s in states)
+            and _exists(f"{states[-1][2]}/state")
+        )
     ):
         path = states[-1][2]
         if not _exists(f"{path}/state"):
@@ -4039,9 +4297,12 @@ def maintenance_check(
     # own passes already verify those and their version dirs are not
     # plain parquet).
     if not any(r[1] not in ("lock",) for r in rows):
-        versions = rollup_committed_versions(spark, snapshot_path)
-        if versions:
-            vdir = _rollup_version_dir(snapshot_path, versions[-1])
+        if states:
+            # serving state = the chain's LAST entry: after a sketch
+            # re-width (round 12) that is the flat r_ rewrite, which
+            # is exactly what read_sketch_snapshot loads
+            vdir = states[-1][2]
+            vname = vdir.rsplit("/", 1)[-1]
             try:
                 state = spark.read.parquet(vdir)
                 state.limit(1).collect()
@@ -4052,7 +4313,7 @@ def maintenance_check(
                         "ok",
                         "versions",
                         "newest_version_readable",
-                        f"v_{versions[-1]} of {len(versions)} committed",
+                        f"{vname} of {len(states)} committed",
                     )
                 )
             except Exception as exc:
@@ -4061,7 +4322,7 @@ def maintenance_check(
                         "error",
                         "versions",
                         "newest_version_unreadable",
-                        f"v_{versions[-1]}: {exc!r}"[:160]
+                        f"{vname}: {exc!r}"[:160]
                         + " — readers cannot load the state",
                     )
                 )
