@@ -37,6 +37,12 @@ BNLJ_BY_DESIGN = {
     # the probed corpus partitions stream against the broadcast 1-row
     # centroid-struct agg / tiny query set, the same deliberate shape
     "ann_topk_snapshot",
+    # round 12: the gate's score pipeline (doc_unigram_logprob) crosses
+    # the vocabulary-sized per-token relation with the broadcast 1-row
+    # corpus-total aggregate — the ivf_cells_trained class of 1-row
+    # cross, never a blowup (the interrupted round-12 build rotated the
+    # query into the driver tier without extending this allowlist)
+    "unigram_logprob_gate",
 }
 
 
