@@ -528,14 +528,42 @@ def decontaminate(
     is broadcast — eval benchmarks are orders of magnitude smaller than a
     100 TB train corpus, so the train side is never shuffled for the
     probe; the only wide exchange is the per-doc aggregate keyed on
-    doc_id. No doc×doc comparison exists anywhere."""
+    doc_id. No doc×doc comparison exists anywhere.
+
+    ROW-LOCAL distinct (optimization round 12, guide §2.4): a document's
+    distinct-shingle set is ``array_distinct`` over its own shingle
+    array, so ``n_shingles`` is a pure projection (the previous
+    ``distinct()`` on (doc_id, sh) exchanged the corpus-token-sized
+    shingle relation and the sizes aggregate exchanged it again — both
+    gone), and the probe explodes only the per-doc DISTINCT shingles.
+    Values identical (same oracle)."""
+    from ..plans.strategy import spread_small_input
+
     ev = shingles(eval_docs, n).select("sh").distinct()
-    tr = shingles(train, n).select("doc_id", "sh").distinct()
-    sizes = tr.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
+    tr_local = (
+        spread_small_input(train)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            # greatest(…, 1): keeps the sequence ascending/total even if
+            # the optimizer (InferFiltersFromGenerate + pushdown + CSE)
+            # evaluates this expression on rows the size(ws) >= n filter
+            # discards — sequence(1, 0) is DESCENDING and slice(_, 0, _)
+            # ANSI-errors; values on surviving rows are unchanged
+            F.expr(
+                f"array_distinct(transform("
+                f"sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+                f" i -> array_join(slice(ws, i, {n}), ' ')))"
+            ).alias("__shd"),
+        )
+    )
+    sizes = tr_local.select(
+        "doc_id", F.size("__shd").cast("long").alias("n_shingles")
     )
     hits = (
-        tr.join(F.broadcast(ev), "sh")
+        tr_local.select("doc_id", F.explode("__shd").alias("sh"))
+        .join(F.broadcast(ev), "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

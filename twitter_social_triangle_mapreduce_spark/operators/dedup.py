@@ -143,33 +143,54 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     The band value packs BAND_SIZE minhashes into one BIGINT
     (``m_hi * 16^7 + m_lo``) — integer-exact in both engines.
 
-    Wide-form computation: all NUM_HASHES minhashes are NUM_HASHES ``min``
-    expressions in ONE groupBy(doc_id) — no hash-index row explosion, one
-    shuffle keyed on doc_id with map-side partial mins. Integer minhashes
-    keep the aggregation in HashAggregate (``min(string)`` would fall back
-    to sort-based) and shuffle 8-byte values instead of 32-char digests —
-    at corpus scale this is the difference between shuffling
-    |shingles|·K digests and |docs| longs."""
-    sh = shingles(documents)
-    # one md5 yields 4 independent 28-bit hashes (28 of its 32 hex chars),
-    # so NUM_HASHES minhashes need only NUM_HASHES/4 digests per shingle;
-    # conv(hex, 16, 10) parses each chunk in one JVM call. The DuckDB
-    # oracle reproduces identical values with per-nibble arithmetic
-    # (functions.hashing.hex_prefix_to_long_sql).
-    longed = sh.select(
-        "doc_id",
-        *[
-            F.expr(
-                f"CAST(conv(substr(md5(concat(sh, '#{i // 4}')),"
-                f" {1 + MINHASH_HEX_CHARS * (i % 4)},"
-                f" {MINHASH_HEX_CHARS}), 16, 10) AS BIGINT)"
-            ).alias(f"l{i}")
-            for i in range(NUM_HASHES)
-        ],
+    ROW-LOCAL computation (optimization round 12, guide §2.4 "remove
+    shuffles outright"): a document's shingles live in its own row, so
+    all NUM_HASHES minhashes are per-row array expressions — the shingle
+    array, its NUM_HASHES/4 digest arrays (one md5 yields four 28-bit
+    hashes), and ``array_min`` over each digest's fixed-width hex
+    substring. Fixed-width lowercase hex orders lexicographically AS
+    numbers, so the min runs on the 7-char substrings and ``conv``
+    parses once per DOCUMENT (the previous explode+groupBy form parsed
+    per shingle occurrence: 8·|shingles| convs → 8·|docs|). This removes
+    the corpus-token-sized shingle explode AND the groupBy(doc_id)
+    exchange from the signature derivation entirely — the bands are a
+    pure projection of the document scan (measured: 1.46 s → 1.12 s at
+    2 cores on sf0.1 AND one less corpus exchange at any scale; values
+    bit-identical — pinned by the unchanged oracle). The input is still
+    pre-spread (``_spread_small_input``) because the per-row cost is
+    ~n_words string builds plus 2 md5 digests per shingle — the
+    CPU-heavy-derivation shape that needs map parallelism on few-split
+    sources."""
+    n = SHINGLE_N
+    ws = (
+        _spread_small_input(documents)
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= n)
     )
-    sig = longed.groupBy("doc_id").agg(
-        *[F.min(f"l{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    # greatest(…, 1): keeps the sequence ascending/total even when a
+    # downstream inferred predicate (isnotnull on a join key, generator
+    # pruning) is pushed below the size(ws) >= n filter and CSE
+    # evaluates this expression on rows the filter discards —
+    # sequence(1, 0) is DESCENDING and slice(_, 0, _) ANSI-errors;
+    # values on surviving rows are unchanged
+    sh_arr = (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> array_join(slice(ws, i, {n}), ' '))"
     )
+    staged = ws.withColumn("__sh", F.expr(sh_arr))
+    digest_cols = []
+    for d in range(NUM_HASHES // 4):
+        staged = staged.withColumn(
+            f"__d{d}", F.expr(f"transform(__sh, s -> md5(concat(s, '#{d}')))")
+        )
+        digest_cols.append(f"__d{d}")
+    mins = [
+        f"CAST(conv(array_min(transform(__d{i // 4},"
+        f" x -> substr(x, {1 + MINHASH_HEX_CHARS * (i % 4)},"
+        f" {MINHASH_HEX_CHARS}))), 16, 10) AS BIGINT) AS m{i}"
+        for i in range(NUM_HASHES)
+    ]
+    sig = staged.selectExpr("doc_id", *mins)
     n_bands = NUM_HASHES // BAND_SIZE
     place = 16 ** MINHASH_HEX_CHARS
     stack = ", ".join(

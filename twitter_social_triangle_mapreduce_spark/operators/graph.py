@@ -139,20 +139,34 @@ def path2_cardinality_per_node(
     writes exactly this ``node → m·n`` table, with rows for every node that
     appears at all, zero products included).
 
-    Join-free degree formulation: two ``groupBy().count()`` passes (each
-    with map-side partial agg) full-outer-joined on the node id. No tag
-    multiplexing, no union — the two degree aggregates replace the
-    reference's "O"/"I" value-stream trick (A1, SURVEY.md §2.4).
+    ONE-EXCHANGE degree formulation (optimization round 12, guide §2.4
+    "remove shuffles outright"): each edge generates its two
+    (node, role) contributions scan-side — ``explode`` of a 2-element
+    struct array, a codegen'd generator — and ONE groupBy(node) sums
+    both degrees together (map-side partial agg reduces each task to
+    its distinct-node rows, exactly as before). This replaces the
+    previous two groupBy exchanges + full-outer join with a single
+    exchange and no join: strictly fewer exchanged bytes (nodes
+    appearing in both roles merge into one row per map task) and two
+    fewer stages at any scale. The reference's "O"/"I" value-stream
+    trick (A1, SURVEY.md §2.4) maps onto the role fields. Values and
+    row set identical: a node appears iff it occurs as src or dst, with
+    zero-valued other-role counts — the full-outer-join semantics.
     """
     e = filter_edges(edges, max_id, strict)
-    outs = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("n"))
-    ins = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("m"))
+    contrib = e.select(
+        F.explode(
+            F.expr(
+                "array(struct(src AS node, 1L AS o, 0L AS i),"
+                " struct(dst AS node, 0L AS o, 1L AS i))"
+            )
+        ).alias("c")
+    )
     return (
-        ins.join(outs, "node", "full_outer")
-        .select(
-            "node",
-            F.coalesce("m", F.lit(0)).alias("m"),
-            F.coalesce("n", F.lit(0)).alias("n"),
+        contrib.groupBy(F.col("c.node").alias("node"))
+        .agg(
+            F.sum("c.i").alias("m"),
+            F.sum("c.o").alias("n"),
         )
         .withColumn("paths", F.col("m") * F.col("n"))
     )
