@@ -114,6 +114,7 @@ def main() -> None:
             except Exception:
                 pass
         tot_run_ms = sum(s.get("executorRunTime", 0) for s in stages)
+        tot_cpu_ns = sum(s.get("executorCpuTime", 0) for s in stages)
         tot_tasks = sum(s.get("numCompleteTasks", 0) for s in stages)
         sw = sum(s.get("shuffleWriteBytes", 0) for s in stages)
         sr = sum(s.get("shuffleReadBytes", 0) for s in stages)
@@ -127,6 +128,9 @@ def main() -> None:
             "stages": len(stages),
             "tasks": tot_tasks,
             "executor_run_s": round(tot_run_ms / 1000.0, 3),
+            # actual CPU (ns counter) — immune to host steal/contention,
+            # the comparable scale metric on this noisy-neighbor sandbox
+            "executor_cpu_s": round(tot_cpu_ns / 1e9, 3),
             "shuffle_write_mb": round(sw / 1e6, 3),
             "shuffle_read_mb": round(sr / 1e6, 3),
             "slowest_stages": [
@@ -143,6 +147,7 @@ def main() -> None:
             f"{name:36s} wall={wall:7.3f}s jobs={len(jobs):3d} "
             f"stages={len(stages):3d} tasks={tot_tasks:5d} "
             f"exec={tot_run_ms/1000.0:8.2f}s "
+            f"cpu={tot_cpu_ns/1e9:8.2f}s "
             f"shW={sw/1e6:8.2f}MB",
             flush=True,
         )

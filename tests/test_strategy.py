@@ -84,16 +84,33 @@ def test_operator_specific_conf_wins_over_global(spark):
 
 
 def test_spread_small_input_auto_and_off(spark):
-    few = spark.range(100).coalesce(1)
-    spread = strategy.spread_small_input(few)
+    # big enough that est_bytes / minBytesPerTask saturates the
+    # parallelism target: 200k longs ~ 1.6 MB estimate >> slots x 16 KiB
+    # (Catalyst sizes derived columns by DEFAULT widths, not content —
+    # a padded-string Project would estimate ~20 B/row regardless)
+    wide = spark.range(200_000).coalesce(1)
+    spread = strategy.spread_small_input(wide)
     assert spread.rdd.getNumPartitions() == (
         spark.sparkContext.defaultParallelism
     )
+    # size-aware arm (optimization round 12): a few-splits input whose
+    # ESTIMATED bytes are below minBytesPerTask per slot does not pay
+    # one near-empty task per slot — it spreads to est//minBytes
+    # partitions (here: not at all)
+    few = spark.range(100).coalesce(1)
+    assert strategy.spread_small_input(few) is few
     try:
+        # floor disabled -> the pre-round-12 split-count-only behavior
+        spark.conf.set(strategy.SPREAD_MIN_BYTES_CONF, "0")
+        assert strategy.spread_small_input(
+            few
+        ).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        spark.conf.unset(strategy.SPREAD_MIN_BYTES_CONF)
         spark.conf.set(strategy.SPREAD_CONF, "off")
-        assert strategy.spread_small_input(few) is few
+        assert strategy.spread_small_input(wide) is wide
     finally:
         spark.conf.unset(strategy.SPREAD_CONF)
+        spark.conf.unset(strategy.SPREAD_MIN_BYTES_CONF)
 
 
 def test_spread_small_input_noop_without_probe(spark, monkeypatch):

@@ -530,16 +530,20 @@ def decontaminate(
     probe; the only wide exchange is the per-doc aggregate keyed on
     doc_id. No doc×doc comparison exists anywhere.
 
-    ROW-LOCAL distinct (optimization round 12, guide §2.4): a document's
-    distinct-shingle set is ``array_distinct`` over its own shingle
-    array, so ``n_shingles`` is a pure projection (the previous
-    ``distinct()`` on (doc_id, sh) exchanged the corpus-token-sized
-    shingle relation and the sizes aggregate exchanged it again — both
-    gone), and the probe explodes only the per-doc DISTINCT shingles.
-    Values identical (same oracle)."""
+    ROW-LOCAL distinct, ONE-PASS fold (optimization round 12, guide
+    §2.4): a document's distinct-shingle set is ``array_distinct`` over
+    its own shingle array (the previous ``distinct()`` on (doc_id, sh)
+    exchanged the corpus-token-sized shingle relation — gone), the probe
+    explodes only the per-doc DISTINCT shingles carrying the per-doc
+    size alongside, marks eval membership via a broadcast LEFT join, and
+    ONE groupBy(doc_id) produces both counters — replacing the previous
+    sizes-branch second derivation and the sizes⋈hits join. The eval
+    side skips the small-input pre-spread (eval sets are small by
+    contract; the spread's fixed task setup exceeded the shingling CPU
+    ~50×). Values identical (same oracle)."""
     from ..plans.strategy import spread_small_input
 
-    ev = shingles(eval_docs, n).select("sh").distinct()
+    ev = shingles(eval_docs, n, spread=False).select("sh").distinct()
     tr_local = (
         spread_small_input(train)
         .select("doc_id", F.split("text", " ").alias("ws"))
@@ -558,21 +562,25 @@ def decontaminate(
             ).alias("__shd"),
         )
     )
-    sizes = tr_local.select(
-        "doc_id", F.size("__shd").cast("long").alias("n_shingles")
-    )
-    hits = (
-        tr_local.select("doc_id", F.explode("__shd").alias("sh"))
-        .join(F.broadcast(ev), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    marked = (
+        tr_local.select(
+            "doc_id",
+            F.size("__shd").cast("long").alias("__ns"),
+            F.explode("__shd").alias("sh"),
+        )
+        .join(
+            F.broadcast(ev.withColumn("__hit", F.lit(1))), "sh", "left"
+        )
     )
     return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        marked.groupBy("doc_id")
+        .agg(
+            # __ns is constant within the group; min() is the
+            # deterministic pick (first() is order-dependent)
+            F.min("__ns").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
         )
         .withColumn(
             "contam_e6",

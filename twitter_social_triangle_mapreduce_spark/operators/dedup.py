@@ -91,11 +91,17 @@ def tokens(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def shingles(
+    documents: DataFrame, n: int = SHINGLE_N, spread: bool = True
+) -> DataFrame:
     """(doc_id, sh) — overlapping word ``n``-shingles, one row per
     occurrence. Docs shorter than ``n`` words produce no shingles (the
-    oracle applies the same guard)."""
-    ws = _spread_small_input(documents).select(
+    oracle applies the same guard). ``spread=False`` skips the
+    small-input pre-spread for callers whose relation is known tiny by
+    contract (an eval set) — the spread's per-task fixed cost exceeds
+    the derivation there (optimization round 12)."""
+    src = _spread_small_input(documents) if spread else documents
+    ws = src.select(
         "doc_id", F.split("text", " ").alias("ws")
     ).where(F.size("ws") >= n)
     return ws.select(

@@ -86,6 +86,7 @@ def passage_windows(
     documents: DataFrame,
     window: int = PASSAGE_WINDOW,
     stride: int = PASSAGE_STRIDE,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, start, wh) — one row per sliding window position:
     ``start`` the 1-based token index, ``wh`` the md5 of the
@@ -100,9 +101,11 @@ def passage_windows(
     whole-stage-codegen expressions, no Python. Input is pre-spread
     (``plans.strategy.spread_small_input``) because the per-row cost is
     ~n_tokens md5 digests — the same CPU-heavy-derivation shape as the
-    shingle pipeline."""
+    shingle pipeline. ``spread=False`` skips it for relations known
+    tiny by contract (an eval set — optimization round 12)."""
+    src = spread_small_input(documents) if spread else documents
     ws = (
-        spread_small_input(documents)
+        src
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= window)
     )
@@ -255,9 +258,9 @@ def decontaminate_passage_cuts(
     (its own fingerprint derivation) and never joins eval text. Apply
     with ``apply_passage_cuts``."""
     tw = passage_windows(documents, window=window, stride=stride)
-    ev = passage_windows(eval_docs, window=window, stride=stride).select(
-        "wh"
-    ).distinct()
+    ev = passage_windows(
+        eval_docs, window=window, stride=stride, spread=False
+    ).select("wh").distinct()
     cuts = (
         tw.join(F.broadcast(ev), "wh", "left_semi")
         .select(

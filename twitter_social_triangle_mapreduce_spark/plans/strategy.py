@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 BUILD_SIDE_CONF = "spark.graft.join.buildSide"
 #: conf key for the small-input spread decision
 SPREAD_CONF = "spark.graft.spreadSmallInput"
+#: conf key + default for the spread's size-aware target (optimization
+#: round 12): the minimum estimated input bytes one spread partition
+#: must carry for the repartition to be worth a task's fixed cost. A
+#: derivation task that would receive less than this much source text
+#: costs more in per-task setup (agg hash-map + shuffle-writer init —
+#: measured ~0.1 s CPU per task on the reference sandbox) than the
+#: derivation itself; spreading a 30 KB eval set across 32 slots burned
+#: ~4 CPU-s to parallelize 0.07 s of work. The target partition count
+#: becomes min(defaultParallelism, est_bytes // minBytesPerTask) — at
+#: corpus scale the estimate saturates the parallelism term and the
+#: behavior is unchanged.
+SPREAD_MIN_BYTES_CONF = "spark.graft.spreadSmallInput.minBytesPerTask"
+SPREAD_MIN_BYTES_DEFAULT = "16k"
 
 
 def parse_byte_conf(s: str) -> int:
@@ -214,6 +227,23 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     if target is None:
         return df
+    # size-aware target (optimization round 12): cap the spread width so
+    # each partition carries at least SPREAD_MIN_BYTES_CONF of estimated
+    # input — a sub-threshold relation spreads to fewer slots (or not at
+    # all) instead of paying ~0.1 s of fixed task setup per near-empty
+    # partition. Catalyst's size estimate is an upper bound (filters do
+    # not reduce it without CBO), so this errs toward spreading — the
+    # wall-safe side; an unavailable estimate keeps the full target.
+    try:
+        min_bytes = parse_byte_conf(
+            _conf(df, SPREAD_MIN_BYTES_CONF, SPREAD_MIN_BYTES_DEFAULT)
+            or SPREAD_MIN_BYTES_DEFAULT
+        )
+    except Exception:
+        min_bytes = parse_byte_conf(SPREAD_MIN_BYTES_DEFAULT)
+    est = plan_size_estimate(df)
+    if est is not None and min_bytes > 0:
+        target = max(1, min(target, est // min_bytes))
     n = scan_partition_count(df)
     if n is not None and n * 4 <= target:
         return df.repartition(target)
