@@ -420,16 +420,20 @@ def test_capstone_semantic_arm_shuffle_budget():
 #: on the real regression class: an order-of-magnitude byte jump from
 #: a new corpus-sized exchange.
 HEADLINE_WRITE_BYTES_SF0001 = {
-    "exact_cardinality": 4849,
-    "approx_cardinality": 4599,
+    # re-adopted optimization round 12 (4 queries): exact/approx via the
+    # one-exchange degree form, dedup via the row-local minhash (the
+    # smoke-scale spread no-op also removes its exchange bytes here),
+    # text_stats now a zero-shuffle projection
+    "exact_cardinality": 4270,
+    "approx_cardinality": 4050,
     "social_triangle_rs": 9330,
     "social_triangle_ordered": 59783,
     "triangle_replicated": 8045,
     "path2_enum": 0,  # scan + broadcast join: zero shuffle by design
-    "dedup_minhash_pairs": 180294,
+    "dedup_minhash_pairs": 39557,
     "simhash": 30710,
     "ann_topk_bruteforce": 439,
-    "text_stats": 228488,
+    "text_stats": 0,  # row-local projection: zero shuffle by design
     "sessionize": 19479,
     "pricing_summary": 887,
 }
@@ -442,16 +446,18 @@ HEADLINE_WRITE_BYTES_SF0001 = {
 #: shared machine — byte-identical across runs, so drift means a PLAN
 #: change, and >3× means a new corpus-scale exchange crept in.
 HEADLINE_WRITE_BYTES_SF01 = {
-    "exact_cardinality": 23037,
-    "approx_cardinality": 7997,
+    # re-adopted optimization round 12 (4 queries) — see the sf0.001
+    # table above for the plan changes behind each
+    "exact_cardinality": 19389,
+    "approx_cardinality": 5040,
     "social_triangle_rs": 68522,
     "social_triangle_ordered": 403269,
     "triangle_replicated": 46513,
     "path2_enum": 0,
-    "dedup_minhash_pairs": 1509103,
+    "dedup_minhash_pairs": 1341840,
     "simhash": 268016,
     "ann_topk_bruteforce": 448,
-    "text_stats": 2319164,
+    "text_stats": 0,  # row-local projection: zero shuffle by design
     "sessionize": 1948170,
     "pricing_summary": 912,
 }
