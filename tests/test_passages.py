@@ -415,3 +415,48 @@ def test_registered_passage_width_env_knob(spark, monkeypatch):
     assert "- 5 + 2" in sql and "s + 5 - 1" in sql  # width-5 CTE bodies
     monkeypatch.delenv(passages.PASSAGE_WINDOW_ENV)
     assert passages.configured_window() == passages.PASSAGE_WINDOW
+
+
+def test_packed_canonical_parity_and_guard(spark):
+    """Round 13: the packed-BIGINT canonical encoding (HashAggregate +
+    narrower exchange) elects exactly the same non-canonical set as the
+    struct arm, the conf escape hatch restores the struct plan, and an
+    occurrence outside the documented pack bounds fails LOUDLY instead
+    of electing a wrong canonical."""
+    import pytest
+
+    rows = [
+        (7, "a b c d e f g h i j"),
+        (3, "x y a b c d e f g h i j"),  # same 8-window at larger start
+        (11, "a b c d e f g h i j"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = sorted(map(tuple, passages.passage_cut_spans(docs).collect()))
+    spark.conf.set(passages.PACKED_CANON_CONF, "struct")
+    try:
+        struct = sorted(
+            map(tuple, passages.passage_cut_spans(docs).collect())
+        )
+        plan = (
+            passages.passage_cut_spans(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortAggregate" in plan  # struct arm really falls back
+    finally:
+        spark.conf.unset(passages.PACKED_CANON_CONF)
+    assert packed == struct and packed  # non-empty: dup really planted
+    plan = (
+        passages.passage_cut_spans(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortAggregate" not in plan  # packed arm hash-aggregates
+    # guard: a start beyond 2^24 must raise, not mis-elect
+    bad = spark.createDataFrame(
+        [(1, 1 << 25)], "doc_id long, start long"
+    ).select("doc_id", "start", F.lit(bytearray(16)).alias("wh"))
+    with pytest.raises(Exception, match="packed-canonical bounds"):
+        bad.select(passages._packed_occurrence().alias("p")).collect()

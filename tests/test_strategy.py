@@ -85,13 +85,20 @@ def test_operator_specific_conf_wins_over_global(spark):
 
 def test_spread_small_input_auto_and_off(spark):
     # big enough that est_bytes / minBytesPerTask saturates the
-    # parallelism target: 200k longs ~ 1.6 MB estimate >> slots x 16 KiB
+    # parallelism target on this machine: 200k longs ~ 1.6 MB estimate
     # (Catalyst sizes derived columns by DEFAULT widths, not content —
-    # a padded-string Project would estimate ~20 B/row regardless)
+    # a padded-string Project would estimate ~20 B/row regardless). The
+    # expected width is the size cap formula itself, NOT bare
+    # defaultParallelism (round-13 ADVICE: a host with enough cores
+    # makes the size cap bind below the parallelism term)
     wide = spark.range(200_000).coalesce(1)
+    est = strategy.plan_size_estimate(wide)
+    cap = int(
+        est * float(strategy.SPREAD_COMPRESSION_FACTOR_DEFAULT)
+    ) // strategy.parse_byte_conf(strategy.SPREAD_MIN_BYTES_DEFAULT)
     spread = strategy.spread_small_input(wide)
-    assert spread.rdd.getNumPartitions() == (
-        spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == min(
+        spark.sparkContext.defaultParallelism, cap
     )
     # size-aware arm (optimization round 12): a few-splits input whose
     # ESTIMATED bytes are below minBytesPerTask per slot does not pay

@@ -66,9 +66,21 @@ def connected_components(
     two operators), giving an exponentially-growing tree (measured: 766
     exchanges at 8 rounds un-checkpointed vs ~3 per round with); this is
     the standard iterative-algorithm pattern on Spark. ``reliable``
-    switches to fault-tolerant checkpoints (see ``_truncate``)."""
+    switches to fault-tolerant checkpoints (see ``_truncate``).
+
+    The initial labels derive from the CHECKPOINTED symmetric relation,
+    not from ``edges`` (optimization round 13, guide §2.4 "don't compute
+    things twice"): every endpoint appears as ``src`` in the symmetric
+    view, so ``sym.src`` distinct is exactly the vertex set — and
+    reading it off the checkpoint means the (often expensive — the
+    dedup/semantic callers pass a full LSH candidate pipeline) edge
+    derivation runs ONCE, where ``vertices(edges)`` re-derived it a
+    second time (measured: near_dup_clusters 20.6 → ~13 CPU-s at
+    sf0.1)."""
     sym = _truncate(_symmetric(edges), reliable)
-    labels = vertices(edges).withColumn("l", F.col("v"))
+    labels = (
+        sym.select(F.col("src").alias("v")).distinct().withColumn("l", F.col("v"))
+    )
     for _ in range(iterations):
         nbr_min = (
             sym.join(labels, sym.src == labels.v, "inner")

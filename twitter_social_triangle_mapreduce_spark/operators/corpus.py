@@ -759,7 +759,21 @@ def pack_sequences(
     the md5 key (16^prefix buckets; hex-string order IS (prefix,
     remainder) order) in shuffled order. At 100 TB, no stage ever
     materializes a global ordering; for shuffled packing at extreme
-    scale raise ``shuffle_prefix`` so each bucket stays task-sized."""
+    scale raise ``shuffle_prefix`` so each bucket stays task-sized.
+
+    ONE token-count derivation (optimization round 13, guide §2.4 /
+    r12-verdict item 7): the per-doc count relation feeds both levels of
+    the prefix sum, and as two independent branches Spark planned the
+    scan + tokenize TWICE (the window branch exchanged full rows, the
+    totals branch exchanged its own partial aggregates — different
+    exchanges, no reuse). An explicit repartition on ``__bucket`` gives
+    both consumers the SAME exchange subtree: the window reuses the
+    partitioning directly, the bucket-totals aggregate runs on the
+    reused exchange output (clustered by bucket, so no further
+    exchange), and the corpus is scanned/tokenized once. The totals'
+    previous partial-agg exchange disappears outright; the shared
+    exchange carries only (doc_id, n_tokens, bucket[, tape key]) —
+    values and tape order are untouched."""
     from pyspark.sql.window import Window
 
     count_col = (
@@ -793,6 +807,10 @@ def pack_sequences(
         )
         order_cols = [F.col("__h").asc(), F.col("doc_id").asc()]
 
+    # one exchange feeds both prefix-sum levels (see docstring): the
+    # window reuses this partitioning, the totals aggregate reuses this
+    # exchange — the count projection (scan + tokenize) runs once
+    tc = tc.repartition(F.col("__bucket"))
     intra_w = (
         Window.partitionBy("__bucket")
         .orderBy(*order_cols)

@@ -62,6 +62,18 @@ BAND_SIZE = 2
 #: pack into one signed BIGINT without overflow
 MINHASH_HEX_CHARS = 7
 
+#: conf key for the row-local minhash's long-document guard (round 13,
+#: r12 verdict item 6): documents with MORE whitespace tokens than this
+#: take the exploded/aggregated arm (streaming per-shingle rows) instead
+#: of materializing the shingle + digest arrays in one row. ``0`` (the
+#: default) keeps every document row-local — the right call on corpora
+#: whose documents are bounded (every plan digest unchanged); production
+#: corpora that cannot bound document length set e.g. ``1000000`` so a
+#: pathological multi-MB document costs O(1) row memory instead of
+#: O(doc_tokens) array cells. Values are identical on both arms (same
+#: md5/substr/conv arithmetic — pinned by the parity property test).
+MINHASH_MAX_ROW_LOCAL_TOKENS_CONF = "spark.graft.minhash.maxRowLocalTokens"
+
 
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Raise map-side parallelism before CPU-heavy per-row derivation
@@ -166,37 +178,46 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     pre-spread (``_spread_small_input``) because the per-row cost is
     ~n_words string builds plus 2 md5 digests per shingle — the
     CPU-heavy-derivation shape that needs map parallelism on few-split
-    sources."""
+    sources.
+
+    Long-document guard (round 13 — ``MINHASH_MAX_ROW_LOCAL_TOKENS_CONF``):
+    the row-local arm holds a document's shingle array plus NUM_HASHES/4
+    digest arrays in ONE row — bounded by max document length, which is
+    fine wherever documents are bounded, but a pathological multi-MB
+    document would cost O(doc_tokens) strings of single-row memory where
+    the old explode streamed. With the conf set to a positive token
+    count, documents above it take the exploded+aggregated arm (per-
+    shingle rows, groupBy(doc_id) min — the pre-round-12 shape) and the
+    two arms union; values are identical (same md5/substr/conv
+    arithmetic on both arms — parity-pinned by
+    tests/test_properties.py::test_minhash_long_doc_guard_parity). The
+    default 0 keeps the single-arm plan (digests unchanged)."""
     n = SHINGLE_N
     ws = (
         _spread_small_input(documents)
         .select("doc_id", F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= n)
     )
-    # greatest(…, 1): keeps the sequence ascending/total even when a
-    # downstream inferred predicate (isnotnull on a join key, generator
-    # pruning) is pushed below the size(ws) >= n filter and CSE
-    # evaluates this expression on rows the filter discards —
-    # sequence(1, 0) is DESCENDING and slice(_, 0, _) ANSI-errors;
-    # values on surviving rows are unchanged
-    sh_arr = (
-        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
-        f" i -> array_join(slice(ws, i, {n}), ' '))"
-    )
-    staged = ws.withColumn("__sh", F.expr(sh_arr))
-    digest_cols = []
-    for d in range(NUM_HASHES // 4):
-        staged = staged.withColumn(
-            f"__d{d}", F.expr(f"transform(__sh, s -> md5(concat(s, '#{d}')))")
+    try:
+        max_tok = int(
+            documents.sparkSession.conf.get(
+                MINHASH_MAX_ROW_LOCAL_TOKENS_CONF, "0"
+            )
+            or "0"
         )
-        digest_cols.append(f"__d{d}")
-    mins = [
-        f"CAST(conv(array_min(transform(__d{i // 4},"
-        f" x -> substr(x, {1 + MINHASH_HEX_CHARS * (i % 4)},"
-        f" {MINHASH_HEX_CHARS}))), 16, 10) AS BIGINT) AS m{i}"
-        for i in range(NUM_HASHES)
-    ]
-    sig = staged.selectExpr("doc_id", *mins)
+    except Exception:
+        max_tok = 0
+    if max_tok > 0:
+        return _bands_row_local(
+            ws.where(F.size("ws") <= max_tok)
+        ).unionByName(_bands_exploded(ws.where(F.size("ws") > max_tok)))
+    return _bands_row_local(ws)
+
+
+def _pack_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{NUM_HASHES-1}) → (doc_id, band, bh): pack BAND_SIZE
+    28-bit minhashes per band into one BIGINT (integer-exact in both
+    engines) — the shared tail of both minhash arms."""
     n_bands = NUM_HASHES // BAND_SIZE
     place = 16 ** MINHASH_HEX_CHARS
     stack = ", ".join(
@@ -210,6 +231,69 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     return sig.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack}) AS (band, bh)")
     )
+
+
+def _bands_row_local(ws: DataFrame) -> DataFrame:
+    """Row-local arm over a (doc_id, ws) relation (size(ws) ≥ SHINGLE_N
+    pre-filtered): shingle array → digest arrays → array_min over
+    fixed-width hex substrings (lexicographic == numeric), one ``conv``
+    per document per hash."""
+    n = SHINGLE_N
+    # greatest(…, 1): keeps the sequence ascending/total even when a
+    # downstream inferred predicate (isnotnull on a join key, generator
+    # pruning) is pushed below the size(ws) >= n filter and CSE
+    # evaluates this expression on rows the filter discards —
+    # sequence(1, 0) is DESCENDING and slice(_, 0, _) ANSI-errors;
+    # values on surviving rows are unchanged
+    sh_arr = (
+        f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+        f" i -> array_join(slice(ws, i, {n}), ' '))"
+    )
+    staged = ws.withColumn("__sh", F.expr(sh_arr))
+    for d in range(NUM_HASHES // 4):
+        staged = staged.withColumn(
+            f"__d{d}", F.expr(f"transform(__sh, s -> md5(concat(s, '#{d}')))")
+        )
+    mins = [
+        f"CAST(conv(array_min(transform(__d{i // 4},"
+        f" x -> substr(x, {1 + MINHASH_HEX_CHARS * (i % 4)},"
+        f" {MINHASH_HEX_CHARS}))), 16, 10) AS BIGINT) AS m{i}"
+        for i in range(NUM_HASHES)
+    ]
+    return _pack_bands(staged.selectExpr("doc_id", *mins))
+
+
+def _bands_exploded(ws: DataFrame) -> DataFrame:
+    """Exploded arm for documents too long to hold their shingle/digest
+    arrays in one row: per-shingle rows (streamed by the generator, never
+    materialized per doc), NUM_HASHES ``min`` expressions in one
+    groupBy(doc_id) with map-side partial mins — the pre-round-12 shape,
+    value-identical arithmetic."""
+    n = SHINGLE_N
+    sh = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ws) - {n - 1}, 1)),"
+                f" i -> array_join(slice(ws, i, {n}), ' '))"
+            )
+        ).alias("sh"),
+    )
+    longed = sh.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"CAST(conv(substr(md5(concat(sh, '#{i // 4}')),"
+                f" {1 + MINHASH_HEX_CHARS * (i % 4)},"
+                f" {MINHASH_HEX_CHARS}), 16, 10) AS BIGINT)"
+            ).alias(f"l{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    sig = longed.groupBy("doc_id").agg(
+        *[F.min(f"l{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    )
+    return _pack_bands(sig)
 
 
 def minhash_candidate_pairs(documents: DataFrame) -> DataFrame:

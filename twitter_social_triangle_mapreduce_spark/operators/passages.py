@@ -81,6 +81,23 @@ def configured_window() -> int:
 #: <k tokens can slip through) for a k× smaller fingerprint relation.
 PASSAGE_STRIDE = 1
 
+#: packed-canonical encoding (optimization round 13): the dup-keys
+#: aggregate's canonical occurrence is carried as ONE BIGINT
+#: ``doc_id · 2^24 + start`` instead of a (doc_id, start) struct —
+#: numeric order == lexicographic order for non-negative doc_ids, the
+#: fixed-width long keeps the aggregation in HashAggregate (a struct
+#: min-buffer forces SortAggregate: both agg passes then SORT the
+#: corpus-window relation by the 16-byte hash) and sheds the struct's
+#: serialization overhead from the operator's dominant exchange
+#: (measured at sf0.1: 8.57 → 7.27 MB/run, wall −15%). Bounds, guarded
+#: crash-not-corrupt by ``_packed_occurrence``: 0 ≤ doc_id < 2^39
+#: (5.5e11 documents) and start < 2^24 (16.7M tokens ≈ 100 MB of text
+#: in ONE document); max packed value is exactly 2^63 − 1. Corpora that
+#: genuinely exceed either bound set the conf to ``struct`` to restore
+#: the unbounded struct arm (value-identical — parity-pinned).
+PASSAGE_PACK_START_BITS = 24
+PACKED_CANON_CONF = "spark.graft.passages.packedCanon"
+
 
 def passage_windows(
     documents: DataFrame,
@@ -164,18 +181,40 @@ def _noncanonical_cut_windows(wins: DataFrame, window: int) -> DataFrame:
     pipeline (and even a REPARTITION_BY_COL exchange) fails that
     pattern. The extra exchange moves only the collision-keys relation
     (a small fraction of wins); ``spark.graft.passages.dupKeysStrategy``
-    overrides the arm choice."""
+    overrides the arm choice.
+
+    Canonical encoding (round 13): the aggregate's canonical travels as
+    the packed BIGINT of ``_packed_occurrence`` (HashAggregate instead
+    of two corpus-window SORTs, a narrower exchange row — see
+    ``PACKED_CANON_CONF`` for the bounds/escape hatch), and the probe
+    side compares its own packed occurrence against it — identical
+    non-canonical set (packing is strictly monotone in (doc_id, start)
+    within the guarded bounds)."""
     from ..plans.strategy import build_side_mode
 
-    dup_keys = (
-        wins.groupBy("wh")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct("doc_id", "start")).alias("__canon"),
+    packed = str(
+        _conf_of(wins, PACKED_CANON_CONF, "packed") or "packed"
+    ).lower() != "struct"
+    if packed:
+        dup_keys = (
+            wins.groupBy("wh")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(_packed_occurrence()).alias("__canon_p"),
+            )
+            .where(F.col("__cnt") > 1)
+            .select("wh", "__canon_p")
         )
-        .where(F.col("__cnt") > 1)
-        .select("wh", "__canon")
-    )
+    else:
+        dup_keys = (
+            wins.groupBy("wh")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("doc_id", "start")).alias("__canon"),
+            )
+            .where(F.col("__cnt") > 1)
+            .select("wh", "__canon")
+        )
     mode = build_side_mode(
         dup_keys, conf_key="spark.graft.passages.dupKeysStrategy"
     )
@@ -192,19 +231,47 @@ def _noncanonical_cut_windows(wins: DataFrame, window: int) -> DataFrame:
         except Exception:
             n = 200
         dup_keys = dup_keys.repartition(n)
-    return (
-        wins.join(dup_keys, "wh")
-        .where(
+    joined = wins.join(dup_keys, "wh")
+    noncanon = (
+        joined.where(_packed_occurrence() != F.col("__canon_p"))
+        if packed
+        else joined.where(
             ~(
                 (F.col("doc_id") == F.col("__canon.doc_id"))
                 & (F.col("start") == F.col("__canon.start"))
             )
         )
-        .select(
-            "doc_id",
-            F.col("start").alias("s"),
-            (F.col("start") + F.lit(window - 1)).alias("e"),
-        )
+    )
+    return noncanon.select(
+        "doc_id",
+        F.col("start").alias("s"),
+        (F.col("start") + F.lit(window - 1)).alias("e"),
+    )
+
+
+def _conf_of(df: DataFrame, key: str, default: str | None) -> str | None:
+    try:
+        return df.sparkSession.conf.get(key, default)
+    except Exception:
+        return default
+
+
+def _packed_occurrence():
+    """(doc_id, start) packed into one BIGINT — ``doc_id · 2^24 + start``
+    with a crash-not-corrupt bound guard (see ``PACKED_CANON_CONF``):
+    numeric min == lexicographic (doc_id, start) min inside the bounds,
+    and a corpus outside them fails LOUDLY instead of electing a wrong
+    canonical (a silent wrong canonical would cut the wrong occurrence
+    — the FAILFAST-reader stance applied to an encoding bound)."""
+    place = 1 << PASSAGE_PACK_START_BITS
+    return F.expr(
+        f"CASE WHEN doc_id >= 0 AND doc_id < {1 << (63 - PASSAGE_PACK_START_BITS)}"
+        f" AND start < {place}"
+        f" THEN doc_id * {place} + start"
+        f" ELSE CAST(raise_error(concat('passages: packed-canonical bounds"
+        f" exceeded (doc_id ', CAST(doc_id AS STRING), ', start ',"
+        f" CAST(start AS STRING), ') — set {PACKED_CANON_CONF}=struct'))"
+        f" AS BIGINT) END"
     )
 
 

@@ -1037,19 +1037,42 @@ def semantic_dedup_pairs(
     bits = _resolve_bits(bits, embeddings)
     sig = _sig_col(bits, dims)
     if nprobe == 1 and bands == 1:
-        cells = ivf_cells(embeddings, k_cells, centroids=centroids)
-        emb = embeddings.join(cells, "vec_id").withColumn("sig", sig)
+        # ROW-LOCAL cell assignment + ONE shared exchange (optimization
+        # round 13, guide §2.4): the centroids are a broadcast one-row
+        # struct array, so the nearest cell is a pure row expression —
+        # element 0 of the same sorted (score, cid) array ``ivf_cells``
+        # ranks (value-identical by construction: ivf_cells keeps
+        # rn == 1, i.e. position 0). The previous
+        # ``embeddings.join(ivf_cells(...), "vec_id")`` re-derived the
+        # corpus scan AND exchanged the full embedding payload on vec_id
+        # just to attach a column the row can compute itself. The
+        # explicit repartition on the join key means the a/b sides of
+        # the self-join read ONE ReusedExchange instead of each deriving
+        # (scan + centroid scoring + signature + norm) independently and
+        # exchanging separately: the payload and the scoring cross once.
+        carr = _centroid_struct_row(embeddings, k_cells, centroids)
+        emb = (
+            embeddings.crossJoin(F.broadcast(carr))
+            .select(
+                "vec_id",
+                "embedding",
+                _norm("embedding").alias("nrm"),
+                _ranked_arr_expr().getItem(0).getField("cid").alias("cell"),
+            )
+            .withColumn("sig", sig)
+            .repartition(F.col("cell"), F.col("sig"))
+        )
         a = emb.select(
             F.col("vec_id").alias("vec_a"),
             F.col("embedding").alias("qe"),
-            _norm("embedding").alias("qn"),
+            F.col("nrm").alias("qn"),
             F.col("cell").alias("cella"),
             F.col("sig").alias("siga"),
         )
         b = emb.select(
             F.col("vec_id").alias("vec_b"),
             F.col("embedding").alias("ce"),
-            _norm("embedding").alias("cn"),
+            F.col("nrm").alias("cn"),
             F.col("cell").alias("cellb"),
             F.col("sig").alias("sigb"),
         )

@@ -43,7 +43,25 @@ SPREAD_CONF = "spark.graft.spreadSmallInput"
 #: corpus scale the estimate saturates the parallelism term and the
 #: behavior is unchanged.
 SPREAD_MIN_BYTES_CONF = "spark.graft.spreadSmallInput.minBytesPerTask"
-SPREAD_MIN_BYTES_DEFAULT = "16k"
+SPREAD_MIN_BYTES_DEFAULT = "48k"
+#: conf key + default for the compressed→decompressed correction applied
+#: to the size estimate before dividing by minBytesPerTask (round 13,
+#: r12 ADVICE): Catalyst's sizeInBytes for a parquet scan is ON-DISK
+#: (compressed) bytes (spark.sql.sources.fileCompressionFactor defaults
+#: to 1.0), often several times below the decompressed text the
+#: CPU-heavy derivation actually processes — so without the correction
+#: the estimate is a LOWER bound for file scans and medium compressed
+#: inputs under-spread. 3.0 is a conservative text-parquet ratio
+#: (snappy/zstd text compresses ~3–5×); the (48k, 3.0) defaults are
+#: jointly calibrated so est·3//48k == est//16k — byte-identical
+#: behavior to the round-12-measured (16k compressed) rule, with both
+#: knobs now in honest decompressed-bytes units. Callers on
+#: incompressible inputs set 1.0; raising fileCompressionFactor
+#: globally would instead distort every broadcast-threshold decision.
+SPREAD_COMPRESSION_FACTOR_CONF = (
+    "spark.graft.spreadSmallInput.compressionFactor"
+)
+SPREAD_COMPRESSION_FACTOR_DEFAULT = "3.0"
 
 
 def parse_byte_conf(s: str) -> int:
@@ -229,11 +247,14 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         return df
     # size-aware target (optimization round 12): cap the spread width so
     # each partition carries at least SPREAD_MIN_BYTES_CONF of estimated
-    # input — a sub-threshold relation spreads to fewer slots (or not at
-    # all) instead of paying ~0.1 s of fixed task setup per near-empty
-    # partition. Catalyst's size estimate is an upper bound (filters do
-    # not reduce it without CBO), so this errs toward spreading — the
-    # wall-safe side; an unavailable estimate keeps the full target.
+    # DECOMPRESSED input — a sub-threshold relation spreads to fewer
+    # slots (or not at all) instead of paying ~0.1 s of fixed task setup
+    # per near-empty partition. Estimate direction (round-13 ADVICE fix):
+    # Catalyst does NOT reduce the estimate through filters without CBO
+    # (errs toward spreading), but a parquet scan's sizeInBytes is
+    # COMPRESSED on-disk bytes (errs toward under-spreading) — the
+    # compressionFactor conf corrects the latter; see its doc above. An
+    # unavailable estimate keeps the full target.
     try:
         min_bytes = parse_byte_conf(
             _conf(df, SPREAD_MIN_BYTES_CONF, SPREAD_MIN_BYTES_DEFAULT)
@@ -241,9 +262,20 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         )
     except Exception:
         min_bytes = parse_byte_conf(SPREAD_MIN_BYTES_DEFAULT)
+    try:
+        factor = float(
+            _conf(
+                df,
+                SPREAD_COMPRESSION_FACTOR_CONF,
+                SPREAD_COMPRESSION_FACTOR_DEFAULT,
+            )
+            or SPREAD_COMPRESSION_FACTOR_DEFAULT
+        )
+    except Exception:
+        factor = float(SPREAD_COMPRESSION_FACTOR_DEFAULT)
     est = plan_size_estimate(df)
     if est is not None and min_bytes > 0:
-        target = max(1, min(target, est // min_bytes))
+        target = max(1, min(target, int(est * factor) // min_bytes))
     n = scan_partition_count(df)
     if n is not None and n * 4 <= target:
         return df.repartition(target)
