@@ -54,6 +54,15 @@ B1 = [(2, [10.0, 2.0, 0.0, 0.0]), (3, [5.0, 5.0, 0.0, 0.0])]
 
 import pytest as _pytest
 
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
+
+
 
 @_pytest.fixture(scope="session")
 def _drifted_template(spark, tmp_path_factory):

@@ -125,6 +125,7 @@ def test_local_arm_matches_pure_reference_and_gate_is_conf_driven(spark):
         spark.conf.unset(key)
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_local_arm_trains_thousands_of_merges_fast():
     """The round-count gap the distributed loop has (one Spark job per
     merge) must be gone on the local arm: ≥2k merges over a synthetic

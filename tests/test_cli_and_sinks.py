@@ -314,6 +314,7 @@ def test_shard_manifest_offsets_are_contiguous(spark, tmp_path):
     assert man_sorted[-1]["end_off"] == total_tokens
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_cli_maintain_actions(
     spark, tmp_path, capsys, fresh_semantic_store
 ):
@@ -370,6 +371,7 @@ def test_cli_maintain_actions(
         cli.main(["maintain", snap, "not_an_action"])
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_cli_maintain_reband_with_codebook(spark, tmp_path, capsys):
     """maintain reband_semantic --codebook: a store folded with a
     TRAINED quantizer must be re-banded with the same one — the CLI

@@ -12,6 +12,15 @@ from pyspark.sql import functions as F
 
 from twitter_social_triangle_mapreduce_spark.operators import dedup, sampling
 
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id BIGINT, source STRING, text STRING")

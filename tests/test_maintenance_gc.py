@@ -8,16 +8,28 @@ backlog counters to zero.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from twitter_social_triangle_mapreduce_spark.cli import run_maintain
 from twitter_social_triangle_mapreduce_spark.streaming import (
+
+
     compact_semantic_embs,
     fold_semantic_batch,
     maintenance_gc,
     maintenance_status,
     read_semantic_snapshot,
 )
+
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
 
 DIMS = 8
 

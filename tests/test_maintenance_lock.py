@@ -40,6 +40,8 @@ from twitter_social_triangle_mapreduce_spark.streaming import (
     read_semantic_snapshot,
 )
 from twitter_social_triangle_mapreduce_spark.streaming.streams import (
+
+
     _acquire_maintenance_lock,
     _assert_holds_maintenance_lock,
     _commit_generation,
@@ -49,6 +51,14 @@ from twitter_social_triangle_mapreduce_spark.streaming.streams import (
     reband_semantic_store,
 )
 
+
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
 
 def _lock_file(parent: str) -> str:
     return f"{parent}/markers/_MAINTENANCE_LOCK"

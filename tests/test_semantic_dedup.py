@@ -145,6 +145,7 @@ def test_kmeans_training_loop_descends_and_feeds_ivf(spark):
     assert out.count() == emb.count()
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_trained_codebook_descends_from_seed_and_moves_assignments(spark):
     """Round-5 verdict item 1: ``train_ivf_centroids`` (deterministic
     farthest-point seed + exact-integer Lloyd rounds) must descend the
@@ -419,6 +420,7 @@ def test_kmeanspar_rounds_pinned():
     assert kmeanspar_rounds(4096) == 14
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_kmeanspar_seeder_quality_and_determinism(spark):
     """Round-6 verdict item 2: the k-means|| seeder must (a) be
     deterministic end to end (md5-ranked draws — two runs bit-equal),
@@ -499,6 +501,7 @@ def test_kmeanspar_scan_count_sublinear_in_k(spark):
     assert j64 - j16 < 48, (j16, j64)  # sublinear in k, not 1 scan/center
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_banded_candidates_stay_linear_with_scaled_bits(spark):
     """Round-6 verdict item 6 guard: with the band width scaled as
     log2(n / occupancy) — the documented 100 TB rule — doubling the

@@ -5,6 +5,8 @@ predicate."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from pyspark.sql import functions as F
@@ -13,6 +15,15 @@ from twitter_social_triangle_mapreduce_spark import streaming as st
 from twitter_social_triangle_mapreduce_spark.sources.io import load_table
 
 from conftest import SF_SMOKE
+
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
+
 
 
 def test_stream_stream_path2_matches_batch(spark):

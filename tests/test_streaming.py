@@ -203,6 +203,7 @@ def test_observed_quality_metrics_surface_in_progress(spark):
     assert all(m["n_null_value"] == 0 for m in metrics)
 
 
+@pytest.mark.slow  # round-13 gate diet: probe-as-test
 def test_streaming_stateful_running_counts(spark):
     ev = st.read_events_stream(spark, SF_SMOKE)
     sink = run_to_completion(

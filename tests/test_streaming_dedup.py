@@ -5,6 +5,8 @@ candidate-pair computation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -20,6 +22,15 @@ from twitter_social_triangle_mapreduce_spark.streaming import (
 )
 
 from conftest import SF_SMOKE
+
+# Round 13 (r12 verdict item 1a): this whole suite is a streaming-
+# fold / maintenance / rebuild probe battery - heavyweight by nature
+# (fresh stores, multi-generation snapshots, stateful queries). It
+# runs in the closing battery (--runslow / RUN_SLOW=1), keeping the
+# default gate inside the driver's window. The oracle-differential,
+# golden, plan-shape, and digest suites stay in the default gate.
+pytestmark = pytest.mark.slow
+
 
 DOC_SCHEMA = StructType(
     [
