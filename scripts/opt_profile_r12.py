@@ -48,11 +48,8 @@ def main() -> None:
     sc = spark.sparkContext
 
     queries = dict(registry.all_queries(include_extra=True))
-    queries["prepare_training_corpus"] = lambda s, d: bench._capstone_like(
-        s, d, False
-    ) if hasattr(bench, "_capstone_like") else None
-    # reuse bench's capstone lambdas by reconstructing them here (bench
-    # defines them inside main()); keep in sync with bench.py
+    # capstone lambdas reconstructed here (bench defines them inside
+    # main()); keep in sync with bench.py
     import shutil
     import tempfile
 
